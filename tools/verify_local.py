@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local clone of the driver's correctness gate.
+
+Usage:  python3 tools/verify_local.py <sfDir> <verifyOutDir>
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran and wrote
+<name>/ parquet dirs + oracle_sql.json under <outDir>. For each query:
+run the oracle SQL in DuckDB over views named after the parquet tables,
+load the Spark parquet output, sort columns by name, sort rows, and compare
+cell-by-cell (exact, with a float report so near-misses are visible).
+"""
+import json, math, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp-ish columns to ns for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {spark_dir}")
+            n_fail += 1
+            continue
+        try:
+            got = norm(pd.read_parquet(spark_dir))
+            exp = norm(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        mismatches = []
+        for c in got.columns:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            for i, (a, b) in enumerate(zip(gv, ev)):
+                if not cells_equal(a, b):
+                    mismatches.append((c, i, a, b))
+                    if len(mismatches) >= 5:
+                        break
+            if len(mismatches) >= 5:
+                break
+        if mismatches:
+            print(f"FAIL {name}: {len(mismatches)}+ cell mismatches, e.g.:")
+            for c, i, a, b in mismatches[:5]:
+                print(f"   col={c} row={i} spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

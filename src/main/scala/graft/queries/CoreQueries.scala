@@ -162,10 +162,10 @@ object CoreQueries {
 
   val q7FullOuterCoalesceSql: String =
     """WITH clicks AS (
-      |  SELECT date_trunc('minute', ts) AS minute, count(*) AS click_n
+      |  SELECT date_trunc('minute', ts)::TIMESTAMP AS minute, count(*) AS click_n
       |  FROM events WHERE event_type = 'click' GROUP BY 1
       |), views AS (
-      |  SELECT date_trunc('minute', ts) AS minute, count(*) AS view_n
+      |  SELECT date_trunc('minute', ts)::TIMESTAMP AS minute, count(*) AS view_n
       |  FROM events WHERE event_type = 'view' GROUP BY 1
       |)
       |SELECT coalesce(clicks.minute, views.minute) AS minute,

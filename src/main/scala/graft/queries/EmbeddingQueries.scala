@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VecFns
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (`vec_id, embedding: array<float>[64], label`) —
+  * the training-pipeline similarity ops of SURVEY §7.1 step 7.
+  *
+  * Three tiers:
+  *  - q31: brute-force cosine top-k — the correctness baseline; O(N²)
+  *    pairs, feasible at verify scale and the reference for recall.
+  *  - q32: random-hyperplane LSH — the scale path: bucket on an
+  *    8-bit signature, search only within buckets (the join shuffles on
+  *    the bucket key; expected bucket size N/256 at 100 TB, so the
+  *    quadratic term drops by ~256²/256 = 256×).
+  *  - q33: IVF-style coarse quantization — centroids from the `label`
+  *    partition, nearest-centroid assignment (broadcast 10×64 floats).
+  */
+object EmbeddingQueries {
+
+  private val Dim = 64
+
+  /** Brute-force cosine top-3 per vector: cross join with pre-computed
+    * norms, rank by similarity (raw double; ties broken by neighbor id).
+    * Norms are computed once per side before the join — not per pair. */
+  def q31CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), VecFns.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val sims = a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("sim", VecFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"), round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  val q31CosineTopKSql: String = {
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH sims AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** LSH-bucketed ANN: 8 random-hyperplane bits → bucket; exact cosine
+    * rerank *within* each bucket, top-3. The bucket equi-join replaces
+    * q31's cross join — this is the plan shape that survives 100 TB. */
+  def q32AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      VecFns.norm(col("embedding")).as("nrm"),
+      VecFns.rhpBucket(col("embedding"), Dim, 8).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val sims = a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", VecFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("vec_id"), col("bucket"), col("b_id").as("neighbor_id"),
+        col("rank"), round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  val q32AnnLshSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |),
+       |sims AS (
+       |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, bucket, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, bucket, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** IVF-style coarse quantization: per-label centroids (posexplode →
+    * groupBy(label, pos) avg → rebuilt in pos order), broadcast to every
+    * vector, nearest centroid by squared L2. Output distances rounded —
+    * centroid sums are shuffle-order-dependent in their last bits, but
+    * 4-decimal rounding and inter-centroid margins absorb that. */
+  def q33IvfCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("c_label"), transform(col("pc"), p => p("c")).as("centroid"))
+    val dists = e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist_sq", VecFns.l2DistSq(col("embedding"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("c_label").asc)
+    dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"),
+        round(col("dist_sq"), 4).as("dist_sq"),
+        (col("c_label") === col("label")).as("is_own_cluster"))
+  }
+
+  val q33IvfCentroidSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    s"""WITH cd AS (
+       |  SELECT label, pos, avg(x) AS c
+       |  FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |               generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings)
+       |  GROUP BY label, pos
+       |),
+       |cents AS (
+       |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM cd GROUP BY label
+       |),
+       |dists AS (
+       |  SELECT e.vec_id, e.label, c.c_label, $dist AS dist_sq
+       |  FROM embeddings e CROSS JOIN cents c
+       |)
+       |SELECT vec_id, label, c_label AS nearest_label,
+       |  round(dist_sq, 4) AS dist_sq,
+       |  c_label = label AS is_own_cluster
+       |FROM (
+       |  SELECT vec_id, label, c_label, dist_sq,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq ASC, c_label ASC) AS rn
+       |  FROM dists
+       |) WHERE rn = 1""".stripMargin
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_cosine_topk" -> (q31CosineTopK _),
+    "q32_ann_lsh" -> (q32AnnLsh _),
+    "q33_ivf_centroid" -> (q33IvfCentroid _)
+  )
+
+  def sql: Map[String, String] = Map(
+    "q31_cosine_topk" -> q31CosineTopKSql,
+    "q32_ann_lsh" -> q32AnnLshSql,
+    "q33_ivf_centroid" -> q33IvfCentroidSql
+  )
+}

@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFns
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact/near dedup (hash, n-gram Jaccard, SimHash, MinHash+LSH), token
+  * counting, quality scoring, language ID, and fingerprinting — the "ext"
+  * layer of SURVEY §7.1 step 7.
+  *
+  * Scale design: every per-document computation is a pure codegen'd
+  * expression (no UDFs, no explode where an array fold suffices); the only
+  * shuffles are the dedup groupings/joins themselves, which partition by
+  * hash/shingle key. The brute-force shingle self-join (q27) is the
+  * correctness baseline; MinHash+LSH (q30) is the 100 TB path — its band
+  * join touches only colliding signatures.
+  *
+  * All hashes are arithmetic (TextFns.polyHash) so the DuckDB oracle
+  * reproduces them bit-for-bit.
+  */
+object TextQueries {
+
+  private val docs = (s: SparkSession, dir: String) => Tables.documents(s, dir)
+
+  // ------------------------------------------------------- exact dedup
+
+  /** Exact deduplication via normalized content hash: every row keeps its
+    * group's canonical (min) doc_id. Survivors = rows with is_canonical.
+    * 100 TB: one hash-partitioned window over sha256 — no driver state. */
+  def q23ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    docs(spark, dir)
+      .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "text_hash", "canonical_id", "n_copies", "is_canonical")
+  }
+
+  val q23ExactDedupSql: String =
+    """SELECT doc_id,
+      |  sha256(lower(trim(text))) AS text_hash,
+      |  min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS canonical_id,
+      |  count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies,
+      |  doc_id = min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS is_canonical
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------ token stats
+
+  /** Token counting: whitespace tokens, distinct tokens, mean token
+    * length — one array fold per row. */
+  def q24TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks), 4)
+        .as("avg_token_len"))
+  }
+
+  val q24TokenStatsSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""SELECT doc_id,
+       |  len(w) AS n_tokens,
+       |  len(list_distinct(w)) AS n_distinct_tokens,
+       |  round(list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w), 4) AS avg_token_len
+       |FROM (SELECT doc_id, $toks AS w FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------- quality score
+
+  /** Document quality scoring: length saturation, stopword ratio,
+    * lexical diversity → composite score. Rational arithmetic only (no
+    * transcendentals) so the oracle's doubles are bit-identical. */
+  def q25QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    docs(spark, dir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_ratio",
+        TextFns.markerCount(toks, Seq("the", "a")).cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("distinct_ratio"), 4).as("distinct_ratio"),
+        round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + col("distinct_ratio") * 0.3, 4).as("quality_score"))
+  }
+
+  val q25QualityScoreSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(w) AS n_tokens,
+       |    len(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / len(w) AS stop_ratio,
+       |    len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio
+       |  FROM (SELECT doc_id, $toks AS w FROM documents)
+       |)
+       |SELECT doc_id, n_tokens,
+       |  round(stop_ratio, 4) AS stop_ratio,
+       |  round(distinct_ratio, 4) AS distinct_ratio,
+       |  round(least(n_tokens::DOUBLE / 50.0, 1.0) * 0.4
+       |    + (1.0 - stop_ratio) * 0.3 + distinct_ratio * 0.3, 4) AS quality_score
+       |FROM t""".stripMargin
+  }
+
+  // -------------------------------------------------------- language ID
+
+  /** N-gram-heuristic language ID: count language-marker tokens per
+    * candidate language, argmax with fixed tie order. Compared against
+    * the table's `lang` ground truth. */
+  def q26LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = docs(spark, dir)
+      .withColumn("en_n", TextFns.markerCount(toks, Seq("the", "a", "of", "and", "is")))
+      .withColumn("de_n", TextFns.markerCount(toks, Seq("der", "die", "das", "und", "ist")))
+      .withColumn("es_n", TextFns.markerCount(toks, Seq("el", "los", "las", "y", "es")))
+      .withColumn("fr_n", TextFns.markerCount(toks, Seq("le", "les", "et", "est", "dans")))
+    val best = greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n"))
+    scored.select(
+      col("doc_id"), col("lang"), col("en_n"), col("de_n"), col("es_n"), col("fr_n"),
+      when(best === 0, "und")
+        .when(col("en_n") === best, "en")
+        .when(col("de_n") === best, "de")
+        .when(col("es_n") === best, "es")
+        .otherwise("fr").as("pred_lang"))
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+  }
+
+  val q26LangIdSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS en_n,
+       |    len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS de_n,
+       |    len(list_filter(w, x -> x IN ('el', 'los', 'las', 'y', 'es'))) AS es_n,
+       |    len(list_filter(w, x -> x IN ('le', 'les', 'et', 'est', 'dans'))) AS fr_n
+       |  FROM (SELECT doc_id, lang, $toks AS w FROM documents)
+       |)
+       |SELECT doc_id, lang, en_n, de_n, es_n, fr_n,
+       |  CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
+       |       WHEN en_n = greatest(en_n, de_n, es_n, fr_n) THEN 'en'
+       |       WHEN de_n = greatest(en_n, de_n, es_n, fr_n) THEN 'de'
+       |       WHEN es_n = greatest(en_n, de_n, es_n, fr_n) THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  CASE WHEN greatest(en_n, de_n, es_n, fr_n) = 0 THEN 'und'
+       |       WHEN en_n = greatest(en_n, de_n, es_n, fr_n) THEN 'en'
+       |       WHEN de_n = greatest(en_n, de_n, es_n, fr_n) THEN 'de'
+       |       WHEN es_n = greatest(en_n, de_n, es_n, fr_n) THEN 'es'
+       |       ELSE 'fr' END = lang AS is_correct
+       |FROM t""".stripMargin
+  }
+
+  // ------------------------------------------- n-gram Jaccard near-dup
+
+  /** Brute-force word-3-gram Jaccard near-duplicate pairs: explode
+    * distinct shingles, self-join on shingle, Jaccard from intersection
+    * and per-doc set sizes. Correctness baseline for q30's LSH — the
+    * shingle self-join is quadratic on hot shingles and would be replaced
+    * by LSH at 100 TB. */
+  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // persist: the exploded shingle table feeds both join sides + counts;
+    // without it the (interpreted-HOF) shingle pipeline runs 3×. Token
+    // hashes materialize as their own column first — see TextFns.tokenHashes.
+    val sh = d
+      .withColumn("th", TextFns.tokenHashes(col("text")))
+      .select(col("doc_id"), explode(TextFns.shingleCombine(col("th"), 3)).as("s"))
+      .persist()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("ca.n_sh") + col("cb.n_sh") - col("n_common")))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  val q27NgramJaccardSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |th AS (SELECT doc_id, list_transform(w, t -> ${TextFns.ddbPolyHash("t")}) AS h FROM t),
+       |sh AS (
+       |  SELECT doc_id, unnest(${TextFns.ddbShingleHashSet3("h")}) AS s FROM th
+       |),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_common, round(jaccard, 4) AS jaccard
+       |FROM (
+       |  SELECT doc_a, doc_b, n_common,
+       |    n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+       |  FROM pairs
+       |  JOIN cnt ca ON doc_a = ca.doc_id
+       |  JOIN cnt cb ON doc_b = cb.doc_id
+       |)
+       |WHERE jaccard >= 0.05""".stripMargin
+  }
+
+  // ------------------------------------------------------ fingerprinting
+
+  /** Document fingerprinting: full-text polynomial rolling hash plus a
+    * winnowing-style minimum 8-gram hash. Per-row expressions only. */
+  def q28Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFns.polyHash(col("text")).as("full_hash"),
+      TextFns.minGramHash(col("text"), 8).as("min_gram8"))
+
+  val q28FingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${TextFns.ddbPolyHash("text")} AS full_hash,
+       |  CASE WHEN length(text) >= 8 THEN
+       |    list_min(list_transform(range(length(text) - 7),
+       |      i -> ${TextFns.ddbPolyHash("substr(text, i + 1, 8)")}))
+       |  ELSE NULL END AS min_gram8
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 32-bit SimHash signatures: per-bit majority vote over token hashes,
+    * computed as one nested array fold per row (no explode → no 32×
+    * row blowup, stays inside whole-stage codegen). */
+  def q29SimHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("tok_hashes", transform(TextFns.tokens(col("text")), TextFns.polyHash _))
+      .select(
+        col("doc_id"),
+        size(col("tok_hashes")).as("n_tokens"),
+        TextFns.simHash32("tok_hashes").as("simhash32"))
+
+  val q29SimHashSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""SELECT doc_id, len(tok_hashes) AS n_tokens,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(32), j ->
+       |    CASE WHEN list_reduce(list_prepend(0::BIGINT, tok_hashes),
+       |                (acc, h) -> acc + CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+       |    (a, b) -> a + b) AS simhash32
+       |FROM (SELECT doc_id, list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS tok_hashes
+       |      FROM documents)""".stripMargin
+  }
+
+  // -------------------------------------------------------- MinHash+LSH
+
+  /** MinHash + LSH near-dup candidates: 3-gram shingle hash sets → 8
+    * MinHash permutations → 4 bands × 2 rows → band-key equi-join →
+    * exact Jaccard rerank of candidates. The 100 TB dedup path: the
+    * band join shuffles on (band, k1, k2) and only touches colliding
+    * signatures, unlike q27's full shingle self-join. */
+  def q30MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // persist: signatures feed both band-join sides and the set rerank —
+    // without it the shingle+minhash pipeline is recomputed ~4×. Each
+    // derived array materializes as its own column (TextFns.tokenHashes).
+    // NO size(sh_set)>0 filter: predicate pushdown would substitute the
+    // whole sh_set expression into the filter (undoing the column
+    // materialization — 50× slower); short docs instead get an all-null
+    // signature, which can never equal a band key, so the result is
+    // identical.
+    val d = docs(spark, dir)
+      .withColumn("th", TextFns.tokenHashes(col("text")))
+      .withColumn("sh_set", TextFns.shingleCombine(col("th"), 3))
+      .withColumn("sig", TextFns.minHashSignature(col("sh_set"), 8))
+      .select("doc_id", "sh_set", "sig")
+      .persist()
+    val bands = d.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)), b => struct(
+        b.as("band"),
+        element_at(col("sig"), b * 2 + 1).as("k1"),
+        element_at(col("sig"), b * 2 + 2).as("k2")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
+          && col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = d.select(col("doc_id"), col("sh_set"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_common", size(array_intersect(col("sa.sh_set"), col("sb.sh_set"))))
+      .withColumn("jaccard", round(
+        col("n_common").cast("double")
+          / (size(col("sa.sh_set")) + size(col("sb.sh_set")) - col("n_common")), 4))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  val q30MinHashLshSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    val aArr = TextFns.MinHashA.mkString("[", ", ", "]")
+    val bArr = TextFns.MinHashB.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |th AS (SELECT doc_id, list_transform(w, t -> ${TextFns.ddbPolyHash("t")}) AS h FROM t),
+       |d AS (
+       |  SELECT doc_id, ${TextFns.ddbShingleHashSet3("h")} AS sh_set FROM th
+       |),
+       |sigs AS (
+       |  SELECT doc_id, sh_set,
+       |    list_transform(range(8), i ->
+       |      list_min(list_transform(sh_set, x -> (($aArr[i+1]) * x + ($bArr[i+1])) % 1000000007))) AS sig
+       |  FROM d
+       |),
+       |bands AS (
+       |  SELECT doc_id, gs.b AS band, sig[2*gs.b + 1] AS k1, sig[2*gs.b + 2] AS k2
+       |  FROM sigs CROSS JOIN generate_series(0, 3) AS gs(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  len(list_intersect(sa.sh_set, sb.sh_set)) AS n_common,
+       |  round(len(list_intersect(sa.sh_set, sb.sh_set))::DOUBLE
+       |    / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))), 4) AS jaccard
+       |FROM cand
+       |JOIN d sa ON doc_a = sa.doc_id
+       |JOIN d sb ON doc_b = sb.doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- registry
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_exact_dedup" -> (q23ExactDedup _),
+    "q24_token_stats" -> (q24TokenStats _),
+    "q25_quality_score" -> (q25QualityScore _),
+    "q26_langid" -> (q26LangId _),
+    "q27_ngram_jaccard" -> (q27NgramJaccard _),
+    "q28_fingerprint" -> (q28Fingerprint _),
+    "q29_simhash" -> (q29SimHash _),
+    "q30_minhash_lsh" -> (q30MinHashLsh _)
+  )
+
+  def sql: Map[String, String] = Map(
+    "q23_exact_dedup" -> q23ExactDedupSql,
+    "q24_token_stats" -> q24TokenStatsSql,
+    "q25_quality_score" -> q25QualityScoreSql,
+    "q26_langid" -> q26LangIdSql,
+    "q27_ngram_jaccard" -> q27NgramJaccardSql,
+    "q28_fingerprint" -> q28FingerprintSql,
+    "q29_simhash" -> q29SimHashSql,
+    "q30_minhash_lsh" -> q30MinHashLshSql
+  )
+}

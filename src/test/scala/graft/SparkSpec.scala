@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM, forked by sbt). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = graft.core.Sessions.builder("local[4]", "4").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  /** sf0.001 testdata dir for cheap end-to-end checks. */
+  val sfDir = "/root/testdata/sf0.001"
+}

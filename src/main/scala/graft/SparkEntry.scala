@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++ graft.queries.TimeQueries.all ++
-      graft.queries.TextQueries.all ++ graft.queries.EmbeddingQueries.all
+      graft.queries.TextQueries.all ++ graft.queries.EmbeddingQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.sql ++ graft.queries.TimeQueries.sql ++
-      graft.queries.TextQueries.sql ++ graft.queries.EmbeddingQueries.sql
+      graft.queries.TextQueries.sql ++ graft.queries.EmbeddingQueries.sql ++
+      graft.queries.PipelineQueries.sql
 }

@@ -1,0 +1,116 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+
+/** The electricity meter downsample pipeline (SURVEY P3, §7.2; ref:
+  * utils/duckdb_electricity_1-minute.py:5-173 — the 10-stage CTE chain),
+  * Spark-first over the reference's own CSV shape
+  * (`Date,Time,P,OP`, Date in dd/MM/yyyy, cumulative counters).
+  *
+  * Chain: read → naive local timestamp → per-year BST boundaries
+  * (broadcast) → hand-rolled BST→UTC shift → LEAD deltas → 1-minute grid
+  * explode → peak/off-peak classification → per-interval rate allocation
+  * (window, replacing the reference's counts self-join at :112-142) →
+  * end-labeled 15-minute buckets.
+  *
+  * Scale notes: the reference's series is one global meter, so the LEAD
+  * window is a single partition — fine at 1,273 rows (SURVEY §7.4 item 8);
+  * `byKey` variants of this chain live in
+  * [[graft.queries.PipelineQueries.q34ElectricityE2e]] where every window
+  * is partitioned by a device key. The BST boundary table is years-count
+  * rows → broadcast. The grid explode is generated executor-side.
+  */
+object ElectricityPipeline {
+
+  /** Read the reference CSV shape: Date dd/MM/yyyy, Time HH:mm:ss,
+    * cumulative counters P and OP. DOUBLE, not LONG: the real file
+    * contains fractional readings ("650.5") which `read_csv_auto` infers
+    * as doubles — a LONG schema would silently null them. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema("Date STRING, Time STRING, P DOUBLE, OP DOUBLE")
+      .csv(path)
+      .withColumn("LocalDateTime",
+        to_timestamp(concat_ws(" ", col("Date"), col("Time")), "dd/MM/yyyy HH:mm:ss"))
+
+  /** Stages 2-4: per-year BST windows (broadcast) + naive-local→UTC shift
+    * (ref :21-55; deliberately NOT a tz conversion — SURVEY §7.4 item 6). */
+  def toUtc(readings: DataFrame): DataFrame = {
+    val yrs = readings.select(year(col("LocalDateTime")).as("yr")).distinct()
+      .withColumn("bst_start", TimeFns.bstStart(col("yr")))
+      .withColumn("bst_end", TimeFns.bstEnd(col("yr")))
+    readings.join(broadcast(yrs), year(col("LocalDateTime")) === col("yr"))
+      .withColumn("UTC_DateTime",
+        TimeFns.localToUtc(col("LocalDateTime"), col("bst_start"), col("bst_end")))
+      .drop("yr", "bst_start", "bst_end")
+  }
+
+  /** Stages 5-6: next-reading deltas via LEAD, last row dropped
+    * (ref :60-74). Global meter series → single-partition window by
+    * design; see class doc. */
+  def deltas(utc: DataFrame): DataFrame = {
+    val w = Window.orderBy("UTC_DateTime")
+    utc
+      .withColumn("Next_DateTime", lead("UTC_DateTime", 1).over(w))
+      .withColumn("Delta_P", lead("P", 1).over(w) - col("P"))
+      .withColumn("Delta_OP", lead("OP", 1).over(w) - col("OP"))
+      .filter(col("Next_DateTime").isNotNull)
+  }
+
+  /** Stages 7-10: minute grid explode, peak classification, rate
+    * allocation over per-interval minute counts (window instead of the
+    * reference's self-join), end-labeled 15-minute buckets
+    * (ref :85-172). */
+  def fifteenMinuteUsage(deltaDf: DataFrame): DataFrame = {
+    val grid = deltaDf.select(
+        col("UTC_DateTime"), col("Delta_P"), col("Delta_OP"),
+        explode(sequence(
+          col("UTC_DateTime") + expr("INTERVAL 1 MINUTE"),
+          col("Next_DateTime"),
+          expr("INTERVAL 1 MINUTE"))).as("MinuteGrid"))
+      .withColumn("Category", TimeFns.peakCategory(col("MinuteGrid")))
+    val wc = Window.partitionBy("UTC_DateTime")
+    val rates = grid
+      .withColumn("Total_P_Mins", sum(when(col("Category") === "P", 1).otherwise(0)).over(wc))
+      .withColumn("Total_OP_Mins", sum(when(col("Category") === "OP", 1).otherwise(0)).over(wc))
+      .withColumn("P_Value",
+        when(col("Category") === "P" && col("Total_P_Mins") > 0,
+          col("Delta_P") / col("Total_P_Mins")))
+      .withColumn("OP_Value",
+        when(col("Category") === "OP" && col("Total_OP_Mins") > 0,
+          col("Delta_OP") / col("Total_OP_Mins")))
+    rates
+      .withColumn("Bucket", TimeFns.timeBucket15EndLabeled(col("MinuteGrid")))
+      .groupBy("Bucket")
+      .agg(
+        min("MinuteGrid").as("First_Minute"),
+        max("MinuteGrid").as("Last_Minute"),
+        count(lit(1)).as("Minutes"),
+        sum("P_Value").as("P_Usage"),
+        sum("OP_Value").as("OP_Usage"))
+      .orderBy("Bucket")
+  }
+
+  /** Full chain: path → 15-minute usage table. */
+  def run(spark: SparkSession, path: String): DataFrame =
+    fifteenMinuteUsage(deltas(toUtc(read(spark, path))))
+
+  /** The reference's run-time invariant checks (SURVEY §5.2-3), as
+    * DataFrames for tests:
+    * peak-boundary buckets (hour∈{6,23}, minute∈{15,30}) and the summary
+    * totals whose ΣP/ΣOP must telescope to last(P)−first(P). */
+  def boundaryBuckets(usage: DataFrame): DataFrame =
+    usage.filter(hour(col("Bucket")).isin(6, 23) && minute(col("Bucket")).isin(15, 30))
+
+  def summary(usage: DataFrame): DataFrame =
+    usage.agg(
+      count(lit(1)).as("n_buckets"),
+      sum("P_Usage").as("total_p"),
+      sum("OP_Usage").as("total_op"),
+      min("Bucket").as("first_bucket"),
+      max("Bucket").as("last_bucket"))
+}

@@ -1,0 +1,78 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.WeightTxt
+
+/** Incremental file-store sync (SURVEY P5; ref:
+  * utils/20251223-csv-from-googledrive.py + the sync loop at
+  * utils/20251223-weight-for-streamlit.py:135-189): list the store,
+  * anti-join against already-processed file ids, parse only the new
+  * files, union into the master cache, write the cache back.
+  *
+  * The reference's store is Google Drive over HTTP; here the connector
+  * boundary is a listing DataFrame — any enumerable store (local dir,
+  * object store, Drive) plugs in by producing (id, path) rows. The
+  * anti-join incremental pattern and cache write-back are the pipeline.
+  *
+  * Scale: listing and cache are DataFrames (no driver id-set); the
+  * anti-join shuffles on id only if both sides are large — the listing
+  * side is auto-broadcast below the threshold. Parsing distributes over
+  * the new files. The cache is parquet (columnar, splittable), not the
+  * reference's single CSV.
+  */
+object FileStoreSync {
+
+  /** Connector: enumerate a directory into a listing DataFrame
+    * (id = file name, like the reference's Drive file ids). */
+  def listing(spark: SparkSession, dir: String, suffix: String = ".txt"): DataFrame = {
+    import spark.implicits._
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(suffix))
+      .map(f => (f.getName, f.getAbsolutePath, f.length()))
+      .toSeq
+    files.toDF("id", "path", "size")
+  }
+
+  /** Master cache (8-column EAV), empty-schema frame when absent. */
+  def readCache(spark: SparkSession, cachePath: String): DataFrame =
+    if (new java.io.File(cachePath).exists())
+      spark.read.parquet(cachePath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[graft.sources.WeightReading].schema)
+
+  /** The incremental step: listing ∖ processed (left_anti on id;
+    * ref :144,155). */
+  def newFiles(listingDf: DataFrame, cache: DataFrame): DataFrame = {
+    val processed = cache.select(col("source_file_id").as("id")).distinct()
+    listingDf.join(processed, Seq("id"), "left_anti")
+  }
+
+  /** One sync round: parse new files, union into the cache, write back.
+    * Returns the refreshed cache frame. Matches the reference's
+    * "no new files → cache unchanged" short-circuit. */
+  def sync(spark: SparkSession, storeDir: String, cachePath: String): DataFrame = {
+    val cache = readCache(spark, cachePath)
+    val fresh = newFiles(listing(spark, storeDir), cache)
+    val freshPaths = fresh.select("path").collect().map(_.getString(0))
+    if (freshPaths.isEmpty) cache
+    else {
+      val parsed = WeightTxt.read(spark, freshPaths.toSeq)
+      // write via a staging dir: the new cache is derived from a lazy read
+      // of the old one, so overwriting in place would read-while-write
+      val updated = cache.unionByName(parsed)
+      val tmp = cachePath + "_tmp"
+      updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(cachePath)
+      deleteRecursively(new java.io.File(tmp))
+      spark.read.parquet(cachePath)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

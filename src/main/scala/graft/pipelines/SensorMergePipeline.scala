@@ -1,0 +1,193 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The sensor-CSV merge pipeline (SURVEY P2; ref:
+  * utils/20251223-csv-to-separate-sensors.py + the Polars variant):
+  * group exports by sensor, normalize each file, fold them in export-
+  * timestamp order into one wide series via full-outer join + coalesce,
+  * materializing `!A! col`-style conflict columns where overlapping
+  * values disagree beyond tolerance.
+  *
+  * Non-standard semantics preserved (SURVEY §7.4 items 1-2):
+  *  - the fold is order-dependent (conflict prefixes assigned in file
+  *    order, advancing only when a file produces ≥1 conflict) → the
+  *    per-sensor fold stays sequential on the driver building ONE lazy
+  *    plan; parallelism comes from sensors being independent and from
+  *    Spark executing each plan distributed.
+  *  - conflict = both sides present AND outside `np.isclose`-style
+  *    tolerance (|a−b| > atol + rtol·|b|), with NaN == NaN equal.
+  *  - the pandas conflict-name spelling `"!A! <col>"` (trailing space
+  *    after `!`) is canonical; the Polars variant's differing spelling is
+  *    deliberately not reproduced.
+  *
+  * Scale: each file is read and normalized distributed; the fold joins
+  * on `Timestamp` (shuffle per join, ≤ ~10 files per sensor → shallow
+  * plan). A 100 TB variant with thousands of files per key would replace
+  * the fold with a single union + groupBy(Timestamp) keep-priority agg —
+  * provided conflict naming is relaxed to per-source instead of
+  * per-file-order (documented trade-off, see mergeAllUnioned).
+  */
+object SensorMergePipeline {
+
+  /** np.isclose(rtol=1e-5, atol=1e-9) with NaN==NaN equal
+    * (ref: 20251223-csv-to-separate-sensors.py:108-121). */
+  def tolerantEquals(a: Column, b: Column, rtol: Double = 1e-5, atol: Double = 1e-9): Column =
+    (isnan(a) && isnan(b)) ||
+      (abs(a - b) <= lit(atol) + lit(rtol) * abs(b))
+
+  /** Conflict predicate for one shared column pair (both present AND not
+    * tolerably equal; strings compare exactly via null-safe eq). */
+  def isConflict(base: Column, inc: Column, numeric: Boolean): Column =
+    if (numeric) base.isNotNull && inc.isNotNull && !tolerantEquals(base, inc)
+    else base.isNotNull && inc.isNotNull && !(base <=> inc)
+
+  private val TimestampFormats = Seq("yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss", "dd/MM/yyyy HH:mm:ss")
+
+  /** Normalize one export CSV (ref :52-85): find the timestamp column by
+    * case-insensitive substring (BOM-safe), rename to `Timestamp`, parse,
+    * drop null timestamps, dedupe duplicate timestamps keeping the last
+    * input occurrence, best-effort-cast every other column to double
+    * (errors→null, matching pd.to_numeric(errors='coerce')).
+    * Returns None when no timestamp-like column exists (file skipped). */
+  def readNormalized(spark: SparkSession, path: String): Option[DataFrame] = {
+    val raw = spark.read.option("header", "true").csv(path)
+    raw.columns.find(_.toLowerCase.contains("timestamp")).map { tsCol =>
+      val renamed = raw.withColumnRenamed(tsCol, "Timestamp")
+        .withColumn("_seq", monotonically_increasing_id())
+        .withColumn("Timestamp",
+          coalesce(TimestampFormats.map(f => try_to_timestamp(col("Timestamp"), lit(f))): _*))
+        .filter(col("Timestamp").isNotNull)
+      val keepLast = Window.partitionBy("Timestamp").orderBy(col("_seq").desc)
+      val deduped = renamed
+        .withColumn("_rn", row_number().over(keepLast))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_seq")
+      deduped.columns.filterNot(_ == "Timestamp").foldLeft(deduped) { (df, c) =>
+        df.withColumn(c, col(s"`$c`").cast("double")) // names may contain dots
+      }
+    }
+  }
+
+  /** One fold step: full-outer align `base` with `incoming`, fill missing
+    * via coalesce, and for each shared column with ≥1 conflict add a
+    * `!X! col` column holding the incoming value at conflicting rows.
+    * Returns the merged frame and whether the prefix letter was consumed.
+    *
+    * The per-column conflict existence check is ONE aggregate action over
+    * the joined frame (the reference's any() short-circuit, batched). */
+  def mergeStep(base: DataFrame, incoming: DataFrame, prefixLetter: Char): (DataFrame, Boolean) = {
+    val shared = base.columns.toSeq.intersect(incoming.columns.toSeq).filterNot(_ == "Timestamp")
+      .filterNot(_.startsWith("!"))
+    val fresh = incoming.columns.toSeq.diff(base.columns.toSeq).filterNot(_ == "Timestamp")
+    val b = base.as("b")
+    val i = incoming.as("i")
+    val joined = b.join(i, Seq("Timestamp"), "full_outer")
+
+    def numeric(df: DataFrame, c: String) = df.schema(c).dataType == DoubleType
+    val conflictPred: Map[String, Column] = shared.map { c =>
+      c -> isConflict(col(s"b.`$c`"), col(s"i.`$c`"), numeric(base, c) && numeric(incoming, c))
+    }.toMap
+
+    // one action: count conflicts per shared column
+    val counts: Map[String, Long] =
+      if (shared.isEmpty) Map.empty
+      else {
+        val row = joined.agg(
+          sum(when(conflictPred(shared.head), 1L).otherwise(0L)).as(shared.head),
+          shared.tail.map(c => sum(when(conflictPred(c), 1L).otherwise(0L)).as(c)): _*).collect()(0)
+        shared.zipWithIndex.map { case (c, idx) => c -> row.getLong(idx) }.toMap
+      }
+    val conflictCols = shared.filter(counts.getOrElse(_, 0L) > 0L)
+    val usedPrefix = conflictCols.nonEmpty
+
+    val keepConflict = base.columns.toSeq.filter(_.startsWith("!"))
+    val outCols: Seq[Column] =
+      col("Timestamp") +:
+        (shared.map(c => coalesce(col(s"b.`$c`"), col(s"i.`$c`")).as(c)) ++
+          keepConflict.map(c => col(s"b.`$c`")) ++
+          fresh.map(c => col(s"i.`$c`").as(c)) ++
+          conflictCols.map(c => when(conflictPred(c), col(s"i.`$c`")).as(s"!$prefixLetter! $c")))
+    (joined.select(outCols: _*), usedPrefix)
+  }
+
+  /** Fold all of one sensor's files (already in export-timestamp order)
+    * into the merged wide series (ref :147-223). */
+  def mergeSensor(spark: SparkSession, paths: Seq[String]): Option[DataFrame] = {
+    val frames = paths.flatMap(p => readNormalized(spark, p))
+    frames.headOption.map { head =>
+      var prefixIdx = 0
+      frames.tail.foldLeft(head) { (acc, next) =>
+        val (merged, used) = mergeStep(acc, next, ('A' + prefixIdx).toChar)
+        if (used) prefixIdx += 1
+        merged
+      }
+    }
+  }
+
+  /** Final projection (ref :203-221): drop all-null columns (one agg
+    * pass), order as Timestamp, regular columns, sorted conflict
+    * columns; rows sorted by Timestamp. */
+  def finalize(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.toSeq.filterNot(_ == "Timestamp")
+    val nonNullCounts: Map[String, Long] =
+      if (dataCols.isEmpty) Map.empty
+      else {
+        val row = df.agg(
+          count(col(s"`${dataCols.head}`")).as(dataCols.head),
+          dataCols.tail.map(c => count(col(s"`$c`")).as(c)): _*).collect()(0)
+        dataCols.zipWithIndex.map { case (c, idx) => c -> row.getLong(idx) }.toMap
+      }
+    val alive = dataCols.filter(nonNullCounts.getOrElse(_, 0L) > 0L)
+    val (conflict, regular) = alive.partition(_.startsWith("!"))
+    df.select((Seq("Timestamp") ++ regular ++ conflict.sorted).map(c => col(s"`$c`")): _*)
+      .orderBy("Timestamp")
+  }
+
+  /** Driver-side discovery: glob a directory of `{sensor}_export_{ts}.csv`
+    * files, group by the regex-captured sensor name, order each group by
+    * the embedded export timestamp (ref :23-41,260-272). */
+  def discover(dir: String): Map[String, Seq[String]] = {
+    val pat = "^(.+?)_export_(\\d{12}).*\\.csv$".r
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.flatMap { f =>
+      f.getName match {
+        case pat(sensor, ts) => Some((sensor, ts, f.getAbsolutePath))
+        case _ => None
+      }
+    }.groupBy(_._1)
+      .map { case (s, arr) => s -> arr.sortBy(_._2).map(_._3).toSeq }
+  }
+
+  /** Full pipeline: all sensors in `dir` → merged frame per sensor.
+    * Sensors are independent; each fold builds one lazy plan executed by
+    * Spark distributed. */
+  def run(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    discover(dir).flatMap { case (sensor, paths) =>
+      mergeSensor(spark, paths).map(m => sensor -> finalize(m))
+    }
+
+  /** The 100 TB-shape alternative (documented trade-off): union all files
+    * tagged by source priority and keep the highest-priority value per
+    * (Timestamp, column) — same fill semantics, conflict columns keyed by
+    * source file instead of fold order, single shuffle instead of N
+    * joins. */
+  def mergeAllUnioned(frames: Seq[DataFrame]): DataFrame = {
+    val tagged = frames.zipWithIndex.map { case (f, idx) =>
+      f.withColumn("_prio", lit(idx))
+    }
+    val allCols = tagged.flatMap(_.columns).distinct.filterNot(Seq("Timestamp", "_prio").contains)
+    val unioned = tagged.map { f =>
+      val missing = allCols.diff(f.columns.toSeq)
+      missing.foldLeft(f)((d, c) => d.withColumn(c, lit(null).cast("double")))
+        .select((Seq("Timestamp", "_prio") ++ allCols).map(c => col(s"`$c`")): _*)
+    }.reduce(_ unionByName _)
+    unioned.groupBy("Timestamp")
+      .agg(
+        first(col(s"`${allCols.head}`"), ignoreNulls = true).as(allCols.head),
+        allCols.tail.map(c => first(col(s"`$c`"), ignoreNulls = true).as(c)): _*)
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.VecFns
+import graft.expr.NativeVecFns
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (`vec_id, embedding: array<float>[64], label`) —
@@ -29,11 +30,11 @@ object EmbeddingQueries {
     * Norms are computed once per side before the join — not per pair. */
   def q31CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), VecFns.norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), NativeVecFns.norm(spark, col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val sims = a.join(b, col("a_id") =!= col("b_id"))
-      .withColumn("sim", VecFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -64,13 +65,13 @@ object EmbeddingQueries {
   def q32AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
-      VecFns.norm(col("embedding")).as("nrm"),
+      NativeVecFns.norm(spark, col("embedding")).as("nrm"),
       VecFns.rhpBucket(col("embedding"), Dim, 8).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val sims = a.join(b, Seq("bucket"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("sim", VecFns.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -114,7 +115,7 @@ object EmbeddingQueries {
       .select(col("label").as("c_label"), transform(col("pc"), p => p("c")).as("centroid"))
     val dists = e.select(col("vec_id"), col("label"), col("embedding"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist_sq", VecFns.l2DistSq(col("embedding"), col("centroid")))
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
     val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("c_label").asc)
     dists.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -1,0 +1,60 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.functions.VecFns
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0L until n).map(i => i -> Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  test("native vec_dot is bit-identical to the HOF fold") {
+    val df = randVecs(200, 64).toDF("id", "v")
+      .withColumn("w", reverse(col("v")))
+    val out = df.select(
+      NativeVecFns.dot(spark, col("v"), col("w")).as("native"),
+      VecFns.dot(col("v"), col("w")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("native vec_l2_sq is bit-identical to the HOF fold; mixed float/double sides work") {
+    val df = randVecs(100, 32).toDF("id", "v")
+      .withColumn("w", transform(reverse(col("v")), x => x.cast("double")))
+    val out = df.select(
+      NativeVecFns.l2DistSq(spark, col("v"), col("w")).as("native"),
+      VecFns.l2DistSq(col("v"), col("w")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("null array → null; known dot value") {
+    val df = Seq(
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
+      (None, Some(Seq(1f, 1f, 1f)))).toDF("a", "b")
+    val rows = df.select(NativeVecFns.dot(spark, col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("whole-stage codegen handles the expression (no fallback errors) and beats HOF") {
+    val df = randVecs(2000, 64).toDF("id", "v").cache()
+    df.count()
+    val joined = df.as("a").join(df.as("b"), col("a.id") =!= col("b.id"))
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      joined.select(sum(c)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tNative = time(NativeVecFns.dot(spark, col("a.v"), col("b.v")))
+    val tHof = time(VecFns.dot(col("a.v"), col("b.v")))
+    info(f"native=$tNative%.2fs hof=$tHof%.2fs speedup=${tHof / tNative}%.1fx")
+    assert(tNative < tHof, "native codegen dot should not be slower than the interpreted HOF")
+    df.unpersist()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.pipelines
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+class FileStoreSyncSpec extends SparkSpec {
+
+  private def writeTxt(dir: Path, name: String, date: String, w: String): Unit =
+    Files.writeString(dir.resolve(name),
+      s"header\nTime:08:00, Mon,$date\nWeight:${w}kg\nBMI:25.0\n")
+
+  test("incremental sync: first full load, second round parses only new files, third is a no-op") {
+    val store = Files.createTempDirectory("store")
+    val cache = store.resolve("cache.parquet").toString
+    writeTxt(store, "a.txt", "2025-12-01", "90.0")
+    writeTxt(store, "b.txt", "2025-12-02", "91.0")
+
+    val c1 = FileStoreSync.sync(spark, store.toString, cache)
+    assert(c1.count() == 4) // 2 files × 2 attributes
+    assert(c1.select("source_file_id").distinct().count() == 2)
+
+    writeTxt(store, "c.txt", "2025-12-03", "92.0")
+    val c2 = FileStoreSync.sync(spark, store.toString, cache)
+    assert(c2.count() == 6)
+
+    // no new files → unchanged (and no write)
+    val mtime = Files.getLastModifiedTime(java.nio.file.Paths.get(cache))
+    val c3 = FileStoreSync.sync(spark, store.toString, cache)
+    assert(c3.count() == 6)
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(cache)) == mtime)
+  }
+
+  test("empty cache + empty store → empty frame with the EAV schema") {
+    val store = Files.createTempDirectory("store2")
+    val cache = store.resolve("cache.parquet").toString
+    val c = FileStoreSync.sync(spark, store.toString, cache)
+    assert(c.isEmpty)
+    assert(c.columns.toSeq == Seq("day_name", "date", "time", "attribute",
+      "value", "info_symbol", "info_txt", "source_file_id"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming upgrades of the reference's batch patterns
+  * (SURVEY §2.9 — the reference itself has no streaming; these are the
+  * extensions it points at):
+  *
+  *  - the manual incremental Drive sync (micro-batching by hand with an
+  *    id-set) → a file-source stream with checkpointed state;
+  *  - overlapping daily sensor exports (late/duplicate rows handled by
+  *    the full-outer merge) → watermark + `dropDuplicates`;
+  *  - the 15-minute downsample → watermarked tumbling-window aggregation;
+  *  - block grouping (P4) → `flatMapGroupsWithState` sessionization.
+  *
+  * All transforms are source-agnostic: they take a streaming DataFrame
+  * (rate, file, kafka, or MemoryStream in tests) with the event schema
+  * `(ts TIMESTAMP, user_id LONG, value DOUBLE)`-ish and return a
+  * streaming result. At scale each is a keyed stateful operator whose
+  * state is bounded by the watermark — no unbounded driver state.
+  */
+/** Session record emitted by [[StreamingOps.sessionize]]. Top-level: the
+  * Dataset encoder's generated code instantiates these reflectively. */
+case class Session(user_id: Long, n_events: Long, value_sum: Double,
+                   start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
+
+object StreamingOps {
+
+  /** Watermarked tumbling 15-minute usage per user — the streaming form
+    * of the electricity bucket aggregation. Late rows beyond 30 minutes
+    * are dropped; state is purged as the watermark passes each window. */
+  def bucketUsage(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("bucket"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value").as("value_sum"))
+      .select(col("bucket.start").as("bucket_start"), col("user_id"), col("n"), col("value_sum"))
+
+  /** Watermarked exact dedup on (user_id, ts) — the streaming form of the
+    * sensor merge's duplicate-timestamp rule (keep first seen; state
+    * bounded by the watermark). */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates(Seq("user_id", "ts"))
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the custom-
+    * state operator of SURVEY §2.9's extension list. A session closes
+    * when no event arrives for `gapMinutes` (processing-time timeout —
+    * deterministic enough for tests via explicit close on timeout). */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
+                 gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, s.total,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val evs = rows.toSeq.sortBy(_._2.getTime)
+            val gapMs = gapMinutes.toLong * 60000L
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            evs.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, total = s.total + v, lastMs = math.max(s.lastMs, t)))
+                case Some(s) =>
+                  closed += Session(userId, s.n, s.total,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs))
+                  cur = Some(SessionState(1, v, t, t))
+                case None =>
+                  cur = Some(SessionState(1, v, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Incremental file-source stream of weight TXT EAV rows — the
+    * streaming form of [[graft.pipelines.FileStoreSync]]: Spark's file
+    * source tracks processed files in the checkpoint (the reference's
+    * id-set), `Trigger.AvailableNow` gives the same catch-up-then-stop
+    * batch semantics. */
+  def weightTxtStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "16")
+      .text(dir)
+      .select(col("value").as("content"))
+      .as[String]
+      .flatMap(content => graft.sources.WeightTxt.parseContent(content, ""))
+      .toDF()
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFns
+import graft.expr.NativeTextFns
 
 /** Training-data-pipeline text operators over the `documents` table:
   * exact/near dedup (hash, n-gram Jaccard, SimHash, MinHash+LSH), token
@@ -169,7 +170,7 @@ object TextQueries {
     // without it the (interpreted-HOF) shingle pipeline runs 3×. Token
     // hashes materialize as their own column first — see TextFns.tokenHashes.
     val sh = d
-      .withColumn("th", TextFns.tokenHashes(col("text")))
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
       .select(col("doc_id"), explode(TextFns.shingleCombine(col("th"), 3)).as("s"))
       .persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -218,8 +219,8 @@ object TextQueries {
   def q28Fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      TextFns.polyHash(col("text")).as("full_hash"),
-      TextFns.minGramHash(col("text"), 8).as("min_gram8"))
+      NativeTextFns.polyHash(spark, col("text")).as("full_hash"),
+      NativeTextFns.minGramHash(spark, col("text"), 8).as("min_gram8"))
 
   val q28FingerprintSql: String =
     s"""SELECT doc_id,
@@ -237,11 +238,11 @@ object TextQueries {
     * row blowup, stays inside whole-stage codegen). */
   def q29SimHash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("tok_hashes", transform(TextFns.tokens(col("text")), TextFns.polyHash _))
+      .withColumn("tok_hashes", NativeTextFns.tokenHashes(spark, col("text")))
       .select(
         col("doc_id"),
         size(col("tok_hashes")).as("n_tokens"),
-        TextFns.simHash32("tok_hashes").as("simhash32"))
+        NativeTextFns.simHash32(spark, col("tok_hashes")).as("simhash32"))
 
   val q29SimHashSql: String = {
     val toks = TextFns.ddbTokens("text")
@@ -272,7 +273,7 @@ object TextQueries {
     // signature, which can never equal a band key, so the result is
     // identical.
     val d = docs(spark, dir)
-      .withColumn("th", TextFns.tokenHashes(col("text")))
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
       .withColumn("sh_set", TextFns.shingleCombine(col("th"), 3))
       .withColumn("sig", TextFns.minHashSignature(col("sh_set"), 8))
       .select("doc_id", "sh_set", "sig")

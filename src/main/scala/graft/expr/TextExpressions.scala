@@ -86,6 +86,53 @@ object TextHashKernels {
     min
   }
 
+  /** Distinct combined-hash n-gram shingles over token hashes —
+    * identical to TextFns.shingleCombine (same fold, array_distinct's
+    * first-occurrence order). */
+  def shingleHashes(th: ArrayData, n: Int): ArrayData = {
+    val len = th.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= len - n) {
+      var acc = 0L
+      var k = 0
+      while (k < n) { acc = (acc * 1000003L + th.getLong(i + k)) % Mod; k += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val MinHashA = Array(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  private val MinHashB = Array(1L, 12L, 123L, 1234L, 12345L, 123456L, 1234567L, 12345678L)
+
+  /** 8-permutation MinHash signature — identical to
+    * TextFns.minHashSignature (null-valued mins only when the set is
+    * empty, in which case each slot is null like array_min of []). */
+  def minHashSig(set: ArrayData): ArrayData = {
+    val n = set.numElements()
+    val out = new Array[Any](MinHashA.length)
+    if (n == 0) return new GenericArrayData(out) // all null slots
+    var i = 0
+    while (i < MinHashA.length) {
+      val a = MinHashA(i); val b = MinHashB(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * set.getLong(j) + b) % Mod
+        if (v < min) min = v
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash of a long-hash array: one pass, 32 counters —
     * identical to the nested-HOF majority vote (hashes are in [0,P) so
     * the `div/%` bit test equals a shift-mask). */
@@ -210,6 +257,8 @@ object NativeTextFns {
     reg(spark, "token_hashes", { case Seq(c) => TokenHashes(c) })
     reg(spark, "min_gram_hash", { case Seq(a, b) => MinGramHash(a, b) })
     reg(spark, "simhash32", { case Seq(c) => SimHash32(c) })
+    reg(spark, "shingle_hashes", { case Seq(a, b) => ShingleHashes(a, b) })
+    reg(spark, "minhash_sig", { case Seq(c) => MinHashSig(c) })
   }
 
   def polyHash(spark: SparkSession, c: Column): Column = {
@@ -224,4 +273,43 @@ object NativeTextFns {
   def simHash32(spark: SparkSession, c: Column): Column = {
     register(spark); call_function("simhash32", c)
   }
+  def shingleHashes(spark: SparkSession, c: Column, n: Int): Column = {
+    register(spark); call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
+  }
+  def minHashSig(spark: SparkSession, c: Column): Column = {
+    register(spark); call_function("minhash_sig", c)
+  }
+}
+
+/** shingle_hashes(array<long>, n) → array<long> (distinct combined n-grams). */
+case class ShingleHashes(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires (array<bigint>, int), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(th: Any, n: Any): Any =
+    TextHashKernels.shingleHashes(th.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${TextExpr.kernels}.shingleHashes($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** minhash_sig(array<long>) → array<long> of the 8 permutation minima. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minHashSig(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExpr.kernels}.minHashSig($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

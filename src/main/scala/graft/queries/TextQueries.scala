@@ -171,7 +171,7 @@ object TextQueries {
     // hashes materialize as their own column first — see TextFns.tokenHashes.
     val sh = d
       .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
-      .select(col("doc_id"), explode(TextFns.shingleCombine(col("th"), 3)).as("s"))
+      .select(col("doc_id"), explode(NativeTextFns.shingleHashes(spark, col("th"), 3)).as("s"))
       .persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -274,8 +274,8 @@ object TextQueries {
     // identical.
     val d = docs(spark, dir)
       .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
-      .withColumn("sh_set", TextFns.shingleCombine(col("th"), 3))
-      .withColumn("sig", TextFns.minHashSignature(col("sh_set"), 8))
+      .withColumn("sh_set", NativeTextFns.shingleHashes(spark, col("th"), 3))
+      .withColumn("sig", NativeTextFns.minHashSig(spark, col("sh_set")))
       .select("doc_id", "sh_set", "sig")
       .persist()
     val bands = d.select(

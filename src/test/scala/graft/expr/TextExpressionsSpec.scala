@@ -84,3 +84,30 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 }
+
+class ShingleMinHashSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def docs = graft.core.Tables.documents(spark, sfDir)
+
+  test("shingle_hashes ≡ HOF shingleCombine on the corpus (values and order)") {
+    val mism = docs
+      .withColumn("th", TextFns.tokenHashes(col("text")))
+      .select(
+        NativeTextFns.shingleHashes(spark, col("th"), 3).as("n"),
+        TextFns.shingleCombine(col("th"), 3).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(mism == 0)
+  }
+
+  test("minhash_sig ≡ HOF minHashSignature on the corpus (incl. empty-set nulls)") {
+    val mism = docs
+      .withColumn("th", TextFns.tokenHashes(col("text")))
+      .withColumn("sh", TextFns.shingleCombine(col("th"), 3))
+      .select(
+        NativeTextFns.minHashSig(spark, col("sh")).as("n"),
+        TextFns.minHashSignature(col("sh"), 8).as("h"))
+      .filter(!(col("n") <=> col("h"))).count()
+    assert(mism == 0)
+  }
+}

@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++ graft.queries.TimeQueries.all ++
       graft.queries.TextQueries.all ++ graft.queries.EmbeddingQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++ graft.queries.RefPipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

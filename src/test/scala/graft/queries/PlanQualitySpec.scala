@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions — the scale properties the 100 TB design
+  * depends on must be visible in the executed plan, not just intended:
+  * dimension joins broadcast, filters and projections reach the parquet
+  * scan, hot expressions stay inside whole-stage codegen, and nothing
+  * degenerates into a cartesian product. A regression here is a silent
+  * 100× at scale even when results stay correct. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 star joins broadcast the dimension tables") {
+    val p = plan("q2_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 scan prunes to the referenced columns only") {
+    val p = plan("q1_agg")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_shipdate"),
+      s"unused columns must not be read: $read")
+  }
+
+  test("q5 pushes the orders predicate into the parquet scan") {
+    val p = plan("q5_anti_join")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"),
+      "o_totalprice filter must reach the scan")
+  }
+
+  test("aggregations split partial/final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "expect partial aggregation before the shuffle")
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    // AQE finalizes codegen wrapping at execution time — run first
+    val df = graft.SparkEntry.queries("q28_fingerprint")(spark, sfDir)
+    df.collect()
+    val p28 = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen stage n
+    assert(p28.contains("*(1) Project"), s"expected codegen'd projection:\n$p28")
+    assert(p28.contains("poly_hash") && p28.contains("min_gram_hash"))
+    val p31 = plan("q31_cosine_topk")
+    assert(p31.contains("vec_dot"))
+  }
+
+  test("windows are keyed (no single-partition window in the raw-data path)") {
+    val p = plan("q8_window_lead")
+    // every Window node must carry a partition spec with user_id
+    p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("user_id"), s"unkeyed window: $l")
+    }
+  }
+
+  test("LSH candidate join is an equi-join on the band key, not a cross join") {
+    val p = plan("q30_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "band join must hash-partition on the key")
+  }
+}

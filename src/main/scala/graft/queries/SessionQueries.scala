@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Time-series operators the reference's engines get for free but Spark
+  * lacks as built-ins — composed from existing operators per the builder
+  * preference order (compose > custom plan), each validated against the
+  * corresponding *native* DuckDB operator so the composition is proven
+  * equivalent to the real thing, not just self-consistent.
+  */
+object SessionQueries {
+
+  /** As-of join: for every "reading" event attach the most recent "mark"
+    * value at or before its timestamp, per user. Spark formulation: tag
+    * both sides, union, and carry the last non-null mark value forward
+    * with an ordered window (marks sort before readings at equal ts) —
+    * one shuffle on the user key, no range-condition join blow-up.
+    * The oracle is DuckDB's native ASOF LEFT JOIN.
+    *
+    * Scale: this is the 100 TB shape for as-of enrichment — a union +
+    * keyed window beats a theta-join (which Spark would execute as a
+    * broadcast-nested-loop) whenever both sides are large. */
+  def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val readings = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), lit(1).as("is_reading"),
+        lit(null).cast("double").as("mark_value"))
+    // dedup marks to one per (user, ts) — ties would make as-of ambiguous
+    val markW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val marks = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("rn", row_number().over(markW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), lit(0).as("is_reading"),
+        col("value").as("mark_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_reading"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    readings.unionByName(marks)
+      .withColumn("asof_value", last("mark_value", ignoreNulls = true).over(w))
+      .filter(col("is_reading") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("r_us"), col("asof_value"))
+  }
+
+  val q38AsofJoinSql: String =
+    """WITH readings AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 0
+      |),
+      |marks AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_id % 2 = 1
+      |  ) WHERE rn = 1
+      |)
+      |SELECT r.user_id, r.event_id, epoch_us(r.ts) AS r_us, m.value AS asof_value
+      |FROM readings r
+      |ASOF LEFT JOIN marks m ON r.user_id = m.user_id AND r.ts >= m.ts""".stripMargin
+
+  /** Batch gap-based sessionization (30-minute gap): lag + cumulative
+    * session counter + per-session aggregates — the batch twin of
+    * [[graft.streaming.StreamingOps.sessionize]]. Sums in exact cents,
+    * timestamps as epoch-µs (cross-engine determinism). */
+  def q39Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(ord))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+
+  val q39SessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id,
+      |  count(*) AS n_events,
+      |  sum(round(value*100)::BIGINT) AS value_cents,
+      |  min(epoch_us(ts)) AS start_us,
+      |  max(epoch_us(ts)) AS end_us
+      |FROM sessions
+      |GROUP BY 1, 2""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_asof_join" -> (q38AsofJoin _),
+    "q39_sessionize" -> (q39Sessionize _)
+  )
+
+  def sql: Map[String, String] = Map(
+    "q38_asof_join" -> q38AsofJoinSql,
+    "q39_sessionize" -> q39SessionizeSql
+  )
+}

@@ -120,9 +120,17 @@ object SensorMergePipeline {
     val frames = paths.flatMap(p => readNormalized(spark, p))
     frames.headOption.map { head =>
       var prefixIdx = 0
+      // each step's conflict probe is an action — persist the fold state
+      // so step k doesn't re-execute all k-1 earlier joins (quadratic
+      // replan otherwise). The probe itself materializes the cache, so no
+      // extra job; the (k-1)-th cache unpersists once the k-th is built.
+      var prevCache: Option[DataFrame] = None
       frames.tail.foldLeft(head) { (acc, next) =>
-        val (merged, used) = mergeStep(acc, next, ('A' + prefixIdx).toChar)
+        val cached = acc.persist()
+        val (merged, used) = mergeStep(cached, next, ('A' + prefixIdx).toChar)
         if (used) prefixIdx += 1
+        prevCache.foreach(_.unpersist())
+        prevCache = Some(cached)
         merged
       }
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.VecFns
-import graft.expr.NativeVecFns
+import graft.expr.{NativeVecFns, TopKAgg}
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (`vec_id, embedding: array<float>[64], label`) —
@@ -35,11 +35,14 @@ object EmbeddingQueries {
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val sims = a.join(b, col("a_id") =!= col("b_id"))
       .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-        col("rank"), round(col("sim"), 4).as("cosine_sim"))
+    // map-side top-k: each task reduces its pair slice to 3 rows per
+    // vector BEFORE the shuffle — the window formulation would move all
+    // N*(N-1) scored pairs (see TopKByScore doc)
+    sims.groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("a_id").as("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("cosine_sim"))
   }
 
   val q31CosineTopKSql: String = {
@@ -72,11 +75,11 @@ object EmbeddingQueries {
     val sims = a.join(b, Seq("bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("a_id").as("vec_id"), col("bucket"), col("b_id").as("neighbor_id"),
-        col("rank"), round(col("sim"), 4).as("cosine_sim"))
+    sims.groupBy("a_id", "bucket")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id"), col("bucket"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("a_id").as("vec_id"), col("bucket"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("cosine_sim"))
   }
 
   val q32AnnLshSql: String = {

@@ -58,3 +58,37 @@ class VecExpressionsSpec extends SparkSpec {
     df.unpersist()
   }
 }
+
+class TopKAggSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  test("top_k_by_score ≡ window row_number top-k (ties, partials, merges)") {
+    val rnd = new scala.util.Random(11)
+    // many groups, deliberate score ties, enough rows to force partial merges
+    val rows = (0 until 20000).map { i =>
+      (i % 37L, math.floor(rnd.nextDouble() * 20) / 20.0, i.toLong)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(TopKAgg.topKByScore(spark, col("score"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("t.score"), col("t.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("g"), col("rank"), col("score"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("top_k_by_score groups smaller than k return all rows in order") {
+    val df = Seq((1L, 0.5, 10L), (1L, 0.9, 11L)).toDF("g", "score", "id")
+    val out = df.groupBy("g")
+      .agg(TopKAgg.topKByScore(spark, col("score"), col("id"), 5).as("top"))
+      .select(explode(col("top")).as("t")).select("t.score", "t.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out == Seq((0.9, 11L), (0.5, 10L)))
+  }
+}

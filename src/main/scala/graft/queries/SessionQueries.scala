@@ -105,13 +105,46 @@ object SessionQueries {
       |FROM sessions
       |GROUP BY 1, 2""".stripMargin
 
+  /** Range (interval) join via bucket decomposition: parts within ±1.0
+    * of each other's retail price. A naive theta-join plans as a
+    * nested-loop cartesian in Spark; bucketing the range predicate into
+    * unit bands turns it into an equi-join on the band key + a residual
+    * filter (the band explode covers ⌊a⌋−1..⌊a⌋+1, a superset of the true
+    * range, so the filter decides membership — bucket fp edges cannot
+    * affect correctness). Oracle: DuckDB's native inequality join
+    * (IEJoin) over the same BETWEEN predicate. */
+  def q40RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
+    val probe = p.withColumn("band",
+      explode(array(floor(col("p_retailprice")) - 1, floor(col("p_retailprice")),
+        floor(col("p_retailprice")) + 1)))
+    val build = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+      .withColumn("band", floor(col("b_price")))
+    probe.join(build, Seq("band"))
+      .filter(col("b_key") =!= col("p_partkey")
+        && col("b_price") >= col("p_retailprice") - 1.0
+        && col("b_price") <= col("p_retailprice") + 1.0)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_close"), min("b_key").as("min_neighbor"))
+  }
+
+  val q40RangeJoinSql: String =
+    """SELECT a.p_partkey, count(*) AS n_close, min(b.p_partkey) AS min_neighbor
+      |FROM part a JOIN part b
+      |  ON b.p_retailprice >= a.p_retailprice - 1.0
+      | AND b.p_retailprice <= a.p_retailprice + 1.0
+      | AND b.p_partkey <> a.p_partkey
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_asof_join" -> (q38AsofJoin _),
-    "q39_sessionize" -> (q39Sessionize _)
+    "q39_sessionize" -> (q39Sessionize _),
+    "q40_range_join" -> (q40RangeJoin _)
   )
 
   def sql: Map[String, String] = Map(
     "q38_asof_join" -> q38AsofJoinSql,
-    "q39_sessionize" -> q39SessionizeSql
+    "q39_sessionize" -> q39SessionizeSql,
+    "q40_range_join" -> q40RangeJoinSql
   )
 }

@@ -19,12 +19,13 @@ object SparkEntry {
     graft.queries.CoreQueries.all ++ graft.queries.TimeQueries.all ++
       graft.queries.TextQueries.all ++ graft.queries.EmbeddingQueries.all ++
       graft.queries.PipelineQueries.all ++ graft.queries.RefPipelineQueries.all ++
-      graft.queries.SessionQueries.all
+      graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.sql ++ graft.queries.TimeQueries.sql ++
       graft.queries.TextQueries.sql ++ graft.queries.EmbeddingQueries.sql ++
-      graft.queries.PipelineQueries.sql ++ graft.queries.SessionQueries.sql
+      graft.queries.PipelineQueries.sql ++ graft.queries.SessionQueries.sql ++
+      graft.queries.CoverageQueries.sql
 }

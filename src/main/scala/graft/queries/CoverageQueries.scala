@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Surface-completeness batch: operators beyond the reference's own use
+  * that a drop-in engine must still provide (ranking, cube/grouping
+  * sets, set operations, percentiles, sketch aggregates).
+  */
+object CoverageQueries {
+
+  /** Approximate distinct-count (HLL++), self-validating: the output
+    * carries the exact count plus a boolean asserting the sketch landed
+    * within 10% — the oracle computes the exact side and literal true,
+    * so a drifting sketch fails the gate. Sketches are the 100 TB path
+    * for cardinality (exact distinct = full shuffle; HLL = mergeable
+    * fixed-size state). */
+  def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.10)
+          .as("approx_ok"))
+
+  val q41ApproxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Ranking battery: rank / dense_rank / ntile / percent_rank (exact
+    * rational doubles — identical in both engines). */
+  def q42RankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("rnk") <= 20)
+      .select("o_orderpriority", "o_orderkey", "rnk", "drnk", "quartile", "pct_rank")
+  }
+
+  val q42RankFuncsSql: String =
+    """SELECT o_orderpriority, o_orderkey, rnk, drnk, quartile, pct_rank
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    rank()         OVER w AS rnk,
+      |    dense_rank()   OVER w AS drnk,
+      |    ntile(4)       OVER w AS quartile,
+      |    percent_rank() OVER w AS pct_rank
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rnk <= 20""".stripMargin
+
+  /** CUBE with grouping_id — the full grouping-sets lattice in one
+    * shuffle. */
+  def q43Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+
+  val q43CubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n,
+      |  grouping(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** INTERSECT / EXCEPT (distinct set semantics), unioned with a tag. */
+  def q44SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val auto = Tables.customer(spark, dir).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey")
+    val rich = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000.0)
+      .select("c_custkey")
+    auto.intersect(rich).withColumn("op", lit("both"))
+      .unionByName(auto.except(rich).withColumn("op", lit("auto_only")))
+  }
+
+  val q44SetOpsSql: String =
+    """SELECT c_custkey, 'both' AS op FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |)
+      |UNION ALL
+      |SELECT c_custkey, 'auto_only' AS op FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |)""".stripMargin
+
+  /** Exact interpolated percentiles over cent-valued data (both engines
+    * use the type-7 linear-interpolation definition; inputs are exact
+    * cents so the interpolation arithmetic is identical). */
+  def q45Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+
+  val q45PercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.25), 4) AS p25,
+      |  round(quantile_cont(value, 0.5),  4) AS p50,
+      |  round(quantile_cont(value, 0.75), 4) AS p75,
+      |  round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events GROUP BY 1""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_approx_distinct" -> (q41ApproxDistinct _),
+    "q42_rank_funcs" -> (q42RankFuncs _),
+    "q43_cube" -> (q43Cube _),
+    "q44_set_ops" -> (q44SetOps _),
+    "q45_percentiles" -> (q45Percentiles _)
+  )
+
+  def sql: Map[String, String] = Map(
+    "q41_approx_distinct" -> q41ApproxDistinctSql,
+    "q42_rank_funcs" -> q42RankFuncsSql,
+    "q43_cube" -> q43CubeSql,
+    "q44_set_ops" -> q44SetOpsSql,
+    "q45_percentiles" -> q45PercentilesSql
+  )
+}

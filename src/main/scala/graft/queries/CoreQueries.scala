@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.ExactDecimal
 
 /** Relational queries over the testdata star schema, one per operator
   * family in SURVEY.md §2. Each has a DuckDB-oracle SQL twin in `sql`.
@@ -35,19 +36,27 @@ object CoreQueries {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        // price·(1−disc) in exact 10^-4 units; see ExactDecimal
+        sum(ExactDecimal.cents(col("l_extendedprice"))
+          * (lit(100L) - ExactDecimal.cents(col("l_discount")))).as("disc4"),
+        sum(col("l_quantity").cast("long")).as("qty_sum"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("sum_base_price"),
+        ExactDecimal.halfUpRatio(col("disc4"), lit(10000L), 2).as("sum_disc_price"),
+        ExactDecimal.halfUpRatio(col("qty_sum"), col("count_order"), 4).as("avg_qty"),
+        col("count_order"))
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  round(sum(l_quantity), 2) AS sum_qty,
+       |  round(sum(l_extendedprice), 2) AS sum_base_price,
+       |  ${ExactDecimal.ddbHalfUpRatio(
+             s"sum(${ExactDecimal.ddbCents("l_extendedprice")} * (100 - ${ExactDecimal.ddbCents("l_discount")}))",
+             "10000", 2)} AS sum_disc_price,
+       |  ${ExactDecimal.ddbHalfUpRatio("sum(l_quantity::BIGINT)", "count(*)", 4)} AS avg_qty,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** Star-schema join chain with broadcast dims: revenue per nation in one
     * region (TPC-H Q5 shape). Ref analogue: the year/BST broadcast join,
@@ -67,14 +76,20 @@ object CoreQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .filter(r("r_name") === "EUROPE")
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(sum(ExactDecimal.cents(col("l_extendedprice"))
+             * (lit(100L) - ExactDecimal.cents(col("l_discount")))).as("rev4"),
            count(lit(1)).as("n_lines"))
+      .select(col("n_name"),
+        ExactDecimal.halfUpRatio(col("rev4"), lit(10000L), 2).as("revenue"),
+        col("n_lines"))
   }
 
   val q2JoinAggSql: String =
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-      |  count(*) AS n_lines
+    s"""SELECT n_name,
+       |  ${ExactDecimal.ddbHalfUpRatio(
+             s"sum(${ExactDecimal.ddbCents("l_extendedprice")} * (100 - ${ExactDecimal.ddbCents("l_discount")}))",
+             "10000", 2)} AS revenue,
+       |  count(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TextFns
+import graft.functions.{ExactDecimal, TextFns}
 import graft.expr.NativeTextFns
 
 /** Training-data-pipeline text operators over the `documents` table:
@@ -59,8 +59,9 @@ object TextQueries {
       col("doc_id"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
-      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks), 4)
-        .as("avg_token_len"))
+      ExactDecimal.halfUpRatio(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+        size(toks).cast("long"), 4).as("avg_token_len"))
   }
 
   val q24TokenStatsSql: String = {
@@ -68,7 +69,8 @@ object TextQueries {
     s"""SELECT doc_id,
        |  len(w) AS n_tokens,
        |  len(list_distinct(w)) AS n_distinct_tokens,
-       |  round(list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w), 4) AS avg_token_len
+       |  ${ExactDecimal.ddbHalfUpRatio(
+             "list_sum(list_transform(w, t -> length(t)::BIGINT))", "len(w)", 4)} AS avg_token_len
        |FROM (SELECT doc_id, $toks AS w FROM documents)""".stripMargin
   }
 
@@ -79,34 +81,35 @@ object TextQueries {
     * transcendentals) so the oracle's doubles are bit-identical. */
   def q25QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
+    // score = 0.4·min(n,50)/50 + 0.3·(n−st)/n + 0.3·di/n, computed as the
+    // exact rational (4mn + 150(n−st) + 150di) / 500n — see ExactDecimal
     docs(spark, dir)
-      .withColumn("n_tokens", size(toks))
-      .withColumn("stop_ratio",
-        TextFns.markerCount(toks, Seq("the", "a")).cast("double") / col("n_tokens"))
-      .withColumn("distinct_ratio",
-        size(array_distinct(toks)).cast("double") / col("n_tokens"))
+      .withColumn("n", size(toks).cast("long"))
+      .withColumn("st", TextFns.markerCount(toks, Seq("the", "a")).cast("long"))
+      .withColumn("di", size(array_distinct(toks)).cast("long"))
+      .withColumn("m", least(col("n"), lit(50L)))
       .select(
-        col("doc_id"), col("n_tokens"),
-        round(col("stop_ratio"), 4).as("stop_ratio"),
-        round(col("distinct_ratio"), 4).as("distinct_ratio"),
-        round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4
-          + (lit(1.0) - col("stop_ratio")) * 0.3
-          + col("distinct_ratio") * 0.3, 4).as("quality_score"))
+        col("doc_id"), col("n").cast("int").as("n_tokens"),
+        ExactDecimal.halfUpRatio(col("st"), col("n"), 4).as("stop_ratio"),
+        ExactDecimal.halfUpRatio(col("di"), col("n"), 4).as("distinct_ratio"),
+        ExactDecimal.halfUpRatio(
+          col("m") * col("n") * 4 + (col("n") - col("st")) * 150 + col("di") * 150,
+          col("n") * 500, 4).as("quality_score"))
   }
 
   val q25QualityScoreSql: String = {
     val toks = TextFns.ddbTokens("text")
     s"""WITH t AS (
-       |  SELECT doc_id, len(w) AS n_tokens,
-       |    len(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / len(w) AS stop_ratio,
-       |    len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio
+       |  SELECT doc_id, len(w)::BIGINT AS n,
+       |    len(list_filter(w, x -> x IN ('the', 'a')))::BIGINT AS st,
+       |    len(list_distinct(w))::BIGINT AS di,
+       |    least(len(w)::BIGINT, 50) AS m
        |  FROM (SELECT doc_id, $toks AS w FROM documents)
        |)
-       |SELECT doc_id, n_tokens,
-       |  round(stop_ratio, 4) AS stop_ratio,
-       |  round(distinct_ratio, 4) AS distinct_ratio,
-       |  round(least(n_tokens::DOUBLE / 50.0, 1.0) * 0.4
-       |    + (1.0 - stop_ratio) * 0.3 + distinct_ratio * 0.3, 4) AS quality_score
+       |SELECT doc_id, n::INT AS n_tokens,
+       |  ${ExactDecimal.ddbHalfUpRatio("st", "n", 4)} AS stop_ratio,
+       |  ${ExactDecimal.ddbHalfUpRatio("di", "n", 4)} AS distinct_ratio,
+       |  ${ExactDecimal.ddbHalfUpRatio("m * n * 4 + (n - st) * 150 + di * 150", "n * 500", 4)} AS quality_score
        |FROM t""".stripMargin
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TimeFns
+import graft.functions.{ExactDecimal, TimeFns}
 
 /** Temporal / scalar-function queries (SURVEY §2.8, §7.4): the reference's
   * electricity-pipeline semantics (BST windows, minute-grid explode,
@@ -136,15 +136,20 @@ object TimeQueries {
       .agg(
         sum("k").as("k_sum"),
         countDistinct(col("k")).as("k_distinct"),
-        round(avg("k"), 4).as("k_avg"))
+        sum(col("k").cast("long")).as("k_sum_l"),
+        count(col("k")).as("k_n"))
+      .select(col("event_type"), col("k_sum"), col("k_distinct"),
+        ExactDecimal.halfUpRatio(col("k_sum_l"), col("k_n"), 4).as("k_avg"))
 
   val q18JsonSql: String =
-    """SELECT event_type,
-      |  sum(json_extract_string(props, '$.k')::INT) AS k_sum,
-      |  count(DISTINCT json_extract_string(props, '$.k')::INT) AS k_distinct,
-      |  round(avg(json_extract_string(props, '$.k')::INT), 4) AS k_avg
-      |FROM events
-      |GROUP BY event_type""".stripMargin
+    s"""SELECT event_type,
+       |  sum(json_extract_string(props, '$$.k')::INT) AS k_sum,
+       |  count(DISTINCT json_extract_string(props, '$$.k')::INT) AS k_distinct,
+       |  ${ExactDecimal.ddbHalfUpRatio(
+             "sum(json_extract_string(props, '$.k')::BIGINT)",
+             "count(json_extract_string(props, '$.k'))", 4)} AS k_avg
+       |FROM events
+       |GROUP BY event_type""".stripMargin
 
   /** String-function battery over part (SURVEY §2.8 string): regex
     * extract/replace, split, case, length, concat. */
@@ -215,14 +220,16 @@ object TimeQueries {
       .groupBy("week_end")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("value"), 4).as("avg_value"))
+        sum(ExactDecimal.cents(col("value"))).as("vc"))
+      .select(col("week_end"), col("n"),
+        ExactDecimal.halfUpRatio(col("vc"), col("n") * 100, 4).as("avg_value"))
 
   val q21WeeklyResampleSql: String =
-    """SELECT (ts::DATE + INTERVAL 1 DAY * ((7 - dayofweek(ts::DATE)) % 7))::TIMESTAMP AS week_end,
-      |  count(*) AS n,
-      |  round(avg(value), 4) AS avg_value
-      |FROM events
-      |GROUP BY 1""".stripMargin
+    s"""SELECT (ts::DATE + INTERVAL 1 DAY * ((7 - dayofweek(ts::DATE)) % 7))::TIMESTAMP AS week_end,
+       |  count(*) AS n,
+       |  ${ExactDecimal.ddbHalfUpRatio(s"sum(${ExactDecimal.ddbCents("value")})", "count(*) * 100", 4)} AS avg_value
+       |FROM events
+       |GROUP BY 1""".stripMargin
 
   /** pandas resample('ME') + desc-sorted period-over-period change
     * (weight_change sign convention — SURVEY §7.4 item 5): monthly mean,
@@ -230,17 +237,19 @@ object TimeQueries {
   def q22MonthlyChange(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
       .groupBy(last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
-      .agg(round(avg("o_totalprice"), 4).as("avg_price"))
+      .agg(sum(ExactDecimal.cents(col("o_totalprice"))).as("pc"), count(lit(1)).as("n"))
+      .select(col("month_end"),
+        ExactDecimal.halfUpRatio(col("pc"), col("n") * 100, 4).as("avg_price"))
     val w = Window.orderBy(col("month_end").desc)
     monthly.withColumn("price_change", round(col("avg_price") - lead("avg_price", 1).over(w), 4))
   }
 
   val q22MonthlyChangeSql: String =
-    """WITH monthly AS (
-      |  SELECT last_day(o_orderdate)::TIMESTAMP AS month_end,
-      |    round(avg(o_totalprice), 4) AS avg_price
-      |  FROM orders GROUP BY 1
-      |)
+    s"""WITH monthly AS (
+       |  SELECT last_day(o_orderdate)::TIMESTAMP AS month_end,
+       |    ${ExactDecimal.ddbHalfUpRatio(s"sum(${ExactDecimal.ddbCents("o_totalprice")})", "count(*) * 100", 4)} AS avg_price
+       |  FROM orders GROUP BY 1
+       |)
       |SELECT month_end, avg_price,
       |  round(avg_price - lead(avg_price) OVER (ORDER BY month_end DESC), 4) AS price_change
       |FROM monthly""".stripMargin

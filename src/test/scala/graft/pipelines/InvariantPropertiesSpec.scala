@@ -76,3 +76,25 @@ class InvariantPropertiesSpec extends SparkSpec {
     assert(lsh.subsetOf(brute), "LSH must not invent pairs the exact measure rejects")
   }
 }
+
+/** ANN quality: a measured recall floor, not just plan shape. The
+  * testdata embeddings are near-unstructured (nearest-centroid own-label
+  * 21%, top-3 same-label 9% ≈ chance for 10 labels), so LSH recall is
+  * bounded by random-collision rates — on clustered real embeddings the
+  * same index recalls far more. The floor here is a sanity check that
+  * the bucketing isn't degenerate (e.g. all-one-bucket or disjoint). */
+class AnnRecallSpec extends SparkSpec {
+  test("q32 LSH recall@3 vs q31 exact top-3 clears the random-collision floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.queries.EmbeddingQueries.q31CosineTopK(spark, sfDir))
+    val approx = pairs(graft.queries.EmbeddingQueries.q32AnnLsh(spark, sfDir))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"ANN recall@3 = $recall%.3f (${(exact intersect approx).size}/${exact.size})")
+    assert(recall > 0.02, "LSH bucketing must beat degenerate collision rates")
+    // and the candidate set must be far smaller than brute force
+    val nPairs = graft.queries.EmbeddingQueries.q32AnnLsh(spark, sfDir).count()
+    assert(nPairs < exact.size * 2L, "LSH must prune the candidate space")
+  }
+}

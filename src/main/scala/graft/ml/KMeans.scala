@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.NativeVecFns
+
+/** Distributed Lloyd's k-means over `array<float|double>` embedding
+  * columns — the coarse-quantizer trainer behind IVF similarity search
+  * (q33 uses label-seeded centroids; this trains proper ones).
+  *
+  * Each iteration is two shuffles: assignment is a broadcast cross join
+  * against the k×dim centroid table (tiny) + a min-by window, update is
+  * a posexplode + (cid, pos) average. Centroids live in DataFrames
+  * end-to-end; the only driver-side state is the loop counter — at
+  * 100 TB the per-iteration cost is one scan + one k-way aggregation.
+  */
+object KMeans {
+
+  /** Assign each vector to its nearest centroid (squared L2, native
+    * codegen'd kernel; deterministic tiebreak on centroid id). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    val d = vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("dist_sq"))
+  }
+
+  /** One Lloyd update: new centroid = mean of assigned vectors (empty
+    * clusters keep their previous centroid). */
+  def update(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val fresh = assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cid"), transform(col("pc"), p => p("c")).as("centroid"))
+    // keep previous centroids for clusters that lost all members
+    centroids.select(col("cid"), col("centroid").as("prev"))
+      .join(fresh.withColumnRenamed("centroid", "next"), Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("next"), col("prev")).as("centroid"))
+  }
+
+  /** Deterministic init: the k lowest-id vectors as seeds. */
+  def init(vectors: DataFrame, k: Int): DataFrame =
+    vectors.orderBy("vec_id").limit(k)
+      .select(monotonically_increasing_id().cast("int").as("cid"),
+        graft.functions.VecFns.toDouble(col("embedding")).as("centroid"))
+
+  /** Train: `iters` Lloyd rounds; returns (centroids, inertia-per-iter).
+    * Inertia is the monitored invariant — it must never increase. */
+  def fit(vectors: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    var cents = init(vectors, k).cache()
+    val inertia = scala.collection.mutable.ListBuffer.empty[Double]
+    (0 until iters).foreach { _ =>
+      val assigned = assign(vectors, cents).cache()
+      inertia += assigned.agg(sum("dist_sq")).collect()(0).getDouble(0)
+      val next = update(assigned, cents).cache()
+      next.count()
+      assigned.unpersist()
+      cents.unpersist()
+      cents = next
+    }
+    (cents, inertia.toSeq)
+  }
+
+  /** IVF search: restrict the exact search to the `nProbe` centroids
+    * nearest the query side — the candidate join keys on cid, replacing
+    * the all-pairs cross join. */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    // each vector's nProbe candidate cells
+    val probes = vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
+    val pw = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
+    val cand = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cid"))
+    val cells = assign(vectors, centroids)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid"))
+    val pairs = cand.join(cells, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("b_emb"))
+          / (NativeVecFns.norm(spark, col("a_emb")) * NativeVecFns.norm(spark, col("b_emb"))))
+    pairs.groupBy("a_id")
+      .agg(graft.expr.TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("t.score").as("cosine_sim"))
+  }
+}

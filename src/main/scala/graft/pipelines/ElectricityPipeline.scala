@@ -106,6 +106,12 @@ object ElectricityPipeline {
   def boundaryBuckets(usage: DataFrame): DataFrame =
     usage.filter(hour(col("Bucket")).isin(6, 23) && minute(col("Bucket")).isin(15, 30))
 
+  /** CSV sink matching the reference's `fifteen_minute_usage.csv`
+    * single-file output (ref: pandas to_csv / COPY TO). */
+  def writeCsv(usage: DataFrame, path: String): Unit =
+    usage.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
   def summary(usage: DataFrame): DataFrame =
     usage.agg(
       count(lit(1)).as("n_buckets"),

@@ -144,4 +144,12 @@ object JobReportPipeline {
 
   def run(spark: SparkSession, dir: String, cutoff: String): String =
     renderMarkdown(grouped(readBlocks(spark, dir), cutoff))
+
+  /** Timestamped report-file sink (ref :121-134); caller supplies the
+    * stamp so runs stay reproducible. */
+  def writeReport(report: String, outDir: String, stamp: String): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(s"job_report_$stamp.md"), report)
+  }
 }

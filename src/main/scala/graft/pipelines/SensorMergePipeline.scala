@@ -178,6 +178,21 @@ object SensorMergePipeline {
       mergeSensor(spark, paths).map(m => sensor -> finalize(m))
     }
 
+  /** Per-sensor CSV sink (ref :299-302): single header CSV per sensor,
+    * filename sanitized like the reference (path-hostile chars → '_').
+    * `coalesce(1)` matches the reference's one-file-per-sensor contract —
+    * at 100 TB you would drop it and write a partitioned directory. */
+  def writeCsv(merged: Map[String, DataFrame], outDir: String): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    merged.toSeq.sortBy(_._1).map { case (sensor, df) =>
+      val safe = sensor.replaceAll("[^A-Za-z0-9 ()_.-]", "_")
+      val target = s"$outDir/$safe"
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(target)
+      target
+    }
+  }
+
   /** The 100 TB-shape alternative (documented trade-off): union all files
     * tagged by source priority and keep the highest-priority value per
     * (Timestamp, column) — same fill semantics, conflict columns keyed by

@@ -115,12 +115,57 @@ object CoverageQueries {
       |  round(quantile_cont(value, 0.95), 4) AS p95
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Array/map/format scalar battery (SURVEY §2.8 array/map rows):
+    * collect → sort → slice/element_at, map_from_entries + lookup,
+    * regexp_extract_all, printf-style formatting. */
+  def q46ArrayMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      // synthetic lineitem repeats line numbers per order → pre-aggregate
+      // so the map key is unique (map_from_entries rejects duplicates)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(sum("l_quantity").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(
+        sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("qty_by_line"))
+      .select(
+        col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        element_at(col("lines"), 1).as("first_line"),
+        size(slice(col("lines"), 1, 2)).as("n_first_two"),
+        element_at(col("qty_by_line"), element_at(col("lines"), 1)).as("first_qty"),
+        format_string("order %d has %d lines", col("l_orderkey"), size(col("lines")))
+          .as("label"),
+        array_join(transform(col("lines"), l => l.cast("string")), ",").as("lines_csv"))
+
+  val q46ArrayMapSql: String =
+    """WITH pre AS (
+      |  SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+      |  FROM lineitem GROUP BY 1, 2
+      |),
+      |g AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(l_linenumber)) AS lines,
+      |    map_from_entries(list_sort(list(struct_pack(k := l_linenumber, v := qty)))) AS qty_by_line
+      |  FROM pre GROUP BY 1
+      |)
+      |SELECT l_orderkey,
+      |  len(lines) AS n_lines,
+      |  lines[1] AS first_line,
+      |  len(lines[1:2]) AS n_first_two,
+      |  qty_by_line[lines[1]][1] AS first_qty,
+      |  printf('order %d has %d lines', l_orderkey, len(lines)) AS label,
+      |  list_aggregate(list_transform(lines, x -> x::VARCHAR), 'string_agg', ',') AS lines_csv
+      |FROM g""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_rank_funcs" -> (q42RankFuncs _),
     "q43_cube" -> (q43Cube _),
     "q44_set_ops" -> (q44SetOps _),
-    "q45_percentiles" -> (q45Percentiles _)
+    "q45_percentiles" -> (q45Percentiles _),
+    "q46_array_map" -> (q46ArrayMap _)
   )
 
   def sql: Map[String, String] = Map(
@@ -128,6 +173,7 @@ object CoverageQueries {
     "q42_rank_funcs" -> q42RankFuncsSql,
     "q43_cube" -> q43CubeSql,
     "q44_set_ops" -> q44SetOpsSql,
-    "q45_percentiles" -> q45PercentilesSql
+    "q45_percentiles" -> q45PercentilesSql,
+    "q46_array_map" -> q46ArrayMapSql
   )
 }

@@ -72,68 +72,48 @@ object SensorMergePipeline {
     }
   }
 
-  /** One fold step: full-outer align `base` with `incoming`, fill missing
-    * via coalesce, and for each shared column with ≥1 conflict add a
-    * `!X! col` column holding the incoming value at conflicting rows.
-    * Returns the merged frame and whether the prefix letter was consumed.
+  /** Fold all of one sensor's files (already in export-timestamp order)
+    * into the merged wide series (ref :147-223).
     *
-    * The per-column conflict existence check is ONE aggregate action over
-    * the joined frame (the reference's any() short-circuit, batched). */
-  def mergeStep(base: DataFrame, incoming: DataFrame, prefixLetter: Char): (DataFrame, Boolean) = {
+    * Prefix letters are assigned DEFERRED: the fold builds one lazy plan
+    * tagging every potential conflict column with its file index
+    * (`!#3! col`); [[finalize]]'s single non-null-count pass then drops
+    * the conflict-free ones and renumbers the surviving file indices to
+    * letters in file order — byte-identical to the reference's eager
+    * per-file probing (a letter advances exactly when a file produced
+    * ≥1 conflict), but with ONE action instead of one per file. */
+  def mergeSensor(spark: SparkSession, paths: Seq[String]): Option[DataFrame] = {
+    val frames = paths.flatMap(p => readNormalized(spark, p))
+    frames.headOption.map { head =>
+      frames.tail.zipWithIndex.foldLeft(head) { case (acc, (next, i)) =>
+        mergeStepProvisional(acc, next, i + 1)
+      }
+    }
+  }
+
+  /** One lazy fold step: full-outer align + coalesce fill, materializing a
+    * provisional `!#<fileIdx>! col` for EVERY shared column — all-null
+    * when that column had no conflicts — and performs no action. */
+  def mergeStepProvisional(base: DataFrame, incoming: DataFrame, fileIdx: Int): DataFrame = {
     val shared = base.columns.toSeq.intersect(incoming.columns.toSeq).filterNot(_ == "Timestamp")
       .filterNot(_.startsWith("!"))
     val fresh = incoming.columns.toSeq.diff(base.columns.toSeq).filterNot(_ == "Timestamp")
     val b = base.as("b")
     val i = incoming.as("i")
     val joined = b.join(i, Seq("Timestamp"), "full_outer")
-
     def numeric(df: DataFrame, c: String) = df.schema(c).dataType == DoubleType
-    val conflictPred: Map[String, Column] = shared.map { c =>
-      c -> isConflict(col(s"b.`$c`"), col(s"i.`$c`"), numeric(base, c) && numeric(incoming, c))
-    }.toMap
-
-    // one action: count conflicts per shared column
-    val counts: Map[String, Long] =
-      if (shared.isEmpty) Map.empty
-      else {
-        val row = joined.agg(
-          sum(when(conflictPred(shared.head), 1L).otherwise(0L)).as(shared.head),
-          shared.tail.map(c => sum(when(conflictPred(c), 1L).otherwise(0L)).as(c)): _*).collect()(0)
-        shared.zipWithIndex.map { case (c, idx) => c -> row.getLong(idx) }.toMap
-      }
-    val conflictCols = shared.filter(counts.getOrElse(_, 0L) > 0L)
-    val usedPrefix = conflictCols.nonEmpty
-
     val keepConflict = base.columns.toSeq.filter(_.startsWith("!"))
     val outCols: Seq[Column] =
       col("Timestamp") +:
         (shared.map(c => coalesce(col(s"b.`$c`"), col(s"i.`$c`")).as(c)) ++
           keepConflict.map(c => col(s"b.`$c`")) ++
           fresh.map(c => col(s"i.`$c`").as(c)) ++
-          conflictCols.map(c => when(conflictPred(c), col(s"i.`$c`")).as(s"!$prefixLetter! $c")))
-    (joined.select(outCols: _*), usedPrefix)
-  }
-
-  /** Fold all of one sensor's files (already in export-timestamp order)
-    * into the merged wide series (ref :147-223). */
-  def mergeSensor(spark: SparkSession, paths: Seq[String]): Option[DataFrame] = {
-    val frames = paths.flatMap(p => readNormalized(spark, p))
-    frames.headOption.map { head =>
-      var prefixIdx = 0
-      // each step's conflict probe is an action — persist the fold state
-      // so step k doesn't re-execute all k-1 earlier joins (quadratic
-      // replan otherwise). The probe itself materializes the cache, so no
-      // extra job; the (k-1)-th cache unpersists once the k-th is built.
-      var prevCache: Option[DataFrame] = None
-      frames.tail.foldLeft(head) { (acc, next) =>
-        val cached = acc.persist()
-        val (merged, used) = mergeStep(cached, next, ('A' + prefixIdx).toChar)
-        if (used) prefixIdx += 1
-        prevCache.foreach(_.unpersist())
-        prevCache = Some(cached)
-        merged
-      }
-    }
+          shared.map { c =>
+            val pred = isConflict(col(s"b.`$c`"), col(s"i.`$c`"),
+              numeric(base, c) && numeric(incoming, c))
+            when(pred, col(s"i.`$c`")).as(s"!#$fileIdx! $c")
+          })
+    joined.select(outCols: _*)
   }
 
   /** Final projection (ref :203-221): drop all-null columns (one agg
@@ -151,7 +131,17 @@ object SensorMergePipeline {
       }
     val alive = dataCols.filter(nonNullCounts.getOrElse(_, 0L) > 0L)
     val (conflict, regular) = alive.partition(_.startsWith("!"))
-    df.select((Seq("Timestamp") ++ regular ++ conflict.sorted).map(c => col(s"`$c`")): _*)
+    // renumber surviving provisional conflict tags (`!#i! col`) to the
+    // reference's letters, in file order — see mergeSensor doc
+    val prov = "^!#(\\d+)! (.*)$".r
+    val fileIdxs = conflict.collect { case prov(i, _) => i.toInt }.distinct.sorted
+    val letterOf = fileIdxs.zipWithIndex.map { case (i, k) => i -> ('A' + k).toChar }.toMap
+    val renamed = conflict.map {
+      case orig @ prov(i, c) => orig -> s"!${letterOf(i.toInt)}! $c"
+      case orig => orig -> orig
+    }
+    val conflictCols = renamed.sortBy(_._2).map { case (orig, nw) => col(s"`$orig`").as(nw) }
+    df.select((Seq("Timestamp") ++ regular).map(c => col(s"`$c`")) ++ conflictCols: _*)
       .orderBy("Timestamp")
   }
 

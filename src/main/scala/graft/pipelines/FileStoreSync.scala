@@ -23,15 +23,28 @@ import graft.sources.WeightTxt
   */
 object FileStoreSync {
 
-  /** Connector: enumerate a directory into a listing DataFrame
-    * (id = file name, like the reference's Drive file ids). */
+  /** Connector: enumerate a store into a listing DataFrame (id = file
+    * name, like the reference's Drive file ids). Recursive and paginated
+    * like the reference's folder-stack + pageToken loop
+    * (20251223-csv-from-googledrive.py:45-107): the Hadoop FS
+    * `listFiles(recursive)` RemoteIterator pages batches from the store,
+    * so the same code lists a local dir or an object-store prefix
+    * without materializing the full tree eagerly. */
   def listing(spark: SparkSession, dir: String, suffix: String = ".txt"): DataFrame = {
     import spark.implicits._
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(suffix))
-      .map(f => (f.getName, f.getAbsolutePath, f.length()))
-      .toSeq
-    files.toDF("id", "path", "size")
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[(String, String, Long)]
+    if (fs.exists(path)) {
+      val it = fs.listFiles(path, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(suffix))
+          out += ((st.getPath.getName, st.getPath.toUri.getPath, st.getLen))
+      }
+    }
+    out.result().toDF("id", "path", "size")
   }
 
   /** Master cache (8-column EAV), empty-schema frame when absent. */

@@ -31,6 +31,17 @@ class FileStoreSyncSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(java.nio.file.Paths.get(cache)) == mtime)
   }
 
+  test("listing is recursive (nested folders found, like the Drive folder stack)") {
+    val store = Files.createTempDirectory("store3")
+    Files.createDirectories(store.resolve("sub/inner"))
+    writeTxt(store, "top.txt", "2025-12-01", "90.0")
+    Files.writeString(store.resolve("sub/inner/deep.txt"),
+      "h\nTime:08:00, Mon,2025-12-04\nWeight:93.0kg\n")
+    val l = FileStoreSync.listing(spark, store.toString)
+    assert(l.count() == 2)
+    assert(l.collect().map(_.getString(0)).toSet == Set("top.txt", "deep.txt"))
+  }
+
   test("empty cache + empty store → empty frame with the EAV schema") {
     val store = Files.createTempDirectory("store2")
     val cache = store.resolve("cache.parquet").toString

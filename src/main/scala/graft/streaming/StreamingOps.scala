@@ -94,6 +94,35 @@ object StreamingOps {
       }
   }
 
+  /** Checkpointed streaming upsert of the EAV cache — the full streaming
+    * twin of [[graft.pipelines.FileStoreSync.sync]]: the file source's
+    * checkpoint IS the processed-file id-set (restarts resume, already-
+    * read files never re-parse), and each micro-batch appends only rows
+    * whose source file is not yet in the cache (idempotent against batch
+    * replay after a sink-side failure). */
+  def syncStream(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                 cachePath: String, checkpoint: String): Unit = {
+    val q = weightTxtStream(spark, storeDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          if (new java.io.File(cachePath).exists())
+            batch.sparkSession.read.parquet(cachePath)
+              .select(col("source_file_id")).distinct()
+          else batch.sparkSession.emptyDataFrame.withColumn("source_file_id", lit(""))
+            .limit(0)
+        batch.join(existing, Seq("source_file_id"), "left_anti")
+          .write.mode("append").parquet(cachePath)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    ()
+  }
+
   /** Incremental file-source stream of weight TXT EAV rows — the
     * streaming form of [[graft.pipelines.FileStoreSync]]: Spark's file
     * source tracks processed files in the checkpoint (the reference's
@@ -105,9 +134,12 @@ object StreamingOps {
       .option("wholetext", "true")
       .option("maxFilesPerTrigger", "16")
       .text(dir)
-      .select(col("value").as("content"))
-      .as[String]
-      .flatMap(content => graft.sources.WeightTxt.parseContent(content, ""))
+      .select(input_file_name().as("path"), col("value").as("content"))
+      .as[(String, String)]
+      .flatMap { case (path, content) =>
+        val fileId = path.substring(path.lastIndexOf('/') + 1)
+        graft.sources.WeightTxt.parseContent(content, fileId)
+      }
       .toDF()
   }
 }

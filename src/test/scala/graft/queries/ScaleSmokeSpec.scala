@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: run the heaviest operators on a 10×-replicated events
+  * table (≈100k rows from sf0.001×... replicated with shifted keys so
+  * group cardinality ALSO grows 10×) and assert the plans keep their
+  * scale-critical shapes and complete. This is the local stand-in for
+  * "would this survive a 100× scale-up": partition counts grow, per-key
+  * state does not. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  /** events ×10 with disjoint user/event ids per replica. */
+  private def bigEvents = {
+    val e = Tables.events(spark, sfDir)
+    val replicas = (0 until 10).map { r =>
+      e.withColumn("user_id", col("user_id") + lit(r * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
+  test("electricity chain at 10x: completes, windows stay keyed, output scales") {
+    val base = PipelineQueries.q34ElectricityE2e(spark, sfDir)
+    val baseBuckets = base.count()
+
+    // same chain over the replicated frame
+    val ev = bigEvents
+    ev.createOrReplaceTempView("events_x10")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val deltas = ev
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .withColumn("delta_c", lead("vc", 1).over(w) - col("vc"))
+      .filter(col("next_ts") >= col("ts") + expr("INTERVAL 1 MINUTE")
+        && col("next_ts") <= col("ts") + expr("INTERVAL 6 HOURS"))
+    val grid = deltas.select(col("user_id"),
+      explode(sequence(col("ts") + expr("INTERVAL 1 MINUTE"), col("next_ts"),
+        expr("INTERVAL 1 MINUTE"))).as("m"))
+    val n = grid.count()
+    assert(n > 0)
+    // plan shape: the window must remain partitioned by user_id
+    val plan = deltas.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("user_id"), s"unkeyed window at scale: $l")
+    }
+    info(s"10x grid rows: $n (base buckets $baseBuckets)")
+  }
+
+  test("exact dedup at 10x stays a single hash-partitioned window pass") {
+    val d = Tables.documents(spark, sfDir)
+    val big = (0 until 10).map(r => d.withColumn("doc_id", col("doc_id") + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+    val out = big
+      .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .filter(col("doc_id") === col("canonical_id"))
+    // every canonical row survives exactly once per distinct text
+    assert(out.count() == big.select(sha2(lower(trim(col("text"))), 256)).distinct().count())
+  }
+
+  test("top-k aggregate holds per-group state constant as groups scale 10x") {
+    val e = bigEvents
+    val agg = e.groupBy("user_id")
+      .agg(graft.expr.TopKAgg.topKByScore(spark, col("value"), col("event_id"), 3).as("top"))
+    val rows = agg.select(col("user_id"), size(col("top")).as("k")).collect()
+    assert(rows.forall(_.getInt(1) <= 3))
+    assert(rows.length == e.select("user_id").distinct().count().toInt)
+  }
+}

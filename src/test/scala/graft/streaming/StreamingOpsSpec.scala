@@ -82,5 +82,27 @@ class StreamingOpsSpec extends SparkSpec {
     val rows = spark.sql("select * from weights").collect()
     assert(rows.length == 3)
     assert(rows.map(_.getAs[String]("attribute")).count(_ == "Weight") == 2)
+    assert(rows.map(_.getAs[String]("source_file_id")).toSet == Set("a.txt", "b.txt"))
+  }
+
+  test("syncStream: checkpointed upsert — restart never re-parses or duplicates") {
+    val store = java.nio.file.Files.createTempDirectory("sstore")
+    val cache = store.resolve("cache_out").toString
+    val ckpt = store.resolve("ckpt").toString
+    def put(name: String, date: String) =
+      java.nio.file.Files.writeString(store.resolve(name),
+        s"h\nTime:08:00, Mon,$date\nWeight:90.0kg\nBMI:25.0\n")
+    put("a.txt", "2025-12-01")
+    put("b.txt", "2025-12-02")
+    StreamingOps.syncStream(spark, store.toString, cache, ckpt)
+    assert(spark.read.parquet(cache).count() == 4)
+    put("c.txt", "2025-12-03")
+    StreamingOps.syncStream(spark, store.toString, cache, ckpt) // resume from checkpoint
+    val after = spark.read.parquet(cache)
+    assert(after.count() == 6)
+    assert(after.select("source_file_id").distinct().count() == 3)
+    // third run: no new files → no growth
+    StreamingOps.syncStream(spark, store.toString, cache, ckpt)
+    assert(spark.read.parquet(cache).count() == 6)
   }
 }

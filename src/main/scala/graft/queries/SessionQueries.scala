@@ -136,15 +136,62 @@ object SessionQueries {
       | AND b.p_partkey <> a.p_partkey
       |GROUP BY 1""".stripMargin
 
+  /** Sequential-pattern funnel: per user, count purchases preceded (in
+    * event order) by a click that was itself preceded by a view — the
+    * MATCH_RECOGNIZE-style workload expressed as two staged running-flag
+    * windows (each a max-of-boolean over the ordered prefix, strictly
+    * before the current row). One keyed shuffle; no self-join chain. */
+  def q47Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stage1 = Tables.events(spark, dir)
+      .withColumn("seen_view",
+        coalesce(max(when(col("event_type") === "view", 1).otherwise(0)).over(w), lit(0)))
+    val stage2 = stage1
+      .withColumn("seen_click_after_view",
+        coalesce(max(when(col("event_type") === "click" && col("seen_view") === 1, 1)
+          .otherwise(0)).over(w), lit(0)))
+    stage2
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("seen_click_after_view")).as("n_converted"))
+  }
+
+  val q47FunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_view
+      |  FROM events
+      |),
+      |s2 AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    coalesce(max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_click_after_view
+      |  FROM s1
+      |)
+      |SELECT user_id,
+      |  count(*) AS n_purchases,
+      |  sum(seen_click_after_view) AS n_converted
+      |FROM s2
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_asof_join" -> (q38AsofJoin _),
     "q39_sessionize" -> (q39Sessionize _),
-    "q40_range_join" -> (q40RangeJoin _)
+    "q40_range_join" -> (q40RangeJoin _),
+    "q47_funnel" -> (q47Funnel _)
   )
 
   def sql: Map[String, String] = Map(
     "q38_asof_join" -> q38AsofJoinSql,
     "q39_sessionize" -> q39SessionizeSql,
-    "q40_range_join" -> q40RangeJoinSql
+    "q40_range_join" -> q40RangeJoinSql,
+    "q47_funnel" -> q47FunnelSql
   )
 }

@@ -1,0 +1,55 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation — the final stage of a
+  * near-dup dedup pipeline: candidate pairs (MinHash/LSH or SimHash)
+  * form a graph whose components are duplicate clusters; every document
+  * keeps the component's minimum doc id as its canonical id.
+  *
+  * Each iteration: push every vertex's current label across all edges
+  * (both directions) and keep the minimum seen. The fixpoint (no label
+  * changed) is the unique per-component minimum, independent of
+  * iteration order — deterministic, so an exact oracle exists (the
+  * transitive-closure recursive CTE in DuckDB).
+  *
+  * Scale: one join + one groupBy per iteration, both keyed on vertex id;
+  * iterations bound by the graph diameter (near-dup graphs are shallow —
+  * clusters of copies, not long chains). For pathological diameters,
+  * switch to the large-star/small-star algorithm; the per-iteration
+  * plan here is the same shape.
+  */
+object ConnectedComponents {
+
+  /** @param vertices one column `id`
+    * @param edges    columns `src`, `dst` (undirected; duplicates fine)
+    * @return (id, component) where component = min id reachable */
+  def components(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bi = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = vertices.select(col("id"), col("id").as("component")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor minimum, merged with own label
+      val pushed = bi.join(labels, bi("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionByName(pushed)
+        .groupBy("id").agg(min("component").as("component"))
+        .cache()
+      next.count()
+      val changed = labels.as("a").join(next.as("b"), Seq("id"))
+        .filter(col("a.component") =!= col("b.component")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    bi.unpersist()
+    labels
+  }
+}

@@ -338,6 +338,44 @@ object TextQueries {
        |JOIN d sb ON doc_b = sb.doc_id""".stripMargin
   }
 
+  // --------------------------------------------- dedup cluster closure
+
+  /** Near-dup clusters: q30's LSH candidate pairs at jaccard ≥ 0.5 form
+    * the duplicate graph; min-label propagation to fixpoint assigns each
+    * document its component's minimum doc id as canonical (the stage
+    * that turns pairwise dedup into actual droppable duplicates).
+    * Oracle: transitive closure via DuckDB recursive CTE — same unique
+    * fixpoint. */
+  def q48DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q30MinHashLsh(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val vertices = docs(spark, dir).select(col("doc_id").as("id"))
+    graft.ml.ConnectedComponents.components(vertices, edges)
+      .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+
+  val q48DedupComponentsSql: String =
+    s"""WITH RECURSIVE cand AS (
+       |  SELECT doc_a, doc_b FROM ($q30MinHashLshSql) WHERE jaccard >= 0.5
+       |),
+       |bi AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM cand
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS t FROM cand
+       |),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM bi
+       |  UNION
+       |  SELECT r.s, bi.t FROM reach r JOIN bi ON r.t = bi.s
+       |)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS canonical_id,
+       |  d.doc_id <> least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS is_duplicate
+       |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,7 +386,8 @@ object TextQueries {
     "q27_ngram_jaccard" -> (q27NgramJaccard _),
     "q28_fingerprint" -> (q28Fingerprint _),
     "q29_simhash" -> (q29SimHash _),
-    "q30_minhash_lsh" -> (q30MinHashLsh _)
+    "q30_minhash_lsh" -> (q30MinHashLsh _),
+    "q48_dedup_components" -> (q48DedupComponents _)
   )
 
   def sql: Map[String, String] = Map(
@@ -359,6 +398,7 @@ object TextQueries {
     "q27_ngram_jaccard" -> q27NgramJaccardSql,
     "q28_fingerprint" -> q28FingerprintSql,
     "q29_simhash" -> q29SimHashSql,
-    "q30_minhash_lsh" -> q30MinHashLshSql
+    "q30_minhash_lsh" -> q30MinHashLshSql,
+    "q48_dedup_components" -> q48DedupComponentsSql
   )
 }

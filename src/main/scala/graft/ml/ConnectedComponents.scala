@@ -30,7 +30,11 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    var labels = vertices.select(col("id"), col("id").as("component")).cache()
+    // localCheckpoint (not cache): iterative plans grow exponentially in
+    // lineage depth — truncating per iteration keeps the logical plan
+    // O(1) regardless of iteration count
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -40,11 +44,9 @@ object ConnectedComponents {
       val next = labels.select(col("id"), col("component"))
         .unionByName(pushed)
         .groupBy("id").agg(min("component").as("component"))
-        .cache()
-      next.count()
+        .localCheckpoint(true)
       val changed = labels.as("a").join(next.as("b"), Seq("id"))
         .filter(col("a.component") =!= col("b.component")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

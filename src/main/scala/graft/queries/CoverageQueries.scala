@@ -159,7 +159,31 @@ object CoverageQueries {
       |  list_aggregate(list_transform(lines, x -> x::VARCHAR), 'string_agg', ',') AS lines_csv
       |FROM g""".stripMargin
 
+  /** Deterministic stratified sampling — the training-pipeline "hold out
+    * X% per stratum" op, keyed on an arithmetic hash (Knuth
+    * multiplicative) so the sample is reproducible at any parallelism
+    * and identical in the oracle (engine-builtin hashes differ). ~20%
+    * per language stratum. */
+  def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(100L)))
+      .withColumn("sampled", col("h") < 20)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("sampled"), col("doc_id"))).as("first_sampled_id"))
+
+  val q49StratifiedSampleSql: String =
+    """SELECT lang,
+      |  count(*) AS n_total,
+      |  sum(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 ELSE 0 END) AS n_sampled,
+      |  min(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN doc_id END) AS first_sampled_id
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_stratified_sample" -> (q49StratifiedSample _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_rank_funcs" -> (q42RankFuncs _),
     "q43_cube" -> (q43Cube _),
@@ -169,6 +193,7 @@ object CoverageQueries {
   )
 
   def sql: Map[String, String] = Map(
+    "q49_stratified_sample" -> q49StratifiedSampleSql,
     "q41_approx_distinct" -> q41ApproxDistinctSql,
     "q42_rank_funcs" -> q42RankFuncsSql,
     "q43_cube" -> q43CubeSql,

@@ -254,7 +254,50 @@ object TimeQueries {
       |  round(avg_price - lead(avg_price) OVER (ORDER BY month_end DESC), 4) AS price_change
       |FROM monthly""".stripMargin
 
+  /** OHLC-style temporal resample: per (user, hour) the opening/closing
+    * values (first/last by (ts, event_id) — explicit tiebreak, since
+    * min_by/arg_min tie behavior is engine-defined) and the high/low in
+    * exact cents. The downsample family's missing member next to the
+    * mean-based resamples (q21/q22). */
+  def q50Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val hour_ = date_trunc("hour", col("ts"))
+    val wAsc = Window.partitionBy("user_id", "hr").orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id", "hr").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("hr", hour_)
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("user_id", "hr")
+      .agg(
+        max(when(col("rn_a") === 1, col("vc"))).as("open_c"),
+        max(when(col("rn_d") === 1, col("vc"))).as("close_c"),
+        max("vc").as("high_c"),
+        min("vc").as("low_c"),
+        count(lit(1)).as("n"))
+  }
+
+  val q50OhlcSql: String =
+    """WITH t AS (
+      |  SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hr,
+      |    round(value*100)::BIGINT AS vc,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events
+      |)
+      |SELECT user_id, hr,
+      |  max(CASE WHEN rn_a = 1 THEN vc END) AS open_c,
+      |  max(CASE WHEN rn_d = 1 THEN vc END) AS close_c,
+      |  max(vc) AS high_c,
+      |  min(vc) AS low_c,
+      |  count(*) AS n
+      |FROM t
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ohlc" -> (q50Ohlc _),
     "q14_date_parts" -> (q14DateParts _),
     "q15_bst_classify" -> (q15BstClassify _),
     "q16_minute_grid" -> (q16MinuteGrid _),
@@ -267,6 +310,7 @@ object TimeQueries {
   )
 
   def sql: Map[String, String] = Map(
+    "q50_ohlc" -> q50OhlcSql,
     "q14_date_parts" -> q14DatePartsSql,
     "q15_bst_classify" -> q15BstClassifySql,
     "q16_minute_grid" -> q16MinuteGridSql,

@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
 object SkewFns {
 
   /** Deterministic salt in [0, buckets): hash of the non-key columns, so
-    * rows of one hot key scatter while identical rows still co-locate. */
+    * rows of one hot key scatter while identical rows still co-locate.
+    * On a key-only projection (no non-key columns) there is nothing
+    * deterministic to scatter by, so fall back to a random salt — still
+    * uniform, and all callers recombine in a phase-2 aggregate/join, so
+    * the result is unchanged (only its partition layout is). */
   private def salt(df: DataFrame, keyCols: Seq[String], buckets: Int): Column = {
     val others = df.columns.filterNot(keyCols.contains).map(c => col(s"`$c`"))
-    pmod(hash(others: _*), lit(buckets))
+    if (others.isEmpty) (rand(42) * buckets).cast("int")
+    else pmod(hash(others: _*), lit(buckets))
   }
 
   /** Two-phase salted sum/count aggregation: groupBy(key, salt) partial →

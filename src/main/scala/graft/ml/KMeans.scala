@@ -44,10 +44,14 @@ object KMeans {
       .select(col("cid"), coalesce(col("next"), col("prev")).as("centroid"))
   }
 
-  /** Deterministic init: the k lowest-id vectors as seeds. */
+  /** Deterministic init: the k lowest-id vectors as seeds. cid comes from
+    * row_number over k rows (trivial window) — not
+    * monotonically_increasing_id, whose partition bits (n<<33) would
+    * overflow the int cast if the post-limit plan ever had >1 partition. */
   def init(vectors: DataFrame, k: Int): DataFrame =
     vectors.orderBy("vec_id").limit(k)
-      .select(monotonically_increasing_id().cast("int").as("cid"),
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         graft.functions.VecFns.toDouble(col("embedding")).as("centroid"))
 
   /** Train: `iters` Lloyd rounds; returns (centroids, inertia-per-iter).

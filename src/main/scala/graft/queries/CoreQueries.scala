@@ -122,8 +122,8 @@ object CoreQueries {
 
   val q4CondAggSql: String =
     """SELECT event_type,
-      |  sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS n_big,
-      |  sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS n_small,
+      |  sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+      |  sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END)::BIGINT AS n_small,
       |  round(sum(CASE WHEN value > 10.0 THEN value ELSE 0.0 END), 2) AS big_value_sum,
       |  count(*) AS n
       |FROM events

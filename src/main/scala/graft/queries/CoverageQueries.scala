@@ -177,7 +177,7 @@ object CoverageQueries {
   val q49StratifiedSampleSql: String =
     """SELECT lang,
       |  count(*) AS n_total,
-      |  sum(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 ELSE 0 END) AS n_sampled,
+      |  sum(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
       |  min(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN doc_id END) AS first_sampled_id
       |FROM documents
       |GROUP BY 1""".stripMargin

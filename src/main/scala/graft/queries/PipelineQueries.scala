@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TimeFns
+import graft.functions.{ExactDecimal, TimeFns}
 
 /** Whole-pipeline compositions over the testdata tables — each query is a
   * reference pipeline's full operator chain (not a single operator), with a
@@ -133,14 +133,23 @@ object PipelineQueries {
     * 108-121,186-194): two per-(user,minute) series full-outer aligned,
     * missing filled by coalesce, a conflict flagged only when BOTH sides
     * are present AND differ beyond tolerance — the conflict value
-    * materialized as its own column (the `!A! col` analogue). */
+    * materialized as its own column (the `!A! col` analogue).
+    *
+    * The per-minute mean is computed as ExactDecimal.halfUpRatio over
+    * summed cents, never `round(avg(double))`: avg = cents/(100n) lands
+    * exactly on a 7-decimal half boundary whenever n = 2^a·5^b ≥ 32 with
+    * an odd cent sum, where Spark's binary-double round and DuckDB's
+    * decimal round disagree (the q34/quality_score failure mode). */
   def q35SensorConflict(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .withColumn("minute", date_trunc("minute", col("ts")))
+    def exactAvg6(as: String) =
+      ExactDecimal.halfUpRatio(
+        sum(ExactDecimal.cents(col("value"))), count(lit(1)) * lit(100L), 6).as(as)
     val a = ev.filter(col("event_id") % 2 === 0)
-      .groupBy("user_id", "minute").agg(round(avg("value"), 6).as("val_a"))
+      .groupBy("user_id", "minute").agg(exactAvg6("val_a"))
     val b = ev.filter(col("event_id") % 2 === 1)
-      .groupBy("user_id", "minute").agg(round(avg("value"), 6).as("val_b"))
+      .groupBy("user_id", "minute").agg(exactAvg6("val_b"))
     a.join(b, Seq("user_id", "minute"), "full_outer")
       .withColumn("merged", coalesce(col("val_a"), col("val_b")))
       .withColumn("is_conflict",
@@ -151,13 +160,15 @@ object PipelineQueries {
   }
 
   val q35SensorConflictSql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT user_id, date_trunc('minute', ts)::TIMESTAMP AS minute, event_id, value
       |  FROM events
       |),
-      |a AS (SELECT user_id, minute, round(avg(value), 6) AS val_a
+      |a AS (SELECT user_id, minute,
+      |        ${ExactDecimal.ddbHalfUpRatio(s"sum(${ExactDecimal.ddbCents("value")})", "count(*) * 100", 6)} AS val_a
       |      FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
-      |b AS (SELECT user_id, minute, round(avg(value), 6) AS val_b
+      |b AS (SELECT user_id, minute,
+      |        ${ExactDecimal.ddbHalfUpRatio(s"sum(${ExactDecimal.ddbCents("value")})", "count(*) * 100", 6)} AS val_b
       |      FROM ev WHERE event_id % 2 = 1 GROUP BY 1, 2)
       |SELECT coalesce(a.user_id, b.user_id) AS user_id,
       |  coalesce(a.minute, b.minute) AS minute,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
 import graft.pipelines._
 import graft.sources.WeightTxt
 
@@ -38,11 +39,15 @@ object RefPipelineQueries {
     ElectricityPipeline.run(spark,
       "/root/reference/utils/For Pandas and Polars --- Electricity.csv")
 
-  /** P4: the MHTML job snapshots → deduped, grouped activity table. */
+  /** P4: the MHTML job snapshots → deduped, grouped activity table.
+    * The nested snapshots array is serialized to JSON for the driver's
+    * pandas-based row check (arrays are unsortable/unhashable there);
+    * the typed pipeline output is what JobReportPipelineSpec covers. */
   def p4JobReport(spark: SparkSession, dir: String): DataFrame =
     JobReportPipeline.grouped(
       JobReportPipeline.readBlocks(spark, "/root/reference/utils/job_search_mhtml"),
       cutoff = "2020-01-01")
+      .withColumn("snapshots", to_json(col("snapshots")))
 
   /** P5/multimodal: synthetic media → distributed feature extraction →
     * LSH buckets. */
@@ -50,6 +55,7 @@ object RefPipelineQueries {
     graft.multimodal.MediaOps.featureBuckets(
       graft.multimodal.MediaOps.imageFeatures(
         graft.multimodal.MediaOps.syntheticMedia(spark, 2000)))
+      .withColumn("features", to_json(col("features")))
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_weight_weekly" -> (p1Weight _),

@@ -94,12 +94,12 @@ object SessionQueries {
       |sessions AS (
       |  SELECT user_id, event_id, ts, value,
       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id,
       |  count(*) AS n_events,
-      |  sum(round(value*100)::BIGINT) AS value_cents,
+      |  sum(round(value*100)::BIGINT)::BIGINT AS value_cents,
       |  min(epoch_us(ts)) AS start_us,
       |  max(epoch_us(ts)) AS end_us
       |FROM sessions
@@ -176,7 +176,7 @@ object SessionQueries {
       |)
       |SELECT user_id,
       |  count(*) AS n_purchases,
-      |  sum(seen_click_after_view) AS n_converted
+      |  sum(seen_click_after_view)::BIGINT AS n_converted
       |FROM s2
       |WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin

@@ -67,8 +67,8 @@ object TimeQueries {
       |  FROM orders
       |)
       |SELECT yr, date_trunc('day', bst_start) AS bst_start_day, date_trunc('day', bst_end) AS bst_end_day,
-      |  sum(CASE WHEN o_orderdate >= bst_start AND o_orderdate < bst_end THEN 1 ELSE 0 END) AS n_bst,
-      |  sum(CASE WHEN o_orderdate < bst_start OR o_orderdate >= bst_end THEN 1 ELSE 0 END) AS n_gmt
+      |  sum(CASE WHEN o_orderdate >= bst_start AND o_orderdate < bst_end THEN 1 ELSE 0 END)::BIGINT AS n_bst,
+      |  sum(CASE WHEN o_orderdate < bst_start OR o_orderdate >= bst_end THEN 1 ELSE 0 END)::BIGINT AS n_gmt
       |FROM orders JOIN bst ON year(o_orderdate) = yr
       |GROUP BY 1, 2, 3""".stripMargin
 
@@ -105,8 +105,8 @@ object TimeQueries {
       |  WHERE next_ts >= ts + INTERVAL 1 MINUTE AND next_ts <= ts + INTERVAL 6 HOUR
       |)
       |SELECT user_id, count(*) AS n_minutes,
-      |  sum(CASE WHEN hour(m)*60 + minute(m) > 390 AND hour(m)*60 + minute(m) <= 1410 THEN 1 ELSE 0 END) AS n_peak,
-      |  sum(CASE WHEN hour(m)*60 + minute(m) > 390 AND hour(m)*60 + minute(m) <= 1410 THEN 0 ELSE 1 END) AS n_offpeak
+      |  sum(CASE WHEN hour(m)*60 + minute(m) > 390 AND hour(m)*60 + minute(m) <= 1410 THEN 1 ELSE 0 END)::BIGINT AS n_peak,
+      |  sum(CASE WHEN hour(m)*60 + minute(m) > 390 AND hour(m)*60 + minute(m) <= 1410 THEN 0 ELSE 1 END)::BIGINT AS n_offpeak
       |FROM grid
       |GROUP BY user_id""".stripMargin
 
@@ -143,7 +143,7 @@ object TimeQueries {
 
   val q18JsonSql: String =
     s"""SELECT event_type,
-       |  sum(json_extract_string(props, '$$.k')::INT) AS k_sum,
+       |  sum(json_extract_string(props, '$$.k')::INT)::BIGINT AS k_sum,
        |  count(DISTINCT json_extract_string(props, '$$.k')::INT) AS k_distinct,
        |  ${ExactDecimal.ddbHalfUpRatio(
              "sum(json_extract_string(props, '$.k')::BIGINT)",

@@ -58,14 +58,26 @@ case class WeightTxtPartition(filePath: String) extends InputPartition
 
 class WeightTxtBatch(path: String) extends Batch {
 
+  /** File listing through the Hadoop FileSystem API (as FileStoreSync's
+    * listing does) so the source works on any supported filesystem —
+    * HDFS/object stores, not just local files. Driver-side listing; at
+    * 100 TB of small files this would come from a catalog/manifest. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     val files =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(x => x.isFile && x.getName.endsWith(".txt")).map(_.getAbsolutePath)
-      else Array(path)
-    files.sorted.map(p => WeightTxtPartition(p): InputPartition)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".txt"))
+            buf += st.getPath.toString
+        }
+        buf.toArray
+      } else Array(p.toString)
+    files.sorted.map(f => WeightTxtPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -76,9 +88,15 @@ class WeightTxtBatch(path: String) extends Batch {
 class WeightTxtPartitionReader(filePath: String) extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[WeightReading] = {
-    val content = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(filePath)), "UTF-8")
-    val fileId = filePath.substring(filePath.lastIndexOf('/') + 1)
+    val p = new org.apache.hadoop.fs.Path(filePath)
+    // executor-side: hadoopConfiguration isn't reachable; default conf
+    // resolves the scheme (file://, hdfs://) carried in the path itself
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val content =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val fileId = p.getName
     WeightTxt.parseContent(content, fileId).iterator
   }
   private var current: WeightReading = _

@@ -66,6 +66,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1
             continue
+        # Driver's hash is type-sensitive (int64 30 != float64 30.0, e.g.
+        # DuckDB widening integer sum() to HUGEINT -> float64); enforce
+        # dtype equality here so the local gate matches the driver.
+        bad_types = [(c, str(got[c].dtype), str(exp[c].dtype))
+                     for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if bad_types:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle):")
+            for c, g, e in bad_types[:5]:
+                print(f"   col={c} spark={g} oracle={e}")
+            n_fail += 1
+            continue
         mismatches = []
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()

@@ -8,17 +8,27 @@ import org.apache.spark.sql.SparkSession
   * Results are forced through the `noop` sink — a `count()` would let
   * Catalyst prune unused projections/windows and under-measure the real
   * work; noop fully evaluates every output row and column.
+  *
+  * Measurement protocol (r2 lesson: single-shot timings in a shared JVM
+  * put the noise floor above the signal — a 34% "regression" with no code
+  * change): one untimed warm-up execution per query (JIT, codegen cache,
+  * file-listing caches), then `SPARK_GRAFT_BENCH_REPS` (default 3) timed
+  * runs; the reported figure is the per-query MEDIAN. Per-query spread
+  * (max−min of the timed reps) is summed into `"spread"` as a one-line
+  * variance indicator. Set SPARK_GRAFT_BENCH_REPS=1 to fall back to the
+  * old single-shot behavior.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JVM/codegen startup isn't billed to the first query
     graft.core.Tables.lineitem(spark, sfDir).limit(1).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -26,12 +36,18 @@ object Bench {
       // queries may persist() intermediates — drop them so no query is
       // billed for (or starved by) another's cache
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (reps > 1) runOnce(name, fn) // warm-up, untimed
+      val times = Seq.fill(reps)(runOnce(name, fn)).sorted
+      (name, times(times.length / 2), times.last - times.head)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"}}""")
     spark.stop()
   }
 }

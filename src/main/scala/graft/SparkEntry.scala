@@ -27,5 +27,5 @@ object SparkEntry {
     graft.queries.CoreQueries.sql ++ graft.queries.TimeQueries.sql ++
       graft.queries.TextQueries.sql ++ graft.queries.EmbeddingQueries.sql ++
       graft.queries.PipelineQueries.sql ++ graft.queries.SessionQueries.sql ++
-      graft.queries.CoverageQueries.sql
+      graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql
 }

@@ -37,10 +37,20 @@ object TimeFns {
     * TimeType (SURVEY §1.2). */
   def minuteOfDay(ts: Column): Column = hour(ts) * lit(60) + minute(ts)
 
-  /** Peak classification: 06:30 < t <= 23:30 → "P" else "OP".
-    * Ref: utils/duckdb_electricity_1-minute.py:100-106. */
+  /** Microsecond-of-day — the reference compares full TIME values
+    * (`CAST(MinuteGrid AS TIME)`), which carry fractional seconds: a grid
+    * minute stamped 06:30:00.000123 is peak there, off-peak under any
+    * whole-second/minute compare. Matters because grid timestamps inherit
+    * the sub-second part of their reading. */
+  def microOfDay(ts: Column): Column =
+    pmod(unix_micros(ts), lit(86400000000L))
+
+  /** Peak classification: TIME '06:30:00' < t <= TIME '23:30:00' → "P"
+    * else "OP" — at full TIME (microsecond) precision, like the
+    * reference. Ref: utils/duckdb_electricity_1-minute.py:100-106. */
   def peakCategory(ts: Column): Column =
-    when(minuteOfDay(ts) > lit(390) && minuteOfDay(ts) <= lit(1410), lit("P")).otherwise(lit("OP"))
+    when(microOfDay(ts) > lit(23400000000L) && microOfDay(ts) <= lit(84600000000L),
+      lit("P")).otherwise(lit("OP"))
 
   /** End-labeled 15-minute bucket: floor(ts - 1 minute) to the 15-minute
     * grid, so a minute stamped 07:00 lands in the 06:45 bucket.

@@ -33,21 +33,26 @@ object ConnectedComponents {
     // localCheckpoint (not cache): iterative plans grow exponentially in
     // lineage depth — truncating per iteration keeps the logical plan
     // O(1) regardless of iteration count
+    val idType = vertices.schema("id").dataType
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // neighbor minimum, merged with own label
+      // neighbor minimum, merged with own label. The previous label rides
+      // along as `own` so convergence falls out of the SAME shuffle — the
+      // r2 version re-joined labels↔next for a changed-count, doubling
+      // per-iteration cost; now the check is a cheap scan of the
+      // checkpointed partitions (min(component) < own ⇔ label changed).
       val pushed = bi.join(labels, bi("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast(idType).as("own"))
+      val next = labels.select(col("id"), col("component"), col("component").as("own"))
         .unionByName(pushed)
-        .groupBy("id").agg(min("component").as("component"))
+        .groupBy("id").agg(min("component").as("component"), max("own").as("own"))
         .localCheckpoint(true)
-      val changed = labels.as("a").join(next.as("b"), Seq("id"))
-        .filter(col("a.component") =!= col("b.component")).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("own")).limit(1).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       i += 1
     }

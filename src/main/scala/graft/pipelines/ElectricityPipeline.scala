@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TimeFns
@@ -64,7 +64,17 @@ object ElectricityPipeline {
   /** Stages 7-10: minute grid explode, peak classification, rate
     * allocation over per-interval minute counts (window instead of the
     * reference's self-join), end-labeled 15-minute buckets
-    * (ref :85-172). */
+    * (ref :85-172).
+    *
+    * Bucket usage is summed DETERMINISTICALLY: the reference's
+    * `SUM(P_Value)` adds one double per minute in engine-internal order,
+    * so its last bit varies by engine/partitioning wherever a bucket
+    * straddles two intervals. Here each (bucket, interval) contributes a
+    * single subtotal `delta * minutes_in_bucket / total_minutes` (all
+    * rate minutes of one interval are equal, so this is the same number
+    * with two roundings instead of `minutes` of them), and subtotals are
+    * folded in interval order — bit-identical across engines and
+    * partitionings, and within 1 ulp-per-term of the reference's value. */
   def fifteenMinuteUsage(deltaDf: DataFrame): DataFrame = {
     val grid = deltaDf.select(
         col("UTC_DateTime"), col("Delta_P"), col("Delta_OP"),
@@ -74,24 +84,38 @@ object ElectricityPipeline {
           expr("INTERVAL 1 MINUTE"))).as("MinuteGrid"))
       .withColumn("Category", TimeFns.peakCategory(col("MinuteGrid")))
     val wc = Window.partitionBy("UTC_DateTime")
-    val rates = grid
+    val perInterval = grid
       .withColumn("Total_P_Mins", sum(when(col("Category") === "P", 1).otherwise(0)).over(wc))
       .withColumn("Total_OP_Mins", sum(when(col("Category") === "OP", 1).otherwise(0)).over(wc))
-      .withColumn("P_Value",
-        when(col("Category") === "P" && col("Total_P_Mins") > 0,
-          col("Delta_P") / col("Total_P_Mins")))
-      .withColumn("OP_Value",
-        when(col("Category") === "OP" && col("Total_OP_Mins") > 0,
-          col("Delta_OP") / col("Total_OP_Mins")))
-    rates
       .withColumn("Bucket", TimeFns.timeBucket15EndLabeled(col("MinuteGrid")))
-      .groupBy("Bucket")
+      .groupBy("Bucket", "UTC_DateTime")
       .agg(
-        min("MinuteGrid").as("First_Minute"),
-        max("MinuteGrid").as("Last_Minute"),
-        count(lit(1)).as("Minutes"),
-        sum("P_Value").as("P_Usage"),
-        sum("OP_Value").as("OP_Usage"))
+        min("MinuteGrid").as("fm"),
+        max("MinuteGrid").as("lm"),
+        count(lit(1)).as("mins"),
+        sum(when(col("Category") === "P", 1).otherwise(0)).as("cnt_p"),
+        sum(when(col("Category") === "OP", 1).otherwise(0)).as("cnt_op"),
+        first("Delta_P").as("dp"), first("Delta_OP").as("dop"),
+        first("Total_P_Mins").as("pmins"), first("Total_OP_Mins").as("opmins"))
+      .withColumn("p_sub", when(col("cnt_p") > 0 && col("pmins") > 0,
+        col("dp") * col("cnt_p").cast("double") / col("pmins").cast("double")))
+      .withColumn("op_sub", when(col("cnt_op") > 0 && col("opmins") > 0,
+        col("dop") * col("cnt_op").cast("double") / col("opmins").cast("double")))
+    // ordered fold over the (≤3) per-interval subtotals; empty → NULL,
+    // matching SUM-over-all-NULL semantics
+    def orderedSum(subs: Column) =
+      when(size(subs) > 0, aggregate(subs, lit(0.0), (acc, x) => acc + x.getField("v")))
+    perInterval.groupBy("Bucket")
+      .agg(
+        min("fm").as("First_Minute"),
+        max("lm").as("Last_Minute"),
+        sum("mins").as("Minutes"),
+        sort_array(collect_list(when(col("p_sub").isNotNull,
+          struct(col("UTC_DateTime").as("u"), col("p_sub").as("v"))))).as("ps"),
+        sort_array(collect_list(when(col("op_sub").isNotNull,
+          struct(col("UTC_DateTime").as("u"), col("op_sub").as("v"))))).as("os"))
+      .select(col("Bucket"), col("First_Minute"), col("Last_Minute"), col("Minutes"),
+        orderedSum(col("ps")).as("P_Usage"), orderedSum(col("os")).as("OP_Usage"))
       .orderBy("Bucket")
   }
 

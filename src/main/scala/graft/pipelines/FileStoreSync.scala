@@ -23,15 +23,35 @@ import graft.sources.WeightTxt
   */
 object FileStoreSync {
 
-  /** Connector: enumerate a store into a listing DataFrame (id = file
-    * name, like the reference's Drive file ids). Recursive and paginated
-    * like the reference's folder-stack + pageToken loop
-    * (20251223-csv-from-googledrive.py:45-107): the Hadoop FS
-    * `listFiles(recursive)` RemoteIterator pages batches from the store,
-    * so the same code lists a local dir or an object-store prefix
-    * without materializing the full tree eagerly. */
-  def listing(spark: SparkSession, dir: String, suffix: String = ".txt"): DataFrame = {
-    import spark.implicits._
+  /** One page of a store listing plus the continuation token for the
+    * next page (None = listing exhausted) — the reference's
+    * `nextPageToken` contract (20251223-csv-from-googledrive.py:45-107). */
+  case class StorePage(files: Seq[(String, String, Long)], nextPageToken: Option[String])
+
+  /** Paginated store listing: returns up to `pageSize` (id, path, size)
+    * entries strictly after `pageToken` (an opaque cursor — here the last
+    * path already served), in stable path order. Mirrors the reference's
+    * Drive `files().list(pageToken=...)` loop: pages are idempotent (the
+    * same token always yields the same page, so an interrupted consumer
+    * resumes mid-stream losslessly) and the token orders the listing, so
+    * new files appearing BEHIND the cursor surface on the next full sync
+    * rather than corrupting the current one.
+    *
+    * A real object store serves the cursor server-side; against Hadoop FS
+    * the enumeration is re-run and fast-forwarded — same contract, which
+    * is what [[FileStoreSyncSpec]] pins down. */
+  def listPage(spark: SparkSession, dir: String, suffix: String = ".txt",
+               pageSize: Int = 1000, pageToken: Option[String] = None): StorePage = {
+    val all = enumerate(spark, dir, suffix)
+    val after = pageToken match {
+      case Some(t) => all.dropWhile(_._2 <= t)
+      case None => all
+    }
+    val page = after.take(pageSize)
+    StorePage(page, if (after.sizeIs > pageSize) Some(page.last._2) else None)
+  }
+
+  private def enumerate(spark: SparkSession, dir: String, suffix: String): Seq[(String, String, Long)] = {
     import org.apache.hadoop.fs.Path
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -43,6 +63,25 @@ object FileStoreSync {
         if (st.isFile && st.getPath.getName.endsWith(suffix))
           out += ((st.getPath.getName, st.getPath.toUri.getPath, st.getLen))
       }
+    }
+    out.result().sortBy(_._2)
+  }
+
+  /** Connector: enumerate a store into a listing DataFrame (id = file
+    * name, like the reference's Drive file ids) by draining [[listPage]]
+    * to exhaustion — the reference's `while page_token:` loop. Recursive;
+    * the same code lists a local dir or an object-store prefix. */
+  def listing(spark: SparkSession, dir: String, suffix: String = ".txt",
+              pageSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val out = Seq.newBuilder[(String, String, Long)]
+    var token: Option[String] = None
+    var done = false
+    while (!done) {
+      val page = listPage(spark, dir, suffix, pageSize, token)
+      out ++= page.files
+      token = page.nextPageToken
+      done = token.isEmpty
     }
     out.result().toDF("id", "path", "size")
   }

@@ -93,7 +93,11 @@ object SensorMergePipeline {
 
   /** One lazy fold step: full-outer align + coalesce fill, materializing a
     * provisional `!#<fileIdx>! col` for EVERY shared column — all-null
-    * when that column had no conflicts — and performs no action. */
+    * when that column had no conflicts — and performs no action.
+    * Base-only columns (absent from the incoming file) pass through
+    * unchanged, like the reference's pandas outer merge — a latent r2 bug
+    * dropped them, masked because every real export of one sensor shares
+    * all columns; caught by the mergeAllUnioned≡fold property spec. */
   def mergeStepProvisional(base: DataFrame, incoming: DataFrame, fileIdx: Int): DataFrame = {
     val shared = base.columns.toSeq.intersect(incoming.columns.toSeq).filterNot(_ == "Timestamp")
       .filterNot(_.startsWith("!"))
@@ -102,10 +106,14 @@ object SensorMergePipeline {
     val i = incoming.as("i")
     val joined = b.join(i, Seq("Timestamp"), "full_outer")
     def numeric(df: DataFrame, c: String) = df.schema(c).dataType == DoubleType
+    val baseData = base.columns.toSeq.filterNot(c => c == "Timestamp" || c.startsWith("!"))
     val keepConflict = base.columns.toSeq.filter(_.startsWith("!"))
     val outCols: Seq[Column] =
       col("Timestamp") +:
-        (shared.map(c => coalesce(col(s"b.`$c`"), col(s"i.`$c`")).as(c)) ++
+        (baseData.map { c =>
+          if (shared.contains(c)) coalesce(col(s"b.`$c`"), col(s"i.`$c`")).as(c)
+          else col(s"b.`$c`").as(c)
+        } ++
           keepConflict.map(c => col(s"b.`$c`")) ++
           fresh.map(c => col(s"i.`$c`").as(c)) ++
           shared.map { c =>
@@ -183,11 +191,24 @@ object SensorMergePipeline {
     }
   }
 
-  /** The 100 TB-shape alternative (documented trade-off): union all files
-    * tagged by source priority and keep the highest-priority value per
-    * (Timestamp, column) — same fill semantics, conflict columns keyed by
-    * source file instead of fold order, single shuffle instead of N
-    * joins. */
+  /** The 100 TB shape: union all files tagged by source priority, ONE
+    * shuffle on Timestamp — no N-deep join chain. Now carries FULL
+    * conflict semantics (the r2 version had fill-only, flagged `weak`):
+    *
+    * For every column and every non-head file `s`, the aggregation also
+    * computes (a) the winning value among sources `< s` (the fold's
+    * "base so far" — min-priority non-null, via a (prio, value) struct
+    * min) and (b) file `s`'s own value; a provisional `!#s! col` then
+    * materializes where both exist and differ beyond tolerance — exactly
+    * [[mergeStepProvisional]]'s predicate, so [[finalize]] renumbers the
+    * surviving tags to the reference's letters identically and
+    * `finalize(mergeAllUnioned(files)) == finalize(fold(files))`
+    * column-for-column (property-tested in SensorMergePipelineSpec).
+    *
+    * Cost: `cols × (2·files−1)` aggregate expressions in one
+    * hash-aggregate vs the fold's `files−1` sequential shuffle joins —
+    * the winning trade wherever files-per-sensor is large. Assumes
+    * normalized (all-double) inputs, as produced by [[readNormalized]]. */
   def mergeAllUnioned(frames: Seq[DataFrame]): DataFrame = {
     val tagged = frames.zipWithIndex.map { case (f, idx) =>
       f.withColumn("_prio", lit(idx))
@@ -198,9 +219,27 @@ object SensorMergePipeline {
       missing.foldLeft(f)((d, c) => d.withColumn(c, lit(null).cast("double")))
         .select((Seq("Timestamp", "_prio") ++ allCols).map(c => col(s"`$c`")): _*)
     }.reduce(_ unionByName _)
-    unioned.groupBy("Timestamp")
-      .agg(
-        first(col(s"`${allCols.head}`"), ignoreNulls = true).as(allCols.head),
-        allCols.tail.map(c => first(col(s"`$c`"), ignoreNulls = true).as(c)): _*)
+    def winnerUpTo(c: String, bound: Column): Column =
+      min(when(col("_prio") < bound && col(s"`$c`").isNotNull,
+        struct(col("_prio"), col(s"`$c`").as("v"))))
+    val aggs: Seq[Column] = allCols.flatMap { c =>
+      winnerUpTo(c, lit(frames.length)).as(s"_w! $c") +:
+        (1 until frames.length).flatMap { s =>
+          Seq(
+            winnerUpTo(c, lit(s)).as(s"_b$s! $c"),
+            max(when(col("_prio") === s, col(s"`$c`"))).as(s"_r$s! $c"))
+        }
+    }
+    val grouped = unioned.groupBy("Timestamp").agg(aggs.head, aggs.tail: _*)
+    val out: Seq[Column] = col("Timestamp") +:
+      (allCols.map(c => col(s"`_w! $c`").getField("v").as(c)) ++
+        allCols.flatMap { c =>
+          (1 until frames.length).map { s =>
+            val base = col(s"`_b$s! $c`").getField("v")
+            val inc = col(s"`_r$s! $c`")
+            when(isConflict(base, inc, numeric = true), inc).as(s"!#$s! $c")
+          }
+        })
+    grouped.select(out: _*)
   }
 }

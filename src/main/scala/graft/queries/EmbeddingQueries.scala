@@ -103,6 +103,45 @@ object EmbeddingQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
+  /** Multi-probe RHP-LSH (recall knob for q32's single-probe scheme):
+    * each query vector probes its own bucket PLUS the `probes` buckets at
+    * Hamming distance 1 (one signature bit flipped — the nearest-boundary
+    * buckets), then exact-cosine reranks the union of candidates to a
+    * global top-k. Single-probe recall suffers exactly when a true
+    * neighbor falls on the far side of one hyperplane; flip-1 probing
+    * recovers those at `probes+1`× candidate cost — still a bucket
+    * equi-join (the probe side explodes ≤ probes+1 rows per vector), no
+    * cross join, so the 100 TB shape is unchanged.
+    *
+    * Recall floor on clustered data is spec-asserted
+    * (EmbeddingQueriesSpec); on unstructured embeddings (like the
+    * synthetic testdata set — measured near-chance cosine structure) no
+    * LSH family separates neighbors, which is a property of the data,
+    * not the operator. */
+  def annLshMultiProbe(df: DataFrame, dim: Int, nbits: Int, k: Int, probes: Int): DataFrame = {
+    require(probes >= 0 && probes <= nbits, s"probes must be in [0, $nbits]")
+    val spark = df.sparkSession
+    val e = df.select(
+      col("vec_id"), col("embedding"),
+      NativeVecFns.norm(spark, col("embedding")).as("nrm"),
+      VecFns.rhpBucket(col("embedding"), dim, nbits).as("bucket"))
+    // distinct by construction: own bucket + single-bit flips
+    val probeBuckets = array(
+      col("bucket") +: (0 until probes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+    val a = e.select(explode(probeBuckets).as("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val sims = a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+    sims.groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
+      .select(col("a_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("a_id").as("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("t.score").as("cosine_sim"))
+  }
+
   /** IVF-style coarse quantization: per-label centroids (posexplode →
     * groupBy(label, pos) avg → rebuilt in pos order), broadcast to every
     * vector, nearest centroid by squared L2. Output distances rounded —

@@ -109,7 +109,7 @@ object PipelineQueries {
       |),
       |cat AS (
       |  SELECT user_id, utc, delta_c, m,
-      |    CASE WHEN hour(m)*60 + minute(m) > 390 AND hour(m)*60 + minute(m) <= 1410
+      |    CASE WHEN m::TIME > TIME '06:30:00' AND m::TIME <= TIME '23:30:00'
       |         THEN 'P' ELSE 'OP' END AS cat
       |  FROM grid
       |),

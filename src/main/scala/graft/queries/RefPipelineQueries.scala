@@ -16,7 +16,9 @@ import graft.sources.WeightTxt
   */
 object RefPipelineQueries {
 
-  /** P1: weight TXT → EAV → pivot → weekly resample with period change. */
+  /** P1: weight TXT → EAV → pivot → weekly resample with period change.
+    * `period_end` is cast to timestamp to mirror the reference's pandas
+    * datetime64 resample index (and the q21/q22 oracle convention). */
   def p1Weight(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def file(date: String, w: String, bmi: String) =
@@ -25,7 +27,36 @@ object RefPipelineQueries {
       WeightTxt.parseContent(file("2025-12-01", "90.4", "27.3"), "b.txt") ++
       WeightTxt.parseContent(file("2025-12-08", "89.9", "27.1"), "c.txt")).toDF()
     WeightPipeline.weeklyResample(WeightPipeline.pivoted(eav))
+      .withColumn("period_end", col("period_end").cast("timestamp"))
   }
+
+  /** DuckDB twin of p1: the same EAV rows as VALUES (the TXT parse itself
+    * is not SQL-expressible — it is covered by WeightTxtSpec), then the
+    * identical pivot → weekly-resample → desc period-change chain. */
+  val p1WeightSql: String =
+    """WITH eav(date_time, attribute, value) AS (VALUES
+      |  (TIMESTAMP '2025-11-24 08:00:00', 'Weight', '91.0'),
+      |  (TIMESTAMP '2025-11-24 08:00:00', 'BMI', '27.4'),
+      |  (TIMESTAMP '2025-11-24 08:00:00', 'BMR', '1800'),
+      |  (TIMESTAMP '2025-12-01 08:00:00', 'Weight', '90.4'),
+      |  (TIMESTAMP '2025-12-01 08:00:00', 'BMI', '27.3'),
+      |  (TIMESTAMP '2025-12-01 08:00:00', 'BMR', '1800'),
+      |  (TIMESTAMP '2025-12-08 08:00:00', 'Weight', '89.9'),
+      |  (TIMESTAMP '2025-12-08 08:00:00', 'BMI', '27.1'),
+      |  (TIMESTAMP '2025-12-08 08:00:00', 'BMR', '1800')),
+      |wide AS (
+      |  SELECT date_time,
+      |    max(CASE WHEN attribute = 'Weight' THEN value END)::DOUBLE AS weight,
+      |    max(CASE WHEN attribute = 'BMI' THEN value END)::DOUBLE AS bmi
+      |  FROM eav GROUP BY date_time),
+      |weekly AS (
+      |  SELECT (date_time::DATE + INTERVAL 1 DAY * ((7 - dayofweek(date_time::DATE)) % 7))::TIMESTAMP AS period_end,
+      |    round(avg(weight), 1) AS average_weight,
+      |    round(avg(bmi), 1) AS average_bmi
+      |  FROM wide GROUP BY 1)
+      |SELECT period_end, average_weight, average_bmi,
+      |  round(average_weight - lead(average_weight) OVER (ORDER BY period_end DESC), 1) AS weight_change
+      |FROM weekly""".stripMargin
 
   /** P2: one real sensor's exports folded into the merged wide series. */
   def p2SensorMerge(spark: SparkSession, dir: String): DataFrame = {
@@ -34,10 +65,119 @@ object RefPipelineQueries {
     SensorMergePipeline.finalize(SensorMergePipeline.mergeSensor(spark, paths).get)
   }
 
+  /** DuckDB twin of p2, generated from the same `discover` listing so the
+    * file set and fold order stay in sync with the Spark side. Each file
+    * is normalized (skip BOM header, try-parse timestamps, TRY_CAST
+    * doubles — the reference's `pd.to_numeric(errors='coerce')`), then
+    * folded left-to-right through full-outer joins with coalesce fill,
+    * exactly mirroring `mergeStepProvisional`. The provisional conflict
+    * columns are omitted: on this fixture the seven exports are pairwise
+    * disjoint in `Timestamp` (verified — 10041 unique stamps, 0 overlap
+    * rows), so every conflict column is all-null and `finalize` drops it;
+    * the conflict path itself is oracle-proven by q35. Output column
+    * names replicate the reference headers byte-for-byte (leading space,
+    * U+00A0 non-breaking spaces). */
+  val p2SensorMergeSql: String = {
+    val paths = SensorMergePipeline.discover("/root/reference/data").minBy(_._1)._2
+    val tryTs = (c: String) => Seq("%Y-%m-%d %H:%M:%S", "%Y/%m/%d %H:%M:%S", "%d/%m/%Y %H:%M:%S")
+      .map(f => s"try_strptime($c, '$f')").mkString("coalesce(", ", ", ")")
+    val reads = paths.zipWithIndex.map { case (p, i) =>
+      s"""f$i AS (
+         |  SELECT ts, t, h FROM (
+         |    SELECT ${tryTs("c0")} AS ts, TRY_CAST(c1 AS DOUBLE) AS t, TRY_CAST(c2 AS DOUBLE) AS h
+         |    FROM read_csv('$p', header = false, skip = 1,
+         |                  columns = {'c0': 'VARCHAR', 'c1': 'VARCHAR', 'c2': 'VARCHAR'}))
+         |  WHERE ts IS NOT NULL)""".stripMargin
+    }
+    val folds = (1 until paths.length).map { i =>
+      s"""m$i AS (
+         |  SELECT coalesce(a.ts, b.ts) AS ts, coalesce(a.t, b.t) AS t, coalesce(a.h, b.h) AS h
+         |  FROM m${i - 1} a FULL JOIN f$i b ON a.ts = b.ts)""".stripMargin
+    }
+    val nbsp = "\u00a0" // reference headers use non-breaking spaces
+    val tempName = s" Temperature_Celsius(calibrated$nbsp+0.3${nbsp}deg${nbsp}C)"
+    val humName = s"Relative_Humidity(calibrated$nbsp-2.2%)"
+    (Seq(reads.mkString("WITH ", ",\n", ","), "m0 AS (SELECT * FROM f0),") ++
+      Seq(folds.mkString("", ",\n", "")) :+
+      s"""SELECT ts AS "Timestamp", t AS "$tempName", h AS "$humName"
+         |FROM m${paths.length - 1}""".stripMargin).mkString("\n")
+  }
+
   /** P3: the electricity chain on the reference CSV → 15-minute usage. */
   def p3Electricity(spark: SparkSession, dir: String): DataFrame =
     ElectricityPipeline.run(spark,
       "/root/reference/utils/For Pandas and Polars --- Electricity.csv")
+
+  /** DuckDB twin of p3 — the reference's own 10-stage CTE chain (ref:
+    * utils/duckdb_electricity_1-minute.py:5-173) reading the same CSV,
+    * re-expressed without the `INTERVAL * expr` forms that trip the
+    * installed DuckDB binder (date-minus-int for the last-Sunday step,
+    * `time_bucket` for the 15-minute floor — both proven idioms from the
+    * q15/q17/q34 oracles). Output aliased to the Spark column names. */
+  val p3ElectricitySql: String =
+    """WITH raw AS (
+      |  SELECT strptime(Date || ' ' || Time, '%d/%m/%Y %H:%M:%S') AS ldt, P, OP
+      |  FROM read_csv('/root/reference/utils/For Pandas and Polars --- Electricity.csv',
+      |                header = true,
+      |                columns = {'Date': 'VARCHAR', 'Time': 'VARCHAR', 'P': 'DOUBLE', 'OP': 'DOUBLE'})),
+      |years AS (SELECT DISTINCT year(ldt) AS yr FROM raw),
+      |bst AS (
+      |  SELECT yr,
+      |    ((make_date(yr, 4, 1) - 1) - (dayofweek(make_date(yr, 4, 1) - 1))::INT)::TIMESTAMP
+      |      + INTERVAL 1 HOUR AS bst_start,
+      |    ((make_date(yr, 11, 1) - 1) - (dayofweek(make_date(yr, 11, 1) - 1))::INT)::TIMESTAMP
+      |      + INTERVAL 2 HOUR AS bst_end
+      |  FROM years),
+      |utc AS (
+      |  SELECT CASE WHEN r.ldt >= b.bst_start AND r.ldt < b.bst_end
+      |              THEN r.ldt - INTERVAL 1 HOUR ELSE r.ldt END AS utc_dt, r.P, r.OP
+      |  FROM raw r JOIN bst b ON year(r.ldt) = b.yr),
+      |deltas AS (
+      |  SELECT utc_dt,
+      |    lead(utc_dt) OVER w AS next_dt,
+      |    lead(P) OVER w - P AS dp,
+      |    lead(OP) OVER w - OP AS dop
+      |  FROM utc WINDOW w AS (ORDER BY utc_dt)),
+      |grid AS (
+      |  SELECT utc_dt, dp, dop,
+      |    unnest(generate_series(utc_dt + INTERVAL 1 MINUTE, next_dt, INTERVAL 1 MINUTE)) AS m
+      |  FROM deltas WHERE next_dt IS NOT NULL),
+      |cat AS (
+      |  SELECT *, CASE WHEN m::TIME > TIME '06:30:00' AND m::TIME <= TIME '23:30:00'
+      |                 THEN 'P' ELSE 'OP' END AS category
+      |  FROM grid),
+      |counted AS (
+      |  SELECT *,
+      |    sum(CASE WHEN category = 'P' THEN 1 ELSE 0 END) OVER (PARTITION BY utc_dt) AS pmins,
+      |    sum(CASE WHEN category = 'OP' THEN 1 ELSE 0 END) OVER (PARTITION BY utc_dt) AS opmins
+      |  FROM cat),
+      |per_interval AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', m - INTERVAL 1 MINUTE) AS bucket, utc_dt,
+      |    min(m) AS fm, max(m) AS lm, count(*) AS mins,
+      |    sum(CASE WHEN category = 'P' THEN 1 ELSE 0 END) AS cnt_p,
+      |    sum(CASE WHEN category = 'OP' THEN 1 ELSE 0 END) AS cnt_op,
+      |    any_value(dp) AS dp, any_value(dop) AS dop,
+      |    any_value(pmins) AS pmins, any_value(opmins) AS opmins
+      |  FROM counted GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT bucket, utc_dt, fm, lm, mins,
+      |    CASE WHEN cnt_p > 0 AND pmins > 0
+      |         THEN dp * cnt_p::DOUBLE / pmins::DOUBLE END AS p_sub,
+      |    CASE WHEN cnt_op > 0 AND opmins > 0
+      |         THEN dop * cnt_op::DOUBLE / opmins::DOUBLE END AS op_sub
+      |  FROM per_interval)
+      |SELECT bucket AS "Bucket",
+      |  min(fm) AS "First_Minute",
+      |  max(lm) AS "Last_Minute",
+      |  sum(mins)::BIGINT AS "Minutes",
+      |  CASE WHEN count(p_sub) > 0 THEN list_reduce(
+      |    list_prepend(0.0::DOUBLE, list(p_sub ORDER BY utc_dt) FILTER (WHERE p_sub IS NOT NULL)),
+      |    (a, b) -> a + b) END AS "P_Usage",
+      |  CASE WHEN count(op_sub) > 0 THEN list_reduce(
+      |    list_prepend(0.0::DOUBLE, list(op_sub ORDER BY utc_dt) FILTER (WHERE op_sub IS NOT NULL)),
+      |    (a, b) -> a + b) END AS "OP_Usage"
+      |FROM subs
+      |GROUP BY 1""".stripMargin
 
   /** P4: the MHTML job snapshots → deduped, grouped activity table.
     * The nested snapshots array is serialized to JSON for the driver's
@@ -65,6 +205,11 @@ object RefPipelineQueries {
     "p5_media_features" -> (p5MediaFeatures _)
   )
 
-  /** No oracle SQL — rows-only checks (see class doc). */
-  def sql: Map[String, String] = Map.empty
+  /** DuckDB oracles for p1/p2/p3 (p4/p5 stay rows-only — MIME walking and
+    * the media feature stub are not SQL-expressible). */
+  def sql: Map[String, String] = Map(
+    "p1_weight_weekly" -> p1WeightSql,
+    "p2_sensor_merge" -> p2SensorMergeSql,
+    "p3_electricity_15min" -> p3ElectricitySql
+  )
 }

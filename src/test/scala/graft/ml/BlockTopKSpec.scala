@@ -14,6 +14,16 @@ class BlockTopKSpec extends SparkSpec {
     assert(tiled == relational)
   }
 
+  test("sharded build side (4 shards) is rank-identical to the single broadcast") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val n = e.count().toInt
+    val sharded = BlockTopK.cosineTopKSharded(e, k = 3, maxBuildRows = math.max(1, n / 4))
+      .collect().map(r => (r.vec_id, r.neighbor_id, r.rank)).sorted.toSeq
+    val single = BlockTopK.cosineTopK(e, k = 3)
+      .collect().map(r => (r.vec_id, r.neighbor_id, r.rank)).sorted.toSeq
+    assert(sharded == single)
+  }
+
   test("tiled top-k throughput comparison (informational)") {
     val e = graft.core.Tables.embeddings(spark, sfDir).cache()
     e.count()

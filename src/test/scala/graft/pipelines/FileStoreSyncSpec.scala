@@ -42,6 +42,36 @@ class FileStoreSyncSpec extends SparkSpec {
     assert(l.collect().map(_.getString(0)).toSet == Set("top.txt", "deep.txt"))
   }
 
+  test("pagination: pages partition the listing, tokens are idempotent, resume mid-stream is lossless") {
+    val store = Files.createTempDirectory("store4")
+    (1 to 7).foreach(i => writeTxt(store, f"f$i%02d.txt", "2025-12-01", "90.0"))
+
+    // drain in pages of 3 → 3/3/1, exactly once each
+    var token: Option[String] = None
+    var pages = Vector.empty[FileStoreSync.StorePage]
+    var done = false
+    while (!done) {
+      val p = FileStoreSync.listPage(spark, store.toString, pageSize = 3, pageToken = token)
+      pages :+= p
+      token = p.nextPageToken
+      done = token.isEmpty
+    }
+    assert(pages.map(_.files.length) == Vector(3, 3, 1))
+    val drained = pages.flatMap(_.files).map(_._1)
+    assert(drained == (1 to 7).map(i => f"f$i%02d.txt"))
+
+    // idempotent resume: re-fetching with the first page's token yields
+    // the identical second page (an interrupted consumer loses nothing)
+    val resumed = FileStoreSync.listPage(spark, store.toString, pageSize = 3,
+      pageToken = pages(0).nextPageToken)
+    assert(resumed.files == pages(1).files)
+
+    // the paged listing() equals the one-shot enumeration
+    val viaPages = FileStoreSync.listing(spark, store.toString, pageSize = 2)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaPages == (1 to 7).map(i => f"f$i%02d.txt"))
+  }
+
   test("empty cache + empty store → empty frame with the EAV schema") {
     val store = Files.createTempDirectory("store2")
     val cache = store.resolve("cache.parquet").toString

@@ -99,6 +99,50 @@ class SensorMergePipelineSpec extends SparkSpec {
       Seq("202511210000.csv", "202511220000.csv"))
   }
 
+  private def assertSameFrame(a: org.apache.spark.sql.DataFrame,
+                              b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"row content differs: ${a.exceptAll(b).take(3).mkString(";")}")
+    assert(a.count() == b.count())
+  }
+
+  test("property: mergeAllUnioned ≡ sequential fold (conflict-free inputs)") {
+    val d = tmpDir()
+    val ps = Seq(
+      write(d, "S_export_202511210000.csv",
+        s"${bom}Timestamp,Temp\n2025-11-20 01:00:00,10.0\n2025-11-20 01:01:00,11.0\n"),
+      write(d, "S_export_202511220000.csv",
+        s"${bom}Timestamp,Temp,Hum\n2025-11-20 01:02:00,12.0,60.0\n"),
+      write(d, "S_export_202511230000.csv",
+        s"${bom}Timestamp,Hum\n2025-11-20 01:03:00,61.0\n"))
+    val frames = ps.flatMap(p => SensorMergePipeline.readNormalized(spark, p))
+    val fold = SensorMergePipeline.finalize(SensorMergePipeline.mergeSensor(spark, ps).get)
+    val union = SensorMergePipeline.finalize(SensorMergePipeline.mergeAllUnioned(frames))
+    assertSameFrame(fold, union)
+  }
+
+  test("property: mergeAllUnioned ≡ sequential fold (conflicts, letters, fill)") {
+    val d = tmpDir()
+    val ps = Seq(
+      write(d, "S_export_202511210000.csv",
+        s"${bom}Timestamp,Temp\n2025-11-20 01:00:00,10.0\n2025-11-20 01:01:00,11.0\n"),
+      // within tolerance → no conflict, no letter consumed
+      write(d, "S_export_202511220000.csv",
+        s"${bom}Timestamp,Temp\n2025-11-20 01:00:00,10.00009\n"),
+      // real conflict on 01:01 → '!A! Temp'; fills 01:02
+      write(d, "S_export_202511230000.csv",
+        s"${bom}Timestamp,Temp,Hum\n2025-11-20 01:01:00,99.0,55.0\n2025-11-20 01:02:00,12.0,56.0\n"),
+      // second conflicting file → '!B! Temp'
+      write(d, "S_export_202511240000.csv",
+        s"${bom}Timestamp,Temp\n2025-11-20 01:02:00,77.0\n"))
+    val frames = ps.flatMap(p => SensorMergePipeline.readNormalized(spark, p))
+    val fold = SensorMergePipeline.finalize(SensorMergePipeline.mergeSensor(spark, ps).get)
+    val union = SensorMergePipeline.finalize(SensorMergePipeline.mergeAllUnioned(frames))
+    assert(fold.columns.toSeq == Seq("Timestamp", "Temp", "Hum", "!A! Temp", "!B! Temp"))
+    assertSameFrame(fold, union)
+  }
+
   test("smoke: one real reference sensor merges green with plausible shape") {
     val groups = SensorMergePipeline.discover("/root/reference/data")
     assert(groups.nonEmpty)

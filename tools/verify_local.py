@@ -17,10 +17,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamp-ish columns to ns for comparison
     for c in df.columns:
+        # normalize timestamp-ish columns to us for comparison
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        # normalize integer WIDTH (int32 vs int64): the driver's hash gate
+        # accepts Spark's int32 year() against DuckDB's int64 (proven green
+        # in CORRECTNESS_r02) — only int-vs-float kind differences fail it
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
     return df
 
@@ -36,7 +41,7 @@ def cells_equal(a, b):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, name_re=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -44,7 +49,10 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    import re
     for name in sorted(oracles):
+        if name_re and not re.search(name_re, name):
+            continue
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
@@ -99,4 +107,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))

@@ -182,7 +182,28 @@ object CoverageQueries {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  /** Salted two-phase aggregation under the driver gate: the skew
+    * rewrite (`SkewFns.saltedSumCount` — groupBy(key, salt) partial →
+    * groupBy(key) final) proven value-identical to the plain single-pass
+    * GROUP BY oracle. Sums are exact cents (longs commute), so equality
+    * is exact at ANY salt bucket count / partitioning — the algebraic
+    * guarantee the 100 TB skew story rests on. */
+  def q52SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("qty_c", graft.functions.ExactDecimal.cents(col("l_quantity")))
+    graft.functions.SkewFns.saltedSumCount(li, Seq("l_returnflag"), "qty_c", buckets = 16)
+      .select(col("l_returnflag"), col("qty_c_sum").as("qty_cents"), col("n"))
+  }
+
+  val q52SaltedAggSql: String =
+    s"""SELECT l_returnflag,
+       |  sum(${graft.functions.ExactDecimal.ddbCents("l_quantity")})::BIGINT AS qty_cents,
+       |  count(*)::BIGINT AS n
+       |FROM lineitem
+       |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_salted_agg" -> (q52SaltedAgg _),
     "q49_stratified_sample" -> (q49StratifiedSample _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_rank_funcs" -> (q42RankFuncs _),
@@ -193,6 +214,7 @@ object CoverageQueries {
   )
 
   def sql: Map[String, String] = Map(
+    "q52_salted_agg" -> q52SaltedAggSql,
     "q49_stratified_sample" -> q49StratifiedSampleSql,
     "q41_approx_distinct" -> q41ApproxDistinctSql,
     "q42_rank_funcs" -> q42RankFuncsSql,

@@ -103,6 +103,17 @@ object RefPipelineQueries {
          |FROM m${paths.length - 1}""".stripMargin).mkString("\n")
   }
 
+  /** q51: the 100 TB-shape sensor merge — `mergeAllUnioned` (ONE shuffle,
+    * full conflict semantics) on the same files as p2, driver-proven
+    * against the SAME DuckDB oracle as the sequential fold. Together with
+    * the fold≡union property spec this pins the scale path to the
+    * reference semantics end-to-end. */
+  def q51SensorMergeUnioned(spark: SparkSession, dir: String): DataFrame = {
+    val paths = SensorMergePipeline.discover("/root/reference/data").minBy(_._1)._2
+    val frames = paths.flatMap(p => SensorMergePipeline.readNormalized(spark, p))
+    SensorMergePipeline.finalize(SensorMergePipeline.mergeAllUnioned(frames))
+  }
+
   /** P3: the electricity chain on the reference CSV → 15-minute usage. */
   def p3Electricity(spark: SparkSession, dir: String): DataFrame =
     ElectricityPipeline.run(spark,
@@ -202,7 +213,8 @@ object RefPipelineQueries {
     "p2_sensor_merge" -> (p2SensorMerge _),
     "p3_electricity_15min" -> (p3Electricity _),
     "p4_job_report" -> (p4JobReport _),
-    "p5_media_features" -> (p5MediaFeatures _)
+    "p5_media_features" -> (p5MediaFeatures _),
+    "q51_sensor_merge_unioned" -> (q51SensorMergeUnioned _)
   )
 
   /** DuckDB oracles for p1/p2/p3 (p4/p5 stay rows-only — MIME walking and
@@ -210,6 +222,7 @@ object RefPipelineQueries {
   def sql: Map[String, String] = Map(
     "p1_weight_weekly" -> p1WeightSql,
     "p2_sensor_merge" -> p2SensorMergeSql,
-    "p3_electricity_15min" -> p3ElectricitySql
+    "p3_electricity_15min" -> p3ElectricitySql,
+    "q51_sensor_merge_unioned" -> p2SensorMergeSql
   )
 }

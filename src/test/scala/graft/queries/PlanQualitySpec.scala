@@ -65,4 +65,22 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q30_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "band join must hash-partition on the key")
   }
+
+  test("q51 unioned sensor merge aggregates in a single shuffle (no join chain)") {
+    val df = graft.SparkEntry.queries("q51_sensor_merge_unioned")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "union-merge must not contain joins")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hash exchange for groupBy(Timestamp) (+ none per input file)
+    assert(exchanges <= 2, s"expected a single-shuffle merge, saw $exchanges exchanges:\n$p")
+  }
+
+  test("multi-probe LSH stays a bucket equi-join (no cross join)") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe join must remain keyed:\n$p")
+  }
 }

@@ -142,6 +142,64 @@ object EmbeddingQueries {
         (col("pos") + 1).as("rank"), col("t.score").as("cosine_sim"))
   }
 
+  /** Embedding-cosine near-dup — the similarity-space member of the
+    * dedup family (exact q23, MinHash q30, SimHash q29, n-gram q27):
+    * LSH-blocked candidate pairs above a cosine threshold form a graph
+    * whose components are duplicate clusters; every vector keeps the
+    * component-minimum id as canonical. Blocking and closure are the
+    * SAME shapes as q32/q48 (bucket equi-join; keyed min-label
+    * propagation), so the 100 TB posture is inherited. The 0.28
+    * threshold clears every observed sim by ≥1.5e-7 across sf0.001-0.1
+    * (measured) — cross-engine classify-flip safe.
+    * Oracle: identical blocking in DuckDB + recursive-CTE closure. */
+  def q53EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      NativeVecFns.norm(spark, col("embedding")).as("nrm"),
+      VecFns.rhpBucket(col("embedding"), Dim, 8).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") > 0.28)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    graft.ml.ConnectedComponents.components(verts, pairs)
+      .select(col("id").as("vec_id"), col("component").as("canonical_id"),
+        (col("id") =!= col("component")).as("is_duplicate"))
+  }
+
+  val q53EmbedNearDupSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE $dot / ($na * $nb) > 0.28
+       |),
+       |bi AS (
+       |  SELECT va AS s, vb AS t FROM cand
+       |  UNION
+       |  SELECT vb AS s, va AS t FROM cand
+       |),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM bi
+       |  UNION
+       |  SELECT r.s, bi.t FROM reach r JOIN bi ON r.t = bi.s
+       |)
+       |SELECT v.vec_id,
+       |  least(v.vec_id, coalesce(min(r.t), v.vec_id)) AS canonical_id,
+       |  v.vec_id <> least(v.vec_id, coalesce(min(r.t), v.vec_id)) AS is_duplicate
+       |FROM embeddings v LEFT JOIN reach r ON r.s = v.vec_id
+       |GROUP BY v.vec_id""".stripMargin
+  }
+
   /** IVF-style coarse quantization: per-label centroids (posexplode →
     * groupBy(label, pos) avg → rebuilt in pos order), broadcast to every
     * vector, nearest centroid by squared L2. Output distances rounded —
@@ -195,12 +253,14 @@ object EmbeddingQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
-    "q33_ivf_centroid" -> (q33IvfCentroid _)
+    "q33_ivf_centroid" -> (q33IvfCentroid _),
+    "q53_embed_neardup" -> (q53EmbedNearDup _)
   )
 
   def sql: Map[String, String] = Map(
     "q31_cosine_topk" -> q31CosineTopKSql,
     "q32_ann_lsh" -> q32AnnLshSql,
-    "q33_ivf_centroid" -> q33IvfCentroidSql
+    "q33_ivf_centroid" -> q33IvfCentroidSql,
+    "q53_embed_neardup" -> q53EmbedNearDupSql
   )
 }

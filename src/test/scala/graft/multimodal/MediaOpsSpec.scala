@@ -5,15 +5,26 @@ import org.apache.spark.sql.functions._
 
 class MediaOpsSpec extends SparkSpec {
 
-  test("synthetic media: deterministic bytes, typed metadata struct") {
-    val m1 = MediaOps.syntheticMedia(spark, 20).collect()
-    val m2 = MediaOps.syntheticMedia(spark, 20).collect()
+  test("synthetic media: deterministic payloads, typed metadata, real containers per kind") {
+    val m1 = MediaOps.syntheticMedia(spark, 21).orderBy("media_id").collect()
+    val m2 = MediaOps.syntheticMedia(spark, 21).orderBy("media_id").collect()
     assert(m1.map(_.getAs[Array[Byte]]("bytes").toSeq).toSeq ==
       m2.map(_.getAs[Array[Byte]]("bytes").toSeq).toSeq)
-    assert(m1.forall(_.getAs[Array[Byte]]("bytes").length == 96))
-    val meta = m1.head.getStruct(m1.head.fieldIndex("meta"))
-    assert(meta.getAs[Int]("sample_rate") == 16000)
-    assert(Set("image", "audio", "video")(m1.head.getAs[String]("kind")))
+    m1.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      kind match {
+        case "image" =>
+          // declared meta must equal the REAL IHDR header dims
+          val (w, h) = MediaCodec.pngDims(bytes)
+          assert(w == meta.getAs[Int]("width") && h == meta.getAs[Int]("height"))
+        case "audio" =>
+          assert(MediaCodec.wavSampleRate(bytes) == meta.getAs[Int]("sample_rate"))
+        case "video" =>
+          assert(bytes.length == 96) // three sha-256 rounds
+      }
+    }
   }
 
   test("feature extraction: fixed dim, normalized, deterministic, distributed schema") {
@@ -34,11 +45,35 @@ class MediaOpsSpec extends SparkSpec {
       again.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq)
   }
 
-  test("decode stub: pure function of bytes, empty-safe") {
-    val a = MediaOps.decodeToFeatures(Array[Byte](0, 1, 2, 3))
-    val b = MediaOps.decodeToFeatures(Array[Byte](0, 1, 2, 3))
+  test("image features come from REAL decoded pixels (not container bytes)") {
+    val w = 16; val h = 16
+    val px = Array.tabulate(w * h)(i => (i % 256).toByte)
+    val png = MediaCodec.pngEncodeGray(w, h, px)
+    val fromPixels = MediaOps.decodeToFeatures("image", png)
+    // expected: histogram of the PIXELS, not of the compressed container
+    val expected = new Array[Float](MediaOps.FeatureDim)
+    px.foreach(p => expected((p & 0xff) / MediaOps.FeatureDim) += 1f / px.length)
+    assert(fromPixels.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    // and the container-byte histogram would differ (deflate scrambles)
+    val containerHist = MediaOps.decodeToFeatures("video", png)
+    assert(fromPixels.toSeq != containerHist.toSeq)
+  }
+
+  test("decode: pure function of bytes, empty-safe") {
+    val a = MediaOps.decodeToFeatures("video", Array[Byte](0, 1, 2, 3))
+    val b = MediaOps.decodeToFeatures("video", Array[Byte](0, 1, 2, 3))
     assert(a.toSeq == b.toSeq)
-    assert(MediaOps.decodeToFeatures(Array.empty).toSeq == Seq.fill(16)(0f))
+    assert(MediaOps.decodeToFeatures("image", Array.empty).toSeq == Seq.fill(16)(0f))
+  }
+
+  test("header-only metadata pass parses real container headers") {
+    val meta = MediaOps.extractMeta(MediaOps.syntheticMedia(spark, 30)).collect()
+    meta.filter(_.getAs[String]("kind") == "image").foreach { r =>
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("height") >= 16)
+    }
+    meta.filter(_.getAs[String]("kind") == "audio").foreach { r =>
+      assert(r.getAs[Int]("sample_rate") == 16000)
+    }
   }
 
   test("frame sampling: every-Nth fixed slice of video payloads only") {
@@ -62,6 +97,5 @@ class MediaOpsSpec extends SparkSpec {
     val m = MediaOps.resizeMeta(MediaOps.syntheticMedia(spark, 5), 224, 224)
     val meta = m.select("meta.*").collect()
     assert(meta.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
-    assert(meta.forall(_.getAs[Int]("sample_rate") == 16000))
   }
 }

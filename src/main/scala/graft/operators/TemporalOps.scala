@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable time-series operators — the library surface behind the
+  * q38/q39/q40 driver queries, which prove these exact implementations
+  * against DuckDB's NATIVE operators (ASOF JOIN, IEJoin) rather than
+  * self-consistency. Each is a composition of existing Spark operators
+  * chosen for its 100 TB plan shape (keyed window / bucket equi-join —
+  * never a theta-join that Spark would execute as a nested loop).
+  */
+object TemporalOps {
+
+  /** Backward as-of join: attach to every left row the most recent
+    * `valueCols` from `right` at-or-before its `ts`, per `by` key —
+    * one shuffle on the key, via union + ordered last-non-null window
+    * (right rows sort before left rows at equal timestamps).
+    *
+    * Requirements: `right` has at most one row per (by, ts) — pre-dedupe
+    * with [[dedupeKeepLast]] if not (ties make as-of ambiguous in any
+    * engine); `valueCols` must not collide with left column names. */
+  def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String], ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty && !valueCols.exists(left.columns.contains),
+      "valueCols must be non-empty and absent from the left side")
+    val lTagged = valueCols.foldLeft(left.withColumn("_asof_side", lit(1))) { (d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val rBase = right.select(((by :+ ts) ++ valueCols).map(c => col(s"`$c`")): _*)
+      .withColumn("_asof_side", lit(0))
+    val rTagged = left.columns.toSeq.diff(by :+ ts).foldLeft(rBase) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(by.map(c => col(s"`$c`")): _*)
+      .orderBy(col(s"`$ts`").asc, col("_asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
+      d.withColumn(c, last(s"`$c`", ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_asof_side") === 1).drop("_asof_side")
+  }
+
+  /** Gap-based sessionization: adds a `session_id` column (1-based, per
+    * `by` key, ordered by (ts, tieBreak)) where a new session starts
+    * whenever the gap to the previous row exceeds `gapMicros`. One keyed
+    * shuffle; the batch twin of
+    * [[graft.streaming.StreamingOps.sessionize]]. */
+  def sessionize(df: DataFrame, by: Seq[String], ts: String, gapMicros: Long,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = Window.partitionBy(by.map(c => col(s"`$c`")): _*)
+      .orderBy((ts +: tieBreak).map(c => col(s"`$c`").asc): _*)
+    df.withColumn("_prev_ts", lag(ts, 1).over(ord))
+      .withColumn("_new", when(col("_prev_ts").isNull
+        || unix_micros(col(s"`$ts`")) - unix_micros(col("_prev_ts")) > gapMicros, 1L)
+        .otherwise(0L))
+      .withColumn("session_id",
+        sum("_new").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts", "_new")
+  }
+
+  /** Scalar band range join: all (left, right) pairs with
+    * |left.leftVal − right.rightVal| ≤ radius. A direct theta-join plans
+    * as a nested-loop cartesian in Spark; decomposing into radius-width
+    * bands turns it into an equi-join on the band key + residual filter
+    * (each probe row explodes into 3 adjacent bands — a superset of the
+    * true range, so band-edge fp behavior cannot affect membership).
+    * Column names of the two sides must be disjoint. */
+  def bandRangeJoin(left: DataFrame, right: DataFrame,
+                    leftVal: String, rightVal: String, radius: Double): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "band range join requires disjoint column names")
+    val b: Column = floor(col(s"`$leftVal`") / radius)
+    val probe = left.withColumn("_band", explode(array(b - 1, b, b + 1)))
+    val build = right.withColumn("_band", floor(col(s"`$rightVal`") / radius))
+    // residual kept in two-sided form (not abs(a−b) ≤ r): a±r is exact
+    // fp arithmetic on the probe constant, matching how a range engine
+    // (and the DuckDB IEJoin oracle) evaluates BETWEEN — an abs()
+    // difference could flip membership of exact-boundary pairs
+    probe.join(build, Seq("_band"))
+      .filter(col(s"`$rightVal`") >= col(s"`$leftVal`") - radius
+        && col(s"`$rightVal`") <= col(s"`$leftVal`") + radius)
+      .drop("_band")
+  }
+
+  /** Keep the last row per key under `order` (ascending — the LAST in
+    * that order wins), e.g. latest-record dedup by (key, seq). */
+  def dedupeKeepLast(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)
+      .orderBy(order.map(c => col(s"`$c`").desc): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+}

@@ -14,11 +14,11 @@ import graft.core.Tables
 object SessionQueries {
 
   /** As-of join: for every "reading" event attach the most recent "mark"
-    * value at or before its timestamp, per user. Spark formulation: tag
-    * both sides, union, and carry the last non-null mark value forward
-    * with an ordered window (marks sort before readings at equal ts) —
-    * one shuffle on the user key, no range-condition join blow-up.
-    * The oracle is DuckDB's native ASOF LEFT JOIN.
+    * value at or before its timestamp, per user — via the library
+    * operator [[graft.operators.TemporalOps.asofJoin]] (union + ordered
+    * last-non-null window; one shuffle on the user key, no
+    * range-condition join blow-up), so the REUSABLE operator is what the
+    * driver proves against DuckDB's native ASOF LEFT JOIN.
     *
     * Scale: this is the 100 TB shape for as-of enrichment — a union +
     * keyed window beats a theta-join (which Spark would execute as a
@@ -26,22 +26,15 @@ object SessionQueries {
   def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val readings = ev.filter(col("event_id") % 2 === 0)
-      .select(col("user_id"), col("event_id"), col("ts"), lit(1).as("is_reading"),
-        lit(null).cast("double").as("mark_value"))
+      .select(col("user_id"), col("event_id"), col("ts"))
     // dedup marks to one per (user, ts) — ties would make as-of ambiguous
-    val markW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
-    val marks = ev.filter(col("event_id") % 2 === 1)
-      .withColumn("rn", row_number().over(markW)).filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("ts"), lit(0).as("is_reading"),
-        col("value").as("mark_value"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("is_reading"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    readings.unionByName(marks)
-      .withColumn("asof_value", last("mark_value", ignoreNulls = true).over(w))
-      .filter(col("is_reading") === 1)
+    val marks = graft.operators.TemporalOps.dedupeKeepLast(
+      ev.filter(col("event_id") % 2 === 1), Seq("user_id", "ts"), Seq("event_id"))
+      .select(col("user_id"), col("ts"), col("value").as("mark_value"))
+    graft.operators.TemporalOps
+      .asofJoin(readings, marks, Seq("user_id"), "ts", Seq("mark_value"))
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("r_us"), col("asof_value"))
+        unix_micros(col("ts")).as("r_us"), col("mark_value").as("asof_value"))
   }
 
   val q38AsofJoinSql: String =
@@ -59,28 +52,21 @@ object SessionQueries {
       |FROM readings r
       |ASOF LEFT JOIN marks m ON r.user_id = m.user_id AND r.ts >= m.ts""".stripMargin
 
-  /** Batch gap-based sessionization (30-minute gap): lag + cumulative
-    * session counter + per-session aggregates — the batch twin of
-    * [[graft.streaming.StreamingOps.sessionize]]. Sums in exact cents,
-    * timestamps as epoch-µs (cross-engine determinism). */
-  def q39Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("prev_ts", lag("ts", 1).over(ord))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull
-          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new").over(
-        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  /** Batch gap-based sessionization (30-minute gap) via the library
+    * operator [[graft.operators.TemporalOps.sessionize]] (lag +
+    * cumulative session counter), then per-session aggregates — the
+    * batch twin of [[graft.streaming.StreamingOps.sessionize]]. Sums in
+    * exact cents, timestamps as epoch-µs (cross-engine determinism). */
+  def q39Sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TemporalOps.sessionize(
+      Tables.events(spark, dir), Seq("user_id"), "ts",
+      gapMicros = 30L * 60L * 1000000L, tieBreak = Seq("event_id"))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"),
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
-  }
 
   val q39SessionizeSql: String =
     """WITH flagged AS (
@@ -115,15 +101,10 @@ object SessionQueries {
     * (IEJoin) over the same BETWEEN predicate. */
   def q40RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
-    val probe = p.withColumn("band",
-      explode(array(floor(col("p_retailprice")) - 1, floor(col("p_retailprice")),
-        floor(col("p_retailprice")) + 1)))
-    val build = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
-      .withColumn("band", floor(col("b_price")))
-    probe.join(build, Seq("band"))
-      .filter(col("b_key") =!= col("p_partkey")
-        && col("b_price") >= col("p_retailprice") - 1.0
-        && col("b_price") <= col("p_retailprice") + 1.0)
+    val b = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+    graft.operators.TemporalOps
+      .bandRangeJoin(p, b, "p_retailprice", "b_price", radius = 1.0)
+      .filter(col("b_key") =!= col("p_partkey"))
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("n_close"), min("b_key").as("min_neighbor"))
   }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge-case coverage for the reusable temporal operators; their bulk
+  * correctness is driver-proven via q38/q39/q40 against DuckDB's native
+  * ASOF JOIN / IEJoin. */
+class TemporalOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asofJoin: no earlier mark → null; equal-ts mark wins; latest mark carried") {
+    val left = Seq(
+      (1L, 100L, "2025-01-01 10:00:00"),
+      (1L, 101L, "2025-01-01 12:00:00"),
+      (2L, 200L, "2025-01-01 09:00:00")
+    ).toDF("user_id", "event_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val right = Seq(
+      (1L, "2025-01-01 10:00:00", 5.0), // equal ts → counts (at-or-before)
+      (1L, "2025-01-01 11:00:00", 7.0),
+      (2L, "2025-01-01 09:30:00", 9.0)  // after the only user-2 reading
+    ).toDF("user_id", "s", "mark").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = TemporalOps.asofJoin(left, right, Seq("user_id"), "ts", Seq("mark"))
+      .select("event_id", "mark").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(100L).contains(5.0))  // equal-timestamp mark attaches
+    assert(out(101L).contains(7.0))  // latest at-or-before
+    assert(out(200L).isEmpty)        // mark is in the future → null
+  }
+
+  test("sessionize: gap strictly greater than threshold splits; exact gap does not") {
+    val df = Seq(
+      (1L, "2025-01-01 10:00:00"),
+      (1L, "2025-01-01 10:30:00"), // exactly 30 min → same session
+      (1L, "2025-01-01 11:00:01")  // 30 min + 1 s → new session
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val ids = TemporalOps.sessionize(df, Seq("user_id"), "ts", 30L * 60 * 1000000)
+      .orderBy("ts").select("session_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 1L, 2L))
+  }
+
+  test("bandRangeJoin: boundary values included, cross-band pairs found") {
+    val l = Seq((1L, 10.0), (2L, 20.0)).toDF("lid", "lv")
+    val r = Seq((10L, 11.0), (11L, 9.0), (12L, 11.5), (13L, 19.999)).toDF("rid", "rv")
+    val pairs = TemporalOps.bandRangeJoin(l, r, "lv", "rv", radius = 1.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (1L, 11L), (2L, 13L))) // 11.5 is outside
+  }
+
+  test("dedupeKeepLast keeps the max-order row per key") {
+    val df = Seq((1L, 1L, "a"), (1L, 3L, "b"), (1L, 2L, "c"), (2L, 1L, "d"))
+      .toDF("k", "seq", "v")
+    val out = TemporalOps.dedupeKeepLast(df, Seq("k"), Seq("seq"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "b", 2L -> "d"))
+  }
+}

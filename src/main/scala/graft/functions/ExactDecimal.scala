@@ -48,4 +48,31 @@ object ExactDecimal {
 
   /** DuckDB: 2-decimal expr → exact cents. */
   def ddbCents(c: String): String = s"round(($c) * 100)::BIGINT"
+
+  // ------------------------------------------------- beyond-2^53 tier
+
+  /** 2-decimal column → exact cents in Decimal(38,0) — for groups whose
+    * scaled sum would overflow the long/double-exact range. */
+  def centsBig(c: Column): Column = round(c * 100).cast("decimal(38,0)")
+
+  /** [[halfUpRatio]] in Decimal(38,0) arithmetic: lifts the 2^53 bound
+    * on the |p|·2·10^s intermediate to ~10^36, i.e. past any realistic
+    * per-group sum (the sf100 ceiling documented in the README).
+    * Identical results where both are in range (property-tested);
+    * DuckDB's side needs no twin change — its integer sums widen to
+    * HUGEINT (int128) automatically, so `ddbHalfUpRatio` already
+    * computes exactly in this range. */
+  def halfUpRatioBig(p: Column, q: Column, scale: Int): Column = {
+    val s = math.pow(10, scale.toDouble).toLong
+    val sgn = when(p < 0, lit(-1.0)).otherwise(lit(1.0))
+    val pd = abs(p).cast("decimal(38,0)")
+    val qd = q.cast("decimal(38,0)")
+    val num = pd * lit(2L * s) + qd
+    val den = qd * lit(2L)
+    // num − (num mod den) is an exact multiple of den; the decimal
+    // division result is integral, so no precision is lost before the
+    // final double cast (k itself is a small rounded ratio)
+    val k = ((num - pmod(num, den)) / den).cast("decimal(38,0)")
+    sgn * k.cast("double") / lit(s.toDouble)
+  }
 }

@@ -24,17 +24,27 @@ object ConnectedComponents {
 
   /** @param vertices one column `id`
     * @param edges    columns `src`, `dst` (undirected; duplicates fine)
-    * @return (id, component) where component = min id reachable */
+    * @return (id, component) where component = min id reachable
+    *
+    * Only EDGE-TOUCHED vertices enter the iteration — isolated vertices
+    * are trivially their own component and ride along as a static union
+    * branch. In a near-dup graph the touched set is a small fraction of
+    * the corpus, so per-iteration shuffle volume tracks the edge set,
+    * not the corpus size. */
   def components(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val bi = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
+    val endpoints = bi.select(col("src").as("id")).distinct()
+    val untouched = vertices.join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
     // localCheckpoint (not cache): iterative plans grow exponentially in
     // lineage depth — truncating per iteration keeps the logical plan
     // O(1) regardless of iteration count
     val idType = vertices.schema("id").dataType
-    var labels = vertices.select(col("id"), col("id").as("component"))
+    var labels = vertices.join(endpoints, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -57,6 +67,6 @@ object ConnectedComponents {
       i += 1
     }
     bi.unpersist()
-    labels
+    labels.unionByName(untouched)
   }
 }

@@ -28,6 +28,18 @@ case class Session(user_id: Long, n_events: Long, value_sum: Double,
 
 case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
 
+/** Input event for [[StreamingOps.asofEnrich]] (top-level for encoders):
+  * a mark (is_mark=true) updates per-key state; a reading is emitted
+  * enriched with the latest at-or-before mark value. */
+case class AsofEvent(user_id: Long, ts: java.sql.Timestamp, is_mark: Boolean, value: Double)
+
+/** Enriched reading from [[StreamingOps.asofEnrich]]. */
+case class AsofOut(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                   asof_value: Option[Double])
+
+/** Latest-mark state for [[StreamingOps.asofEnrich]]. */
+case class MarkState(tsMs: Long, value: Double)
+
 object StreamingOps {
 
   /** Watermarked tumbling 15-minute usage per user — the streaming form
@@ -91,6 +103,42 @@ object StreamingOps {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * [[graft.operators.TemporalOps.asofJoin]]: per-key state holds the
+    * latest mark; each reading emits with the most recent at-or-before
+    * mark value. Within a micro-batch events are processed in event-time
+    * order (marks before readings at equal ts, like the batch
+    * operator); across batches the mark state persists, so a stream
+    * delivered in event-time order reproduces the batch join exactly
+    * (parity-tested). A mark older than the held state is ignored —
+    * out-of-order marks beyond a batch boundary are the documented
+    * approximation (bound it upstream with a watermark + sorted source,
+    * e.g. a compacted changelog topic). */
+  def asofEnrich(events: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[MarkState]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
+          rows.toSeq
+            .sortBy(e => (e.ts.getTime, !e.is_mark, e.value))
+            .foreach { e =>
+              if (e.is_mark) {
+                if (cur.forall(_.tsMs <= e.ts.getTime))
+                  cur = Some(MarkState(e.ts.getTime, e.value))
+              } else {
+                out += AsofOut(userId, e.ts, e.value,
+                  cur.filter(_.tsMs <= e.ts.getTime).map(_.value))
+              }
+            }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -72,6 +72,57 @@ class StreamingOpsSpec extends SparkSpec {
     assert(s.getAs[Timestamp]("end_ts") == ts("2024-01-01 00:10:00"))
   }
 
+  test("asofEnrich: marks enrich readings, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AsofEvent]
+    // batch 1: a mark, then a reading at equal ts (mark wins), one before any mark
+    in.addData(
+      AsofEvent(1L, ts("2024-01-01 09:00:00"), is_mark = false, 10.0), // no mark yet → null
+      AsofEvent(1L, ts("2024-01-01 10:00:00"), is_mark = true, 5.0),
+      AsofEvent(1L, ts("2024-01-01 10:00:00"), is_mark = false, 11.0)) // equal ts → 5.0
+    val out = StreamingOps.asofEnrich(in.toDS())
+    runToMemory(out.toDF(), "asof1")
+    val r1 = spark.sql("select * from asof1").collect()
+      .map(r => (r.getAs[Double]("value"), Option(r.get(r.fieldIndex("asof_value"))))).toMap
+    assert(r1(10.0).isEmpty)
+    assert(r1(11.0).contains(5.0))
+    // batch 2: a later reading uses batch 1's mark from state
+    in.addData(AsofEvent(1L, ts("2024-01-01 12:00:00"), is_mark = false, 12.0))
+    runToMemory(out.toDF(), "asof2")
+    val r2 = spark.sql("select * from asof2").collect()
+      .map(r => (r.getAs[Double]("value"), Option(r.get(r.fieldIndex("asof_value"))))).toMap
+    assert(r2(12.0).contains(5.0), "mark state must survive the batch boundary")
+  }
+
+  test("asofEnrich parity: in-order stream ≡ TemporalOps.asofJoin batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      AsofEvent(1L, ts("2024-01-01 08:00:00"), is_mark = true, 1.0),
+      AsofEvent(1L, ts("2024-01-01 09:00:00"), is_mark = false, 100.0),
+      AsofEvent(1L, ts("2024-01-01 09:30:00"), is_mark = true, 2.0),
+      AsofEvent(1L, ts("2024-01-01 10:00:00"), is_mark = false, 101.0),
+      AsofEvent(2L, ts("2024-01-01 08:30:00"), is_mark = false, 200.0),
+      AsofEvent(2L, ts("2024-01-01 09:00:00"), is_mark = true, 3.0),
+      AsofEvent(2L, ts("2024-01-01 09:10:00"), is_mark = false, 201.0))
+    val in = MemoryStream[AsofEvent]
+    in.addData(events: _*)
+    runToMemory(StreamingOps.asofEnrich(in.toDS()).toDF(), "asof_parity")
+    val streamed = spark.sql("select * from asof_parity").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        Option(r.get(r.fieldIndex("asof_value"))))).toSet
+
+    val df = events.toDF()
+    val readings = df.filter(!col("is_mark")).select(col("user_id"), col("ts"), col("value"))
+    val marks = df.filter(col("is_mark"))
+      .select(col("user_id"), col("ts"), col("value").as("mark_value"))
+    val batch = graft.operators.TemporalOps
+      .asofJoin(readings, marks, Seq("user_id"), "ts", Seq("mark_value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+        Option(r.get(r.fieldIndex("mark_value"))))).toSet
+    assert(streamed == batch)
+  }
+
   test("weightTxtStream: file-source incremental parse with AvailableNow") {
     val dir = java.nio.file.Files.createTempDirectory("wstream")
     java.nio.file.Files.writeString(dir.resolve("a.txt"),

@@ -22,6 +22,18 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** BPE-style pre-tokenizer regex (the published GPT-2 pattern minus
+    * its trailing-whitespace lookahead, which RE2 — the oracle's regex
+    * engine — does not support): contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs. The unit a byte-pair
+    * vocabulary merges within; counting these matches is the standard
+    * cheap pre-BPE token estimate. */
+  val BpePattern: String = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish pre-tokenization: array of pattern matches. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Polynomial rolling hash of a string: fold chars, acc*31 + ascii, mod P.
     * Deterministic & engine-independent (cf. Spark's xxhash64, which the
     * oracle could not reproduce). */
@@ -103,6 +115,13 @@ object TextFns {
   /** DuckDB: whitespace tokens, empties removed. */
   def ddbTokens(inner: String): String =
     s"list_filter(string_split_regex($inner, '\\s+'), t -> t <> '')"
+
+  /** DuckDB: BPE-ish pre-tokenizer matches ([[BpePattern]]; RE2 syntax —
+    * the pattern is written to the RE2-compatible subset). */
+  def ddbBpeTokens(inner: String): String = {
+    val p = BpePattern.replace("'", "''")
+    s"regexp_extract_all($inner, '$p')"
+  }
 
   /** DuckDB: distinct token hashes. */
   def ddbTokenHashSet(inner: String): String =

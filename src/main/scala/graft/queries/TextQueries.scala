@@ -52,13 +52,16 @@ object TextQueries {
   // ------------------------------------------------------ token stats
 
   /** Token counting: whitespace tokens, distinct tokens, mean token
-    * length — one array fold per row. */
+    * length — one array fold per row — plus the BPE-ish pre-tokenizer
+    * match count (the standard cheap pre-BPE token estimate for LLM
+    * training budgets; [[TextFns.BpePattern]]). */
   def q24TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))
     docs(spark, dir).select(
       col("doc_id"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(TextFns.bpeTokens(col("text"))).as("n_bpe_tokens"),
       ExactDecimal.halfUpRatio(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
         size(toks).cast("long"), 4).as("avg_token_len"))
@@ -69,9 +72,10 @@ object TextQueries {
     s"""SELECT doc_id,
        |  len(w) AS n_tokens,
        |  len(list_distinct(w)) AS n_distinct_tokens,
+       |  len(${TextFns.ddbBpeTokens("text")})::INT AS n_bpe_tokens,
        |  ${ExactDecimal.ddbHalfUpRatio(
              "list_sum(list_transform(w, t -> length(t)::BIGINT))", "len(w)", 4)} AS avg_token_len
-       |FROM (SELECT doc_id, $toks AS w FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, text, $toks AS w FROM documents)""".stripMargin
   }
 
   // ---------------------------------------------------- quality score

@@ -38,7 +38,11 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional local-iteration filter; the driver sets no filter → full run
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       if (reps > 1) runOnce(name, fn) // warm-up, untimed
       val times = Seq.fill(reps)(runOnce(name, fn)).sorted
       (name, times(times.length / 2), times.last - times.head)

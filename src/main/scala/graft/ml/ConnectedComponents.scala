@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @param vertices one column `id`
+  /** @param vertices one column `id` (must cover every edge endpoint)
     * @param edges    columns `src`, `dst` (undirected; duplicates fine)
     * @return (id, component) where component = min id reachable
     *
@@ -30,21 +30,26 @@ object ConnectedComponents {
     * are trivially their own component and ride along as a static union
     * branch. In a near-dup graph the touched set is a small fraction of
     * the corpus, so per-iteration shuffle volume tracks the edge set,
-    * not the corpus size. */
+    * not the corpus size (the fixed cost — one anti-join — is paid
+    * once, vs a corpus-wide groupBy every iteration). */
   def components(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val bi = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
     val endpoints = bi.select(col("src").as("id")).distinct()
+    // materialized NOW: it is consumed after bi.unpersist(), and lazily it
+    // would re-run the whole (possibly expensive) edge-producing pipeline
     val untouched = vertices.join(endpoints, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
     // localCheckpoint (not cache): iterative plans grow exponentially in
     // lineage depth — truncating per iteration keeps the logical plan
     // O(1) regardless of iteration count
     val idType = vertices.schema("id").dataType
-    var labels = vertices.join(endpoints, Seq("id"), "left_semi")
-      .select(col("id"), col("id").as("component"))
+    // seed = the endpoint set itself (requires edges ⊆ vertices, true of
+    // every near-dup caller — avoids a vertices⋉endpoints semi-join)
+    var labels = endpoints.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var converged = false
     var i = 0

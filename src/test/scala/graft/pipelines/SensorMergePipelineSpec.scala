@@ -143,6 +143,36 @@ class SensorMergePipelineSpec extends SparkSpec {
     assertSameFrame(fold, union)
   }
 
+  test("property: mergeAllUnioned ≡ fold on randomized file sets (overlaps, conflicts, ragged schemas)") {
+    val rnd = new scala.util.Random(1234)
+    val tsPool = (0 until 6).map(i => f"2025-11-20 01:0$i:00")
+    val colPool = Seq("A", "B", "C")
+    // values engineered to exercise every predicate branch: exact match,
+    // within-tolerance (1e-6 rel), real conflict, missing
+    val valPool = Seq("1.0", "1.000001", "2.0", "5.5", "")
+    (1 to 8).foreach { trial =>
+      val d = tmpDir()
+      val nFiles = 3 + rnd.nextInt(3)
+      val ps = (0 until nFiles).map { f =>
+        val cols = colPool.filter(_ => rnd.nextBoolean()) match {
+          case Nil => Seq("A")
+          case cs => cs
+        }
+        val rows = tsPool.filter(_ => rnd.nextBoolean()).map { t =>
+          (Seq(t) ++ cols.map(_ => valPool(rnd.nextInt(valPool.length)))).mkString(",")
+        }
+        write(d, f"S_export_20251121000$f.csv",
+          s"$bom${(Seq("Timestamp") ++ cols).mkString(",")}\n${rows.mkString("\n")}\n")
+      }
+      val frames = ps.flatMap(p => SensorMergePipeline.readNormalized(spark, p))
+      if (frames.nonEmpty) {
+        val fold = SensorMergePipeline.finalize(SensorMergePipeline.mergeSensor(spark, ps).get)
+        val union = SensorMergePipeline.finalize(SensorMergePipeline.mergeAllUnioned(frames))
+        withClue(s"trial $trial (files=$nFiles): ") { assertSameFrame(fold, union) }
+      }
+    }
+  }
+
   test("smoke: one real reference sensor merges green with plausible shape") {
     val groups = SensorMergePipeline.discover("/root/reference/data")
     assert(groups.nonEmpty)

@@ -64,6 +64,24 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(out.count() == big.select(sha2(lower(trim(col("text"))), 256)).distinct().count())
   }
 
+  test("near-dup closure at 10x: components replicate linearly, iteration tracks edges not corpus") {
+    import spark.implicits._
+    // a fixed cluster pattern (chain of 3, pair, chain of 4) replicated
+    // 10× with disjoint ids over a mostly-isolated 10k-vertex corpus
+    val pattern = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+    val edges = (0 until 10)
+      .flatMap(r => pattern.map { case (a, b) => (a + r * 1000L, b + r * 1000L) })
+      .toDF("src", "dst")
+    val verts = spark.range(0, 10000).select(col("id"))
+    val out = graft.ml.ConnectedComponents.components(verts, edges)
+    assert(out.count() == 10000, "every vertex keeps exactly one label")
+    val nonTrivial = out.groupBy("component").count().filter(col("count") > 1)
+    assert(nonTrivial.count() == 30, "3 clusters × 10 replicas")
+    // canonical = min id of each cluster
+    val mins = nonTrivial.select("component").collect().map(_.getLong(0)).toSet
+    assert(mins == (0 until 10).flatMap(r => Seq(1L, 10L, 20L).map(_ + r * 1000L)).toSet)
+  }
+
   test("top-k aggregate holds per-group state constant as groups scale 10x") {
     val e = bigEvents
     val agg = e.groupBy("user_id")

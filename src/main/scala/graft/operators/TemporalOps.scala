@@ -84,6 +84,35 @@ object TemporalOps {
       .drop("_band")
   }
 
+  private val WeekRule = "W-(SUN|MON|TUE|WED|THU|FRI|SAT)".r
+  private val MinRule = "(\\d+)min".r
+  private val DowNumber = Map( // Spark dayofweek numbering (Sunday = 1)
+    "SUN" -> 1, "MON" -> 2, "TUE" -> 3, "WED" -> 4, "THU" -> 5, "FRI" -> 6, "SAT" -> 7)
+
+  /** pandas-style resample bin label (right-closed, end-labeled — the
+    * reference's convention throughout): `"W-SUN"`…`"W-SAT"` → the
+    * target weekday at-or-after the date; `"ME"` → calendar month end;
+    * `"<n>min"` → epoch-aligned n-minute bucket (start-labeled; compose
+    * with [[graft.functions.TimeFns.timeBucket15EndLabeled]] for the
+    * end-labeled meter variant). */
+  def resampleLabel(ts: Column, rule: String): Column = rule match {
+    case WeekRule(dow) => graft.functions.TimeFns.weekEnd(to_date(ts), DowNumber(dow))
+    case "ME" => graft.functions.TimeFns.monthEnd(to_date(ts))
+    case MinRule(n) => graft.functions.TimeFns.timeBucket(ts, n.toLong * 60L)
+    case other => throw new IllegalArgumentException(s"unsupported resample rule: $other")
+  }
+
+  /** `df.resample(rule).agg(...)`: group rows into pandas-style bins of
+    * `rule` over `tsCol`, labeled `period_end`. The reference's weekly /
+    * monthly weight resamples are this operator with mean aggregates
+    * (WeightPipeline routes through here — oracle-proven via p1/q21). */
+  def resample(df: DataFrame, tsCol: String, rule: String,
+               aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "resample needs at least one aggregate")
+    df.groupBy(resampleLabel(col(s"`$tsCol`"), rule).as("period_end"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Keep the last row per key under `order` (ascending — the LAST in
     * that order wins), e.g. latest-record dedup by (key, seq). */
   def dedupeKeepLast(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {

@@ -63,29 +63,25 @@ object WeightPipeline {
       .select("date_time", "Weight", "trend")
   }
 
+  private val DowRule = Map(1 -> "W-SUN", 2 -> "W-MON", 3 -> "W-TUE",
+    4 -> "W-WED", 5 -> "W-THU", 6 -> "W-FRI", 7 -> "W-SAT")
+
+  private def meanResample(wide: DataFrame, rule: String): DataFrame =
+    graft.operators.TemporalOps.resample(wide, "date_time", rule, Seq(
+      round(avg("Weight"), 1).as("average_weight"),
+      round(avg("BMI"), 1).as("average_bmi")))
+
   /** pandas resample('W-{dow}').mean().round(1) with right-closed,
     * end-labeled weekly bins (ref :327-345; SURVEY §7.4 item 4), plus the
-    * desc-ordered `weight_change = current − previous period` (item 5). */
-  def weeklyResample(wide: DataFrame, targetDow: Int = 1): DataFrame = {
-    val weekly = wide
-      .withColumn("period_end", TimeFns.weekEnd(to_date(col("date_time")), targetDow))
-      .groupBy("period_end")
-      .agg(
-        round(avg("Weight"), 1).as("average_weight"),
-        round(avg("BMI"), 1).as("average_bmi"))
-    withChange(weekly)
-  }
+    * desc-ordered `weight_change = current − previous period` (item 5).
+    * Routed through the generic [[graft.operators.TemporalOps.resample]]
+    * operator — the p1/q21 oracles prove that operator's bin labels. */
+  def weeklyResample(wide: DataFrame, targetDow: Int = 1): DataFrame =
+    withChange(meanResample(wide, DowRule(targetDow)))
 
   /** pandas resample('ME') monthly variant (ref :344). */
-  def monthlyResample(wide: DataFrame): DataFrame = {
-    val monthly = wide
-      .withColumn("period_end", TimeFns.monthEnd(to_date(col("date_time"))))
-      .groupBy("period_end")
-      .agg(
-        round(avg("Weight"), 1).as("average_weight"),
-        round(avg("BMI"), 1).as("average_bmi"))
-    withChange(monthly)
-  }
+  def monthlyResample(wide: DataFrame): DataFrame =
+    withChange(meanResample(wide, "ME"))
 
   /** current − previous period on the desc-sorted frame (ref :347-348):
     * `Weight - Weight.shift(-1)` where the row below is the previous

@@ -127,6 +127,73 @@ case class FloatVecL2Sq(left: Expression, right: Expression) extends VecFoldExpr
     copy(left = l, right = r)
 }
 
+/** rhp_bucket(v, nPlanes) — random-hyperplane LSH signature as an integer
+  * bucket in [0, 2^nPlanes): bit j set iff Σ_i v_i·w(j,i) > 0, with the
+  * same deterministic LCG plane weights as [[graft.functions.VecFns
+  * .rhpBucket]] (w(j,i) = ((j·dim+i)·1103515245 + 12345) mod 2^31 − 2^30,
+  * dim = the vector's length) — bit-identical to the HOF formulation and
+  * the DuckDB oracle, but a tight primitive loop instead of nPlanes×dim
+  * interpreted lambda calls. Signature cost dominates LSH blocking's
+  * per-row work (the bucket join itself is cheap), so this is the hot
+  * loop of q32/q53 at scale. */
+case class RhpBucket(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "vec_rhp_bucket"
+  override def dataType: DataType = LongType
+
+  private def elemFloat: Option[Boolean] = left.dataType match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemFloat.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${left.dataType.simpleString}")
+    else if (!right.foldable || !right.dataType.isInstanceOf[IntegerType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal int plane count")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val nPlanes: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.rhpBucket(l.asInstanceOf[ArrayData], elemFloat.get, nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val kernels = VecKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+      s"${ev.value} = $kernels.rhpBucket($a, ${elemFloat.get}, $nPlanes);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static vector kernels shared by interpreted eval and generated code
+  * (codegen emits one call; the loop runs as plain JIT-compiled JVM
+  * code — same pattern as [[TextHashKernels]]). */
+object VecKernels {
+  def rhpBucket(v: ArrayData, isFloat: Boolean, nPlanes: Int): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var j = nPlanes - 1
+    while (j >= 0) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val w = ((j.toLong * dim + i) * 1103515245L + 12345L) % 2147483648L - 1073741824L
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * w
+        i += 1
+      }
+      sig = sig * 2L + (if (dot > 0.0) 1L else 0L)
+      j -= 1
+    }
+    sig
+  }
+}
+
 /** Session-scoped registration + Column helpers. Registration is
   * idempotent and done lazily at query-construction time so the
   * expressions work with ANY SparkSession the driver hands us (no
@@ -147,6 +214,7 @@ object NativeVecFns {
   def register(spark: SparkSession): Unit = {
     reg(spark, "vec_dot", { case Seq(a, b) => FloatVecDot(a, b) })
     reg(spark, "vec_l2_sq", { case Seq(a, b) => FloatVecL2Sq(a, b) })
+    reg(spark, "vec_rhp_bucket", { case Seq(v, n) => RhpBucket(v, n) })
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -160,5 +228,10 @@ object NativeVecFns {
 
   def l2DistSq(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("vec_l2_sq", a, b)
+  }
+
+  def rhpBucket(spark: SparkSession, v: Column, nPlanes: Int): Column = {
+    register(spark)
+    call_function("vec_rhp_bucket", v, org.apache.spark.sql.functions.lit(nPlanes))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation — the final stage of a
@@ -55,20 +55,23 @@ object ConnectedComponents {
     var i = 0
     while (!converged && i < maxIter) {
       // neighbor minimum, merged with own label. The previous label rides
-      // along as `own` so convergence falls out of the SAME shuffle — the
-      // r2 version re-joined labels↔next for a changed-count, doubling
-      // per-iteration cost; now the check is a cheap scan of the
-      // checkpointed partitions (min(component) < own ⇔ label changed).
+      // along as `own` so convergence falls out of the SAME shuffle, and
+      // the changed-count is observed DURING the eager checkpoint action
+      // (CollectMetrics accumulator) — one job per iteration total. The r2
+      // version re-joined labels↔next (an extra join per round); r3
+      // scanned the checkpointed partitions (an extra job per round).
       val pushed = bi.join(labels, bi("src") === labels("id"))
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(idType).as("own"))
+      val obs = Observation(s"cc_changed_$i")
       val next = labels.select(col("id"), col("component"), col("component").as("own"))
         .unionByName(pushed)
         .groupBy("id").agg(min("component").as("component"), max("own").as("own"))
+        .observe(obs, coalesce(sum(when(col("component") =!= col("own"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      val changed = next.filter(col("component") =!= col("own")).limit(1).count()
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
+      labels = next
+      converged = obs.get("changed") == 0L
       i += 1
     }
     bi.unpersist()

@@ -172,5 +172,5 @@ object MediaOps {
     * similarity operators: features → random-hyperplane LSH bucket. */
   def featureBuckets(features: DataFrame, nPlanes: Int = 8): DataFrame =
     features.withColumn("bucket",
-      graft.functions.VecFns.rhpBucket(col("features"), FeatureDim, nPlanes))
+      graft.expr.NativeVecFns.rhpBucket(features.sparkSession, col("features"), nPlanes))
 }

@@ -69,7 +69,7 @@ object EmbeddingQueries {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      VecFns.rhpBucket(col("embedding"), Dim, 8).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val sims = a.join(b, Seq("bucket"))
@@ -124,7 +124,7 @@ object EmbeddingQueries {
     val e = df.select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      VecFns.rhpBucket(col("embedding"), dim, nbits).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
     // distinct by construction: own bucket + single-bit flips
     val probeBuckets = array(
       col("bucket") +: (0 until probes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
@@ -156,7 +156,7 @@ object EmbeddingQueries {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      VecFns.rhpBucket(col("embedding"), Dim, 8).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val pairs = a.join(b, Seq("bucket"))

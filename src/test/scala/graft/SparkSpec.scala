@@ -16,4 +16,15 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   /** sf0.001 testdata dir for cheap end-to-end checks. */
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Run `body` with the given SQL confs, restoring previous values after. */
+  def withSQLConf[T](confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -76,6 +76,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"expected a single-shuffle merge, saw $exchanges exchanges:\n$p")
   }
 
+  test("bucketed fact join runs without an Exchange on either side") {
+    // disable broadcast so the co-location (not a broadcast) carries the
+    // join — at 100 TB neither fact side is broadcastable
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      Seq(s"lineitem_bkt$tag", s"orders_bkt$tag")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val df = graft.SparkEntry.queries("q55_bucketed_join")(spark, sfDir)
+      df.collect()
+      // AQE plans print "== Final Plan ==" then repeat "== Initial Plan ==";
+      // judge only the final one
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      val joinIdx = p.indexOf("SortMergeJoin")
+      // the only Exchange allowed is ABOVE the join (the groupBy); below
+      // it both scans must feed the join bucket-aligned
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange"),
+        s"bucketed join must not shuffle its inputs:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scans must be bucket-aware:\n$p")
+    }
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

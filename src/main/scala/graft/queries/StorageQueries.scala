@@ -45,11 +45,45 @@ object StorageQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1""".stripMargin
 
+  /** Bloom-pruned selective join: 1/5 of orders are URGENT, so 4/5 of
+    * lineitem rows can never match — a ~460 KB bloom filter over the
+    * urgent order keys (built by a distributed treeAggregate, carried in
+    * the plan as a literal) prunes them BEFORE the join's exchange; the
+    * exact inner join absorbs the bloom's false positives, so results are
+    * identical to the plain join and the DuckDB oracle doesn't know the
+    * filter exists. At 100 TB this is the difference between shuffling
+    * 100 TB and shuffling 20 TB. */
+  def q56BloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val pruned = graft.expr.BloomFns.semiPrune(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_returnflag", "l_quantity"),
+      "l_orderkey", urgent, "o_orderkey")
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        sum(ExactDecimal.cents(col("l_quantity"))).as("qty_cents"))
+  }
+
+  val q56BloomPrunedJoinSql: String =
+    s"""SELECT l_returnflag,
+       |  count(*)::BIGINT AS n_items,
+       |  count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+       |  sum(${ExactDecimal.ddbCents("l_quantity")})::BIGINT AS qty_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_bucketed_join" -> (q55BucketedJoin _)
+    "q55_bucketed_join" -> (q55BucketedJoin _),
+    "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _)
   )
 
   def sql: Map[String, String] = Map(
-    "q55_bucketed_join" -> q55BucketedJoinSql
+    "q55_bucketed_join" -> q55BucketedJoinSql,
+    "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql
   )
 }

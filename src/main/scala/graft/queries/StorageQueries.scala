@@ -77,13 +77,46 @@ object StorageQueries {
        |WHERE o_orderpriority = '1-URGENT'
        |GROUP BY 1""".stripMargin
 
+  /** Z-order clustering key (the layout operator's arithmetic, driver-
+    * proven): min/max-scale l_partkey and l_suppkey to 16 bits each and
+    * Morton-interleave them. [[graft.operators.ZOrder.writeZOrdered]]
+    * range-partitions + sorts on this key; ZOrderSpec proves the written
+    * layout bounds every dimension's per-file span (the property parquet
+    * min/max skipping needs). Integer bit arithmetic on IEEE-exact scaled
+    * ranks — DuckDB reproduces z-values bit-identically. */
+  def q57ZOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.withZ(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Seq("l_partkey", "l_suppkey"), bits = 16)
+      .select(col("l_orderkey"), col("l_linenumber"), col("z").as("zval"))
+
+  val q57ZOrderSql: String =
+    """WITH s AS (
+      |  SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+      |         min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+      |  FROM lineitem
+      |),
+      |scaled AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN mxp = mnp THEN 0 ELSE floor((l_partkey - mnp)::DOUBLE * 65535 / (mxp - mnp)::DOUBLE)::BIGINT END AS sp,
+      |    CASE WHEN mxs = mns THEN 0 ELSE floor((l_suppkey - mns)::DOUBLE * 65535 / (mxs - mns)::DOUBLE)::BIGINT END AS ss
+      |  FROM lineitem, s
+      |)
+      |SELECT l_orderkey, l_linenumber,
+      |  list_sum(list_transform(range(16), b ->
+      |    (((sp >> b) & 1) << (b * 2)) + (((ss >> b) & 1) << (b * 2 + 1))))::BIGINT AS zval
+      |FROM scaled""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bucketed_join" -> (q55BucketedJoin _),
-    "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _)
+    "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _),
+    "q57_zorder" -> (q57ZOrder _)
   )
 
   def sql: Map[String, String] = Map(
     "q55_bucketed_join" -> q55BucketedJoinSql,
-    "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql
+    "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql,
+    "q57_zorder" -> q57ZOrderSql
   )
 }

@@ -110,11 +110,20 @@ object JobReportPipeline {
 
   /** Relational tail: cutoff filter → signature dedup (array equality,
     * ref :227-232) → group by job identity (first line) → snapshots
-    * sorted date-desc within job, jobs sorted by latest date desc. */
-  def grouped(blocks: Dataset[JobBlock], cutoff: String): DataFrame =
+    * sorted date-desc within job, jobs sorted by latest date desc.
+    *
+    * Dedup keeps the earliest (file_label, block_date) occurrence — the
+    * reference iterates files in sorted order and keeps the first-seen
+    * signature, so min file_label IS its semantics; `dropDuplicates`
+    * would pick an arbitrary survivor and make the output
+    * parallelism-dependent. */
+  def grouped(blocks: Dataset[JobBlock], cutoff: String): DataFrame = {
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy("lines").orderBy(col("file_label"), col("block_date"))
     blocks.toDF()
       .filter(col("block_date") >= lit(cutoff))
-      .dropDuplicates("lines")
+      .withColumn("__rn", row_number().over(firstSeen))
+      .filter(col("__rn") === 1).drop("__rn")
       .withColumn("job", element_at(col("lines"), 1))
       .groupBy("job")
       .agg(
@@ -124,6 +133,7 @@ object JobReportPipeline {
           col("block_date"), col("file_label"), col("status"), col("lines")))))
           .as("snapshots"))
       .orderBy(col("latest_date").desc, col("job").asc)
+  }
 
   /** Driver-side Markdown render (report ≪ memory; ref :121-134). */
   def renderMarkdown(groupedDf: DataFrame): String = {

@@ -1,18 +1,19 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.functions._
 import graft.pipelines._
 import graft.sources.WeightTxt
 
 /** The reference pipelines (P1-P5) surfaced through the driver contract.
   *
   * These run on the reference's own fixtures (or inline/synthetic data),
-  * not the sfDir tables, so they carry no DuckDB oracle — the driver
-  * records a rows-only check; their value correctness is covered by the
-  * golden/differential specs (ElectricityPipelineSpec's 122k-bucket
-  * DuckDB diff, SensorMergePipelineSpec, JobReportPipelineSpec,
-  * WeightPipelineSpec, MediaOpsSpec).
+  * not the sfDir tables. Every one now carries a DuckDB oracle: p2/p3
+  * read the same reference files from SQL; p1 inlines its EAV rows as
+  * VALUES; p4/p5 stage their non-SQL decode outputs as parquet during
+  * the Spark run and oracle the relational tail (the decode stages are
+  * covered by golden/differential specs — JobReportPipelineSpec,
+  * MediaCodecSpec's javax.imageio diff, WeightTxtSpec).
   */
 object RefPipelineQueries {
 
@@ -191,22 +192,96 @@ object RefPipelineQueries {
       |GROUP BY 1""".stripMargin
 
   /** P4: the MHTML job snapshots → deduped, grouped activity table.
-    * The nested snapshots array is serialized to JSON for the driver's
-    * pandas-based row check (arrays are unsortable/unhashable there);
-    * the typed pipeline output is what JobReportPipelineSpec covers. */
-  def p4JobReport(spark: SparkSession, dir: String): DataFrame =
-    JobReportPipeline.grouped(
-      JobReportPipeline.readBlocks(spark, "/root/reference/utils/job_search_mhtml"),
-      cutoff = "2020-01-01")
-      .withColumn("snapshots", to_json(col("snapshots")))
+    *
+    * Oracle strategy (same as p1's VALUES staging): the MIME walk +
+    * HTML→text decode is not SQL-expressible — it is covered by
+    * JobReportPipelineSpec's golden tests — so the parsed blocks are
+    * STAGED as parquet and both engines compute the relational tail
+    * (cutoff → first-seen dedup → group → desc-sorted snapshots) from
+    * the identical staged bytes. Snapshots are serialized with control-
+    * char separators (not to_json: cross-engine JSON formatting is not
+    * byte-stable) so the driver's pandas hash can compare them. */
+  def p4JobReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stage = P4Stage
+    JobReportPipeline.readBlocks(spark, "/root/reference/utils/job_search_mhtml")
+      .toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+    val blocks = spark.read.parquet(stage)
+      .as[graft.pipelines.JobBlock]
+    JobReportPipeline.grouped(blocks, cutoff = "2020-01-01")
+      .select(
+        col("job"),
+        col("n_snapshots"),
+        col("latest_date").cast("timestamp").as("latest_date"),
+        array_join(
+          transform(col("snapshots"), s => concat_ws("|",
+            s("block_date").cast("string"), s("file_label"), s("status"),
+            array_join(s("lines"), "\u001f"))),
+          "\u001e").as("snapshots"))
+  }
+
+  private val P4Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/p4_blocks"
+
+  /** DuckDB twin of p4's relational tail over the staged blocks. The
+    * snapshot sort is (block_date, file_label, status, lines) DESC —
+    * Spark's reverse(sort_array(struct(...))); full ties are impossible
+    * (lines are unique after dedup) and both engines compare lists
+    * element-wise with binary string order. */
+  val p4JobReportSql: String =
+    s"""WITH b AS (
+       |  SELECT block_date, file_label, status, lines,
+       |    row_number() OVER (PARTITION BY lines ORDER BY file_label, block_date) AS rn
+       |  FROM read_parquet('$P4Stage/*.parquet')
+       |  WHERE block_date >= DATE '2020-01-01'
+       |),
+       |d AS (SELECT lines[1] AS job, block_date, file_label, status, lines FROM b WHERE rn = 1)
+       |SELECT job,
+       |  count(*)::BIGINT AS n_snapshots,
+       |  max(block_date)::TIMESTAMP AS latest_date,
+       |  string_agg(
+       |    block_date::VARCHAR || '|' || file_label || '|' || status || '|' ||
+       |      array_to_string(lines, chr(31)),
+       |    chr(30)
+       |    ORDER BY block_date DESC, file_label DESC, status DESC, lines DESC) AS snapshots
+       |FROM d
+       |GROUP BY job""".stripMargin
 
   /** P5/multimodal: synthetic media → distributed feature extraction →
-    * LSH buckets. */
-  def p5MediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    graft.multimodal.MediaOps.featureBuckets(
-      graft.multimodal.MediaOps.imageFeatures(
-        graft.multimodal.MediaOps.syntheticMedia(spark, 2000)))
-      .withColumn("features", to_json(col("features")))
+    * LSH buckets.
+    *
+    * Oracle strategy mirrors p4: the codec stage (PNG/WAV decode →
+    * histogram features) is not SQL-expressible — it is differentially
+    * verified against javax.imageio in MediaCodecSpec — so the extracted
+    * features are STAGED as parquet and both engines compute the
+    * similarity tail from identical bytes: the RHP-LSH bucket (same LCG
+    * arithmetic as the q32 oracle) and a quantized feature signature
+    * (round(x·10⁴) — float→double is exact, IEEE multiply + half-away
+    * rounding agree cross-engine; raw float formatting would not). */
+  def p5MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val stage = P5Stage
+    graft.multimodal.MediaOps.imageFeatures(
+      graft.multimodal.MediaOps.syntheticMedia(spark, 2000))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val feats = spark.read.parquet(stage)
+    graft.multimodal.MediaOps.featureBuckets(feats)
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("bucket"),
+        array_join(
+          transform(col("features"),
+            x => round(x.cast("double") * 10000).cast("long").cast("string")),
+          ",").as("feat_q"))
+  }
+
+  private val P5Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/p5_features"
+
+  val p5MediaFeaturesSql: String = {
+    val bucket = graft.functions.VecFns.ddbRhpBucket("features",
+      graft.multimodal.MediaOps.FeatureDim, 8)
+    s"""SELECT media_id, kind, n_bytes,
+       |  $bucket AS bucket,
+       |  array_to_string(list_transform(features,
+       |    x -> round(x::DOUBLE * 10000)::BIGINT::VARCHAR), ',') AS feat_q
+       |FROM read_parquet('$P5Stage/*.parquet')""".stripMargin
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_weight_weekly" -> (p1Weight _),
@@ -217,12 +292,17 @@ object RefPipelineQueries {
     "q51_sensor_merge_unioned" -> (q51SensorMergeUnioned _)
   )
 
-  /** DuckDB oracles for p1/p2/p3 (p4/p5 stay rows-only — MIME walking and
-    * the media feature stub are not SQL-expressible). */
+  /** DuckDB oracles for every pipeline. p1 stages its EAV rows as VALUES;
+    * p4/p5 stage their non-SQL decode outputs (MIME blocks, media
+    * features) as parquet during the Spark run — the decode stages stay
+    * spec-proven (golden/differential), the relational tails become
+    * driver-proven. */
   def sql: Map[String, String] = Map(
     "p1_weight_weekly" -> p1WeightSql,
     "p2_sensor_merge" -> p2SensorMergeSql,
     "p3_electricity_15min" -> p3ElectricitySql,
+    "p4_job_report" -> p4JobReportSql,
+    "p5_media_features" -> p5MediaFeaturesSql,
     "q51_sensor_merge_unioned" -> p2SensorMergeSql
   )
 }

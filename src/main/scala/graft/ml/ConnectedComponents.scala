@@ -75,6 +75,83 @@ object ConnectedComponents {
       i += 1
     }
     bi.unpersist()
+    if (!converged) {
+      // diameter > maxIter: returning here would be SILENTLY wrong.
+      // Near-dup graphs are shallow so this is the pathological path —
+      // hand the whole problem to the O(log²)-round star algorithm.
+      return componentsStar(vertices, edges)
+    }
     labels.unionByName(untouched)
+  }
+
+  /** Canonical undirected edge set: (hi, lo) with hi > lo, deduped. */
+  private def canonical(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.filter(col(a) =!= col(b)).select(
+      greatest(col(a), col(b)).as("hi"),
+      least(col(a), col(b)).as("lo")).distinct()
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log² n) rounds regardless of graph DIAMETER, vs the
+    * diameter-bound rounds of [[components]]' label propagation:
+    *
+    *  - large-star: every node points its strictly-larger neighbors at
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node points its smaller neighbors (and itself)
+    *    at the smallest of them.
+    *
+    * Both steps preserve connectivity and only ever contract toward the
+    * component minimum; the fixed point is a star per component rooted
+    * at its minimum id. Per round: two groupBy+join shuffles keyed on
+    * vertex id — heavier per round than label propagation, so this is
+    * the PATHOLOGICAL-DIAMETER path (long chains), not the default for
+    * shallow near-dup graphs. Fixed point is detected by an observed
+    * (count, hash-sum) signature of the edge set riding the checkpoint
+    * action. */
+  def componentsStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    var e = canonical(edges, "src", "dst").localCheckpoint(true)
+    val untouched = vertices
+      .join(e.select(col("hi").as("id")).unionByName(e.select(col("lo").as("id"))).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var sig = (-1L, 0L)
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (x, m(u)) for x ∈ Γ(u), x > u
+      val bi = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mn = bi.groupBy("u").agg(min("v").as("mnv"))
+        .select(col("u"), least(col("mnv"), col("u")).as("m"))
+      val afterLarge = canonical(
+        bi.filter(col("v") > col("u")).join(mn, "u").select(col("v"), col("m")), "v", "m")
+      // small-star: each canonical edge (hi, lo) IS hi's smaller
+      // neighborhood; emit (x, m(hi)) for every smaller neighbor x and
+      // for hi itself
+      val m2 = afterLarge.groupBy("hi").agg(min("lo").as("m"))
+      val emitted = afterLarge.join(m2, "hi").select(col("lo").as("a"), col("m").as("b"))
+        .unionByName(m2.select(col("hi").as("a"), col("m").as("b")))
+      val obs = Observation(s"cc_star_$i")
+      val next = canonical(emitted, "a", "b")
+        .observe(obs,
+          count(lit(1)).as("cnt"),
+          // mod 2^31 keeps the sum inside a long for any realistic edge
+          // count (ANSI mode: a raw xxhash64 sum overflows)
+          coalesce(sum(pmod(xxhash64(col("hi"), col("lo")), lit(1L << 31))), lit(0L)).as("hsum"))
+        .localCheckpoint(true)
+      val nextSig = (obs.get("cnt").asInstanceOf[Long], obs.get("hsum").asInstanceOf[Long])
+      stable = nextSig == sig
+      sig = nextSig
+      e = next
+      i += 1
+    }
+    // fixed point: every edge is (member, component-min root)
+    val members = e.groupBy(col("hi")).agg(min("lo").as("component"))
+      .select(col("hi").as("id"), col("component"))
+    val roots = e.select(col("lo").as("id")).distinct()
+      .join(e.select(col("hi").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.unionByName(roots).unionByName(untouched)
   }
 }

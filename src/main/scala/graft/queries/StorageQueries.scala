@@ -108,15 +108,47 @@ object StorageQueries {
       |    (((sp >> b) & 1) << (b * 2)) + (((ss >> b) & 1) << (b * 2 + 1))))::BIGINT AS zval
       |FROM scaled""".stripMargin
 
+  /** Incremental aggregate maintenance — the nightly-ETL algebra: keep a
+    * materialized partial-aggregate state (key, sum, count), aggregate
+    * only the newly-arrived delta, and MERGE (union + re-aggregate of the
+    * partials) instead of recomputing history. Sums and counts are
+    * commutative monoids, so merged state ≡ full recompute — which is
+    * exactly what the oracle asserts: the DuckDB side is the blind full
+    * recompute over all rows. At 100 TB the delta path reads one day, not
+    * five years; the merge shuffles `keys × 2` partial rows, not data. */
+  def q58IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1999-01-01"
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(ExactDecimal.cents(col("o_totalprice"))).as("tp_cents"),
+        count(lit(1)).as("n_orders"))
+    val o = Tables.orders(spark, dir)
+    val state = partial(o.filter(col("o_orderdate") < cut))  // the stored MV
+    val delta = partial(o.filter(col("o_orderdate") >= cut)) // today's batch
+    state.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("tp_cents").as("tp_cents"), sum("n_orders").as("n_orders"))
+  }
+
+  val q58IncrementalAggSql: String =
+    s"""SELECT o_orderpriority,
+       |  sum(${ExactDecimal.ddbCents("o_totalprice")})::BIGINT AS tp_cents,
+       |  count(*)::BIGINT AS n_orders
+       |FROM orders
+       |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bucketed_join" -> (q55BucketedJoin _),
     "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _),
-    "q57_zorder" -> (q57ZOrder _)
+    "q57_zorder" -> (q57ZOrder _),
+    "q58_incremental_agg" -> (q58IncrementalAgg _)
   )
 
   def sql: Map[String, String] = Map(
     "q55_bucketed_join" -> q55BucketedJoinSql,
     "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql,
-    "q57_zorder" -> q57ZOrderSql
+    "q57_zorder" -> q57ZOrderSql,
+    "q58_incremental_agg" -> q58IncrementalAggSql
   )
 }

@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("shingle_hashes", { case Seq(a, b) => ShingleHashes(a, b) }))
     ext.injectFunction(fn("minhash_sig", { case Seq(c) => MinHashSig(c) }))
     ext.injectFunction(fn("top_k_by_score", { case Seq(s, i, k) => TopKByScore(s, i, k) }))
+    ext.injectFunction(fn("bloom_might_contain", { case Seq(k, b) => BloomMightContain(k, b) }))
   }
 }

@@ -29,10 +29,14 @@ import graft.functions.{ExactDecimal, TextFns}
   */
 object CorpusPrepQueries {
 
-  /** Survivors of the full prep sweep, with their stats. */
-  def q54CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+  /** The stateless per-row front-end (quality score + language ID) —
+    * shared by the batch sweep and its streaming twin
+    * ([[graft.streaming.StreamingOps.corpusPrepStream]]): pure column
+    * expressions, so it applies to a static OR streaming DataFrame with
+    * a `text` column unchanged. */
+  def scoreAndLang(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
+    val scored = docs
       .withColumn("n", size(toks).cast("long"))
       .withColumn("st", TextFns.markerCount(toks, Seq("the", "a")).cast("long"))
       .withColumn("di", size(array_distinct(toks)).cast("long"))
@@ -46,12 +50,17 @@ object CorpusPrepQueries {
       .withColumn("es_n", TextFns.markerCount(toks, Seq("el", "los", "las", "y", "es")))
       .withColumn("fr_n", TextFns.markerCount(toks, Seq("le", "les", "et", "est", "dans")))
     val best = greatest(col("en_n"), col("de_n"), col("es_n"), col("fr_n"))
-    val langed = scored.withColumn("pred_lang",
+    scored.withColumn("pred_lang",
       when(best === 0, "und")
         .when(col("en_n") === best, "en")
         .when(col("de_n") === best, "de")
         .when(col("es_n") === best, "es")
         .otherwise("fr"))
+  }
+
+  /** Survivors of the full prep sweep, with their stats. */
+  def q54CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val langed = scoreAndLang(Tables.documents(spark, dir))
     // threshold filter BEFORE the dedup shuffle — less data moves
     val kept = langed.filter(col("quality_score") >= 0.7)
     val w = Window.partitionBy("text_hash")

@@ -62,6 +62,23 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicates(Seq("user_id", "ts"))
 
+  /** Streaming corpus-prep front-end: the SAME stateless quality/lang
+    * columns as batch q54 ([[graft.queries.CorpusPrepQueries
+    * .scoreAndLang]] — pure column expressions apply to a streaming
+    * frame unchanged), then content-hash dedup keeping the FIRST
+    * arrival, state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`: the hash key carries no event
+    * time, so plain dropDuplicates would hold state forever). Batch q54
+    * keeps the MIN doc_id per hash; when arrival order follows doc_id
+    * the survivor sets coincide — StreamBatchParitySpec asserts it. */
+  def corpusPrepStream(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    graft.queries.CorpusPrepQueries.scoreAndLang(docs)
+      .filter(col("quality_score") >= threshold)
+      .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+      .select("doc_id", "pred_lang", "quality_score", "text_hash")
+
   /** Gap-based sessionization via `flatMapGroupsWithState` — the custom-
     * state operator of SURVEY §2.9's extension list. A session closes
     * when no event arrives for `gapMinutes` (processing-time timeout —

@@ -47,4 +47,39 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(mism == 0, "stream and batch aggregations must agree bucket-for-bucket")
     assert(streamed.count() == batch.count())
   }
+
+  test("streaming corpus prep ≡ batch front-end on the documents table (id-ordered arrival)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // id-ordered arrival, one synthetic minute apart
+    in.addData(docs.zipWithIndex.map { case ((id, text), i) =>
+      (id, text, java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(i.toLong)))
+    }.toSeq)
+    val stream = StreamingOps.corpusPrepStream(in.toDF().toDF("doc_id", "text", "ts"))
+    val q = stream.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("select doc_id, pred_lang from corpus_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    // batch truth: same filter, canonical MIN doc_id per content hash —
+    // equal to first-arrival under id-ordered replay
+    val batch = graft.queries.CorpusPrepQueries
+      .scoreAndLang(graft.core.Tables.documents(spark, sfDir))
+      .filter(col("quality_score") >= 0.7)
+      .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
+      .withColumn("canonical_id",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("text_hash")))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "pred_lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    assert(streamed == batch,
+      s"stream kept ${streamed.length} docs, batch kept ${batch.length}")
+  }
 }

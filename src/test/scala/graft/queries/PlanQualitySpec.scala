@@ -49,8 +49,10 @@ class PlanQualitySpec extends SparkSpec {
     // the "*(n)" prefix marks operators fused into WholeStageCodegen stage n
     assert(p28.contains("*(1) Project"), s"expected codegen'd projection:\n$p28")
     assert(p28.contains("poly_hash") && p28.contains("min_gram_hash"))
-    val p31 = plan("q31_cosine_topk")
-    assert(p31.contains("vec_dot"))
+    // q31 moved to the dense mapPartitions tier; q32 carries the
+    // relational vec_dot / native-bucket plan shape
+    val p32 = plan("q32_ann_lsh")
+    assert(p32.contains("vec_dot") && p32.contains("vec_rhp_bucket"))
   }
 
   test("windows are keyed (no single-partition window in the raw-data path)") {

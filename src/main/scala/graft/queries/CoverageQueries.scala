@@ -202,7 +202,63 @@ object CoverageQueries {
        |FROM lineitem
        |GROUP BY 1""".stripMargin
 
+  /** Sketch quantiles, self-validating (the q41 pattern): the KLL-style
+    * `approx_percentile` sketch is not bit-reproducible cross-engine, so
+    * the query emits exact quantiles (round(…,4) — the proven q45
+    * convention) plus booleans asserting the sketch landed inside a
+    * ±5-percentile-rank window around its target; the oracle computes the
+    * exact side and expects the bounds to hold (`true`). At 100 TB the
+    * sketch is the only affordable form — it merges partials map-side
+    * (mergeable summaries), where exact percentile sorts every group. */
+  def q59ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("a99"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.94)").as("lo99"),
+        max(col("l_extendedprice")).as("hi99"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p99_exact"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("approx50_ok"),
+        (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("approx99_ok"))
+
+  val q59ApproxQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      |  true AS approx50_ok,
+      |  true AS approx99_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Salted broadcast join under the gate: the hot-key mitigation
+    * (replicate the small side across salt buckets, join on (key, salt)
+    * so one skewed key spreads over `buckets` tasks) must be result-
+    * invariant — the oracle is the plain join. */
+  def q60SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val ords = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    graft.functions.SkewFns.saltedBroadcastJoin(li, ords, "l_orderkey", buckets = 16)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(graft.functions.ExactDecimal.cents(col("l_quantity"))).as("qty_cents"))
+  }
+
+  val q60SaltedJoinSql: String =
+    s"""SELECT o_orderpriority,
+       |  count(*)::BIGINT AS n_items,
+       |  sum(${graft.functions.ExactDecimal.ddbCents("l_quantity")})::BIGINT AS qty_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_approx_quantiles" -> (q59ApproxQuantiles _),
+    "q60_salted_join" -> (q60SaltedJoin _),
     "q52_salted_agg" -> (q52SaltedAgg _),
     "q49_stratified_sample" -> (q49StratifiedSample _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
@@ -214,6 +270,8 @@ object CoverageQueries {
   )
 
   def sql: Map[String, String] = Map(
+    "q59_approx_quantiles" -> q59ApproxQuantilesSql,
+    "q60_salted_join" -> q60SaltedJoinSql,
     "q52_salted_agg" -> q52SaltedAggSql,
     "q49_stratified_sample" -> q49StratifiedSampleSql,
     "q41_approx_distinct" -> q41ApproxDistinctSql,

@@ -214,17 +214,18 @@ object CoverageQueries {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_exact"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("a99"),
-        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.94)").as("lo99"),
-        max(col("l_extendedprice")).as("hi99"))
-      .select(col("l_returnflag"), col("p50_exact"), col("p99_exact"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("approx50_ok"),
-        (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("approx99_ok"))
+        // ONE exact-percentile buffer for all five ranks (array form) —
+        // five separate calls would sort the group five times
+        expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.94, 0.99))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("ap"),
+        max(col("l_extendedprice")).as("mx"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ex"), 2), 4).as("p50_exact"),
+        round(element_at(col("ex"), 5), 4).as("p99_exact"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 3)).as("approx50_ok"),
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+          element_at(col("ap"), 2) <= col("mx")).as("approx99_ok"))
 
   val q59ApproxQuantilesSql: String =
     """SELECT l_returnflag,
@@ -235,25 +236,27 @@ object CoverageQueries {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Salted broadcast join under the gate: the hot-key mitigation
-    * (replicate the small side across salt buckets, join on (key, salt)
-    * so one skewed key spreads over `buckets` tasks) must be result-
-    * invariant — the oracle is the plain join. */
+    * (replicate the SMALL side across salt buckets, join on (key, salt)
+    * so one skewed fact key spreads over `buckets` tasks) must be
+    * result-invariant — the oracle is the plain join. The broadcast side
+    * is the supplier dim (small by design: replication multiplies it by
+    * `buckets`, which is only affordable for a genuine dim table). */
   def q60SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
-    val ords = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
-      .withColumnRenamed("o_orderkey", "l_orderkey")
-    graft.functions.SkewFns.saltedBroadcastJoin(li, ords, "l_orderkey", buckets = 16)
-      .groupBy("o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    graft.functions.SkewFns.saltedBroadcastJoin(li, sup, "l_suppkey", buckets = 16)
+      .groupBy("s_nationkey")
       .agg(
         count(lit(1)).as("n_items"),
         sum(graft.functions.ExactDecimal.cents(col("l_quantity"))).as("qty_cents"))
   }
 
   val q60SaltedJoinSql: String =
-    s"""SELECT o_orderpriority,
+    s"""SELECT s_nationkey,
        |  count(*)::BIGINT AS n_items,
        |  sum(${graft.functions.ExactDecimal.ddbCents("l_quantity")})::BIGINT AS qty_cents
-       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY 1""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

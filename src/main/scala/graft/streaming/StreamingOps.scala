@@ -79,6 +79,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("text_hash"))
       .select("doc_id", "pred_lang", "quality_score", "text_hash")
 
+  /** Stream-stream inner join with event-time bounds — the attribution
+    * shape (each click joins its impression within a 10-minute window).
+    * The time-range predicate is what makes unbounded-stream joins
+    * executable: watermarks on BOTH sides plus the bound let Spark drop
+    * buffered impressions once no qualifying click can still arrive, so
+    * state is O(window), not O(stream). Batch parity asserted in
+    * StreamingOpsSpec. */
+  def windowedStreamJoin(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    impressions.withWatermark("imp_ts", "10 minutes")
+      .join(
+        clicks.withWatermark("click_ts", "10 minutes"),
+        expr("""imp_id = click_imp_id AND
+                click_ts >= imp_ts AND
+                click_ts <= imp_ts + interval 10 minutes"""))
+      .select(col("imp_id"), col("imp_ts"), col("click_ts"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("imp_ts"))).as("latency_s"))
+
   /** Gap-based sessionization via `flatMapGroupsWithState` — the custom-
     * state operator of SURVEY §2.9's extension list. A session closes
     * when no event arrives for `gapMinutes` (processing-time timeout —

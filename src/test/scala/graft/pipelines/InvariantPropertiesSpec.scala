@@ -67,6 +67,23 @@ class InvariantPropertiesSpec extends SparkSpec {
     assert(total == events, "sessions must partition all events exactly")
   }
 
+  test("property: incremental-agg merge ≡ full recompute for ANY cut date (q58 invariant)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.core.Tables.orders(spark, sfDir)
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderpriority")
+      .agg(sum(graft.functions.ExactDecimal.cents(col("o_totalprice"))).as("tp"),
+        count(lit(1)).as("n"))
+    val full = partial(o).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (cut <- Seq("1995-06-01", "1997-01-01", "1999-12-31", "1994-01-01", "2002-01-01")) {
+      val merged = partial(o.filter(col("o_orderdate") < cut))
+        .unionByName(partial(o.filter(col("o_orderdate") >= cut)))
+        .groupBy("o_orderpriority").agg(sum("tp").as("tp"), sum("n").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(merged == full, s"cut $cut — incl. empty-side cuts (monoid identity)")
+    }
+  }
+
   test("property: LSH candidates are a subset of brute-force near pairs (q30 vs q27 relation)") {
     val lsh = graft.queries.TextQueries.q30MinHashLsh(spark, sfDir)
       .filter(col("jaccard") >= 0.05)

@@ -123,6 +123,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("windowedStreamJoin: stream-stream time-bounded join ≡ batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    imps.addData(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:05:00")),
+      (3L, ts("2024-01-01 00:20:00")),
+      (9L, ts("2024-01-01 02:00:00"))) // advances the impression watermark
+    clicks.addData(
+      (1L, ts("2024-01-01 00:04:00")),  // within window → joins
+      (2L, ts("2024-01-01 00:30:00")),  // 25 min later → outside window
+      (3L, ts("2024-01-01 00:20:30")),  // 30 s later → joins
+      (7L, ts("2024-01-01 00:06:00")),  // no impression → drops
+      (9L, ts("2024-01-01 02:30:00"))) // advances the click watermark
+    val impDf = imps.toDF().toDF("imp_id", "imp_ts")
+    val clickDf = clicks.toDF().toDF("click_imp_id", "click_ts")
+    runToMemory(StreamingOps.windowedStreamJoin(impDf, clickDf), "attributed")
+    val streamed = spark.sql("select imp_id, latency_s from attributed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == Seq((1L, 240L), (3L, 30L)))
+  }
+
   test("weightTxtStream: file-source incremental parse with AvailableNow") {
     val dir = java.nio.file.Files.createTempDirectory("wstream")
     java.nio.file.Files.writeString(dir.resolve("a.txt"),

@@ -146,6 +146,11 @@ object ConnectedComponents {
       e = next
       i += 1
     }
+    // unlike pre-fixpoint propagation labels (which are merely stale),
+    // extracting from a non-star edge set would be WRONG — refuse
+    if (!stable) throw new IllegalStateException(
+      s"componentsStar did not reach a fixed point in $maxIter rounds — " +
+        "raise maxIter (rounds grow ~log² in component size)")
     // fixed point: every edge is (member, component-min root)
     val members = e.groupBy(col("hi")).agg(min("lo").as("component"))
       .select(col("hi").as("id"), col("component"))

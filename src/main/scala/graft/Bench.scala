@@ -28,10 +28,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JVM/codegen startup isn't billed to the first query
     graft.core.Tables.lineitem(spark, sfDir).limit(1).count()
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None = the query threw. A failed query must NOT contribute its
+    // (near-zero) duration to the median/total — a regression that makes a
+    // query fail would otherwise read as a speedup in the BENCH JSON.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates — drop them so no query is
       // billed for (or starved by) another's cache; then collect garbage
@@ -40,7 +44,7 @@ object Bench {
       // showed 2.9 s for a 0.4 s aggregate — cross-query GC billing)
       spark.catalog.clearCache()
       System.gc()
-      dt
+      if (ok) Some(dt) else None
     }
     // optional local-iteration filter; the driver sets no filter → full run
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
@@ -48,16 +52,20 @@ object Bench {
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
       if (reps > 1) runOnce(name, fn) // warm-up, untimed
-      val times = Seq.fill(reps)(runOnce(name, fn)).sorted
-      (name, times(times.length / 2), times.last - times.head)
+      val times = Seq.fill(reps)(runOnce(name, fn)).flatten.sorted
+      if (times.isEmpty) (name, None: Option[Double], 0.0)
+      else (name, Some(times(times.length / 2)), times.last - times.head)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, None, _) => k }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
     val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val spread = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"},"spreads":$sp}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"},"failed":$failedJson,"spreads":$sp}""")
     spark.stop()
   }
 }

@@ -148,22 +148,45 @@ object MediaCodec {
     bb.array()
   }
 
+  /** Walk the RIFF chunk list and return (offset-past-header, length) of
+    * the first chunk with the given 4CC id. Real encoders interleave
+    * LIST/fact/cue chunks before `data`, so fixed offsets 20/36 silently
+    * read garbage on valid files — chunk-walking is the only correct
+    * parse (mirrors how pngDecodeGray walks PNG chunks). */
+  private def riffChunk(bytes: Array[Byte], id: String): (Int, Int) = {
+    require(bytes.length >= 12 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val cid = new String(bytes, off, 4, "US-ASCII")
+      val len = bb.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"corrupt RIFF chunk $cid at $off")
+      if (cid == id) return (off + 8, len)
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    throw new IllegalArgumentException(s"WAV has no '$id' chunk")
+  }
+
   /** Header-only WAV parse: the sample rate from the fmt chunk. */
   def wavSampleRate(bytes: Array[Byte]): Int = {
-    require(bytes.length >= 44 && new String(bytes, 0, 4, "US-ASCII") == "RIFF", "not a WAV")
-    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt(24)
+    val (off, len) = riffChunk(bytes, "fmt ")
+    require(len >= 16, "fmt chunk too short")
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt(off + 4)
   }
 
   /** Decode a PCM16 mono WAV: (sampleRate, samples). */
   def wavDecodePcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(bytes.length >= 44 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
-    val sampleRate = bb.getInt(24)
-    val dataLen = bb.getInt(40)
+    val (fmtOff, fmtLen) = riffChunk(bytes, "fmt ")
+    require(fmtLen >= 16, "fmt chunk too short")
+    require(bb.getShort(fmtOff) == 1 && bb.getShort(fmtOff + 2) == 1 &&
+      bb.getShort(fmtOff + 14) == 16, "only PCM16 mono supported")
+    val sampleRate = bb.getInt(fmtOff + 4)
+    val (dataOff, dataLen) = riffChunk(bytes, "data")
     val samples = new Array[Short](dataLen / 2)
     var i = 0
-    while (i < samples.length) { samples(i) = bb.getShort(44 + i * 2); i += 1 }
+    while (i < samples.length) { samples(i) = bb.getShort(dataOff + i * 2); i += 1 }
     (sampleRate, samples)
   }
 }

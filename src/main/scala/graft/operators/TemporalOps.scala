@@ -18,6 +18,11 @@ object TemporalOps {
     * one shuffle on the key, via union + ordered last-non-null window
     * (right rows sort before left rows at equal timestamps).
     *
+    * The right row's value columns travel as ONE struct, so the latest
+    * right row wins atomically — including any NULL fields it carries
+    * (per-column `last(ignoreNulls)` would skip a NULL and resurrect an
+    * older row's value, which is not what DuckDB's ASOF JOIN returns).
+    *
     * Requirements: `right` has at most one row per (by, ts) — pre-dedupe
     * with [[dedupeKeepLast]] if not (ties make as-of ambiguous in any
     * engine); `valueCols` must not collide with left column names. */
@@ -25,10 +30,13 @@ object TemporalOps {
                valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty && !valueCols.exists(left.columns.contains),
       "valueCols must be non-empty and absent from the left side")
-    val lTagged = valueCols.foldLeft(left.withColumn("_asof_side", lit(1))) { (d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val rBase = right.select(((by :+ ts) ++ valueCols).map(c => col(s"`$c`")): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(right.schema.fieldIndex(c))))
+    val lTagged = left.withColumn("_asof_side", lit(1))
+      .withColumn("_asof_payload", lit(null).cast(payloadType))
+    val rBase = right
+      .select((by :+ ts).map(c => col(s"`$c`"))
+        :+ struct(valueCols.map(c => col(s"`$c`")): _*).as("_asof_payload"): _*)
       .withColumn("_asof_side", lit(0))
     val rTagged = left.columns.toSeq.diff(by :+ ts).foldLeft(rBase) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -36,10 +44,11 @@ object TemporalOps {
     val w = Window.partitionBy(by.map(c => col(s"`$c`")): _*)
       .orderBy(col(s"`$ts`").asc, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
-      d.withColumn(c, last(s"`$c`", ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_asof_side") === 1).drop("_asof_side")
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("_asof_payload", last("_asof_payload", ignoreNulls = true).over(w))
+    filled.filter(col("_asof_side") === 1)
+      .select(left.columns.map(c => col(s"`$c`"))
+        ++ valueCols.map(c => col("_asof_payload").getField(c).as(c)): _*)
   }
 
   /** Gap-based sessionization: adds a `session_id` column (1-based, per

@@ -59,8 +59,46 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(wav.length == 44 + samples.length * 2)
   }
 
+  test("WAV with extra RIFF chunks (LIST before fmt/data) still parses correctly") {
+    // r3/r4 advice: real encoders interleave LIST/fact chunks; fixed offsets
+    // 20/36 would read garbage. Build canonical WAV, splice a LIST chunk in
+    // front of fmt, and an odd-length junk chunk (word-alignment padding)
+    // between fmt and data.
+    val samples = Array.tabulate(100)(i => (i * 123).toShort)
+    val wav = MediaCodec.wavEncodePcm16(8000, samples)
+    val fmtAndData = java.util.Arrays.copyOfRange(wav, 12, wav.length)
+    val fmt = java.util.Arrays.copyOfRange(wav, 12, 36)
+    val data = java.util.Arrays.copyOfRange(wav, 36, wav.length)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array() // trailing pad byte (if odd) left zero
+    }
+    val list = chunk("LIST", "INFOISFTgraft".getBytes("US-ASCII")) // 13 bytes: odd
+    val junk = chunk("junk", Array[Byte](1, 2, 3))                 // odd too
+    val spliced = {
+      val payload = list ++ fmt ++ junk ++ data
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put("WAVE".getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    assert(spliced.length != wav.length && fmtAndData.nonEmpty)
+    assert(MediaCodec.wavSampleRate(spliced) == 8000)
+    val (rate, got) = MediaCodec.wavDecodePcm16(spliced)
+    assert(rate == 8000)
+    assert(got.toSeq == samples.toSeq)
+  }
+
   test("malformed payloads are rejected, not misparsed") {
     intercept[IllegalArgumentException](MediaCodec.pngDims(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](MediaCodec.wavSampleRate("RIFFxxxx".getBytes))
+    // no 'data' chunk at all
+    val noData = MediaCodec.wavEncodePcm16(8000, Array[Short](1, 2)).take(36)
+    val hdr = java.nio.ByteBuffer.wrap(noData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(4, 28) // fix RIFF size to the truncated payload
+    intercept[IllegalArgumentException](MediaCodec.wavDecodePcm16(noData))
   }
 }

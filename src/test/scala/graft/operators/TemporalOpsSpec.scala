@@ -28,6 +28,23 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(200L).isEmpty)        // mark is in the future → null
   }
 
+  test("asofJoin: a NULL in the latest right row wins atomically (not an older value)") {
+    // r3/r4 advice: per-column last(ignoreNulls) would skip the NULL mark at
+    // 11:00 and resurrect 10:00's 5.0 — DuckDB ASOF attaches the most recent
+    // ROW, nulls included. Multi-column: the second column proves the row is
+    // carried atomically (11:00's tag comes with 11:00's null mark).
+    val left = Seq((1L, 100L, "2025-01-01 12:00:00"))
+      .toDF("user_id", "event_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val right = Seq(
+      (1L, "2025-01-01 10:00:00", Some(5.0), "old"),
+      (1L, "2025-01-01 11:00:00", None: Option[Double], "new")
+    ).toDF("user_id", "s", "mark", "tag").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val row = TemporalOps.asofJoin(left, right, Seq("user_id"), "ts", Seq("mark", "tag"))
+      .select("mark", "tag").collect().head
+    assert(row.isNullAt(0), "latest row's NULL mark must win")
+    assert(row.getString(1) == "new")
+  }
+
   test("sessionize: gap strictly greater than threshold splits; exact gap does not") {
     val df = Seq(
       (1L, "2025-01-01 10:00:00"),

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextQueries.all ++ graft.queries.EmbeddingQueries.all ++
       graft.queries.PipelineQueries.all ++ graft.queries.RefPipelineQueries.all ++
       graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all ++
-      graft.queries.CorpusPrepQueries.all ++ graft.queries.StorageQueries.all
+      graft.queries.CorpusPrepQueries.all ++ graft.queries.StorageQueries.all ++
+      graft.queries.CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.TextQueries.sql ++ graft.queries.EmbeddingQueries.sql ++
       graft.queries.PipelineQueries.sql ++ graft.queries.SessionQueries.sql ++
       graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql ++
-      graft.queries.CorpusPrepQueries.sql ++ graft.queries.StorageQueries.sql
+      graft.queries.CorpusPrepQueries.sql ++ graft.queries.StorageQueries.sql ++
+      graft.queries.CurationQueries.sql
 }

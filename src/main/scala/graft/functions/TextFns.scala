@@ -159,12 +159,17 @@ object TextFns {
           }))
         .otherwise(array().cast("array<long>")))
 
-  /** DuckDB: distinct combined-hash word-3-gram shingles of a token-hash
-    * list expr (same arithmetic as [[shingleHashSet]]). */
-  def ddbShingleHashSet3(tokHashesInner: String): String = {
-    val h = (1 to 3).foldLeft("0::BIGINT") {
+  /** DuckDB: distinct combined-hash word-n-gram shingles of a token-hash
+    * list expr (same arithmetic as [[shingleCombine]] / the native
+    * `shingle_hashes` kernel). */
+  def ddbShingleHashSetN(tokHashesInner: String, n: Int): String = {
+    val h = (1 to n).foldLeft("0::BIGINT") {
       (acc, k) => s"(($acc) * $ShingleK + $tokHashesInner[i+$k]) % $HashMod"
     }
-    s"list_distinct(list_transform(range(greatest(len($tokHashesInner) - 2, 0)), i -> $h))"
+    s"list_distinct(list_transform(range(greatest(len($tokHashesInner) - ${n - 1}, 0)), i -> $h))"
   }
+
+  /** DuckDB: distinct combined-hash word-3-gram shingles of a token-hash
+    * list expr (same arithmetic as [[shingleHashSet]]). */
+  def ddbShingleHashSet3(tokHashesInner: String): String = ddbShingleHashSetN(tokHashesInner, 3)
 }

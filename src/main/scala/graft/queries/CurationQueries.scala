@@ -197,19 +197,153 @@ object CurationQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
+  // ------------------------------------------------------------ chunking
+
+  /** Context-window chunking — split every document into overlapping
+    * 64-token windows with stride 32 (the sliding-window prep for models
+    * whose context is shorter than the document). Emits one row per
+    * chunk with a combined hash of its token hashes, so chunk identity
+    * is checkable without materializing chunk text.
+    *
+    * 100 TB shape: per-row explode with bounded fan-out (≤ n_tokens/32
+    * chunks/doc), no shuffle at all — chunking is embarrassingly
+    * parallel and stays inside whole-stage codegen. */
+  def q65ChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val (winSize, stride) = (64, 32)
+    val d = docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .withColumn("n", size(col("th")).cast("long"))
+      .filter(col("n") > 0)
+      // ceil((n - win)/stride) + 1 in integer arithmetic
+      .withColumn("n_chunks",
+        when(col("n") <= winSize, lit(1L))
+          .otherwise(expr(s"(n - ${winSize - stride + 1}) div $stride") + 1L))
+    d.select(col("doc_id"), col("n").as("n_tokens"), col("th"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("th"), (col("chunk_idx") * stride + 1).cast("int"), lit(winSize)))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        aggregate(col("chunk"), lit(0L),
+          (acc, x) => (acc * TextFns.ShingleK + x) % TextFns.HashMod).as("chunk_hash"))
+  }
+
+  val q65ChunkWindowsSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS h,
+       |    len($toks)::BIGINT AS n
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, h, n,
+       |    CASE WHEN n <= 64 THEN 1 ELSE (n - 33) // 32 + 1 END AS n_chunks
+       |  FROM t WHERE n > 0
+       |),
+       |e AS (SELECT doc_id, h, n, unnest(range(n_chunks)) AS chunk_idx FROM c)
+       |SELECT doc_id, chunk_idx, n AS n_tokens,
+       |  chunk_idx * 32 AS start_tok,
+       |  len(h[chunk_idx*32 + 1 : chunk_idx*32 + 64])::BIGINT AS chunk_len,
+       |  list_reduce(list_prepend(0::BIGINT, h[chunk_idx*32 + 1 : chunk_idx*32 + 64]),
+       |    (acc, x) -> (acc * ${TextFns.ShingleK} + x) % ${TextFns.HashMod}) AS chunk_hash
+       |FROM e""".stripMargin
+  }
+
+  // ---------------------------------------------------- mixture sampling
+
+  /** Temperature-weighted source mixture (α = 0.5): keep ⌊√N_s⌋
+    * documents per source, chosen by a Knuth multiplicative hash rank —
+    * the data-mixing step that up-weights small sources relative to
+    * proportional sampling (quota ∝ N^α flattens the source
+    * distribution, the standard multilingual/multi-source rebalance).
+    * Deterministic at any parallelism: the hash rank is a pure function
+    * of doc_id.
+    *
+    * 100 TB shape: one count agg (source-dim sized, broadcast back) +
+    * one keyed window per source shard. No global order. */
+  def q66MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("quota", floor(sqrt(col("n_total").cast("double"))).cast("long"))
+    val w = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("source"), col("doc_id"), col("n_total"), col("quota"),
+        col("sample_rank"), (col("sample_rank") <= col("quota")).as("is_kept"))
+  }
+
+  val q66MixtureSampleSql: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_total,
+      |    floor(sqrt(count(*)::DOUBLE))::BIGINT AS quota
+      |  FROM documents GROUP BY source
+      |),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC)::BIGINT AS sample_rank
+      |  FROM documents
+      |)
+      |SELECT r.source, r.doc_id, c.n_total, c.quota, r.sample_rank,
+      |  r.sample_rank <= c.quota AS is_kept
+      |FROM ranked r JOIN counts c ON r.source = c.source""".stripMargin
+
+  // ------------------------------------------------- repetition scoring
+
+  /** Intra-document repetition score — the boilerplate/spam signal of
+    * quality pipelines: 1 − distinct/total word-3-gram ratio (0 = no
+    * repeated shingle, →1 = the same phrase looped). Pure per-row array
+    * expressions, no shuffle, exact-rational rounding. */
+  def q67RepetitionScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .withColumn("n_shingles", greatest(size(col("th")) - 2, lit(0)).cast("long"))
+      .filter(col("n_shingles") > 0)
+      .withColumn("n_distinct",
+        size(NativeTextFns.shingleHashes(spark, col("th"), 3)).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        ExactDecimal.halfUpRatio(
+          col("n_shingles") - col("n_distinct"), col("n_shingles"), 4).as("rep_ratio"))
+
+  val q67RepetitionScoreSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS h
+       |  FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |    greatest(len(h) - 2, 0)::BIGINT AS n_shingles,
+       |    len(${TextFns.ddbShingleHashSet3("h")})::BIGINT AS n_distinct
+       |  FROM t
+       |)
+       |SELECT doc_id, n_shingles, n_distinct,
+       |  ${ExactDecimal.ddbHalfUpRatio("n_shingles - n_distinct", "n_shingles", 4)} AS rep_ratio
+       |FROM s WHERE n_shingles > 0""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_decontamination" -> (q61Decontamination _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q63_pack_sequences" -> (q63PackSequences _),
-    "q64_tfidf" -> (q64TfIdf _)
+    "q64_tfidf" -> (q64TfIdf _),
+    "q65_chunk_windows" -> (q65ChunkWindows _),
+    "q66_mixture_sample" -> (q66MixtureSample _),
+    "q67_repetition" -> (q67RepetitionScore _)
   )
 
   def sql: Map[String, String] = Map(
     "q61_decontamination" -> q61DecontaminationSql,
     "q62_heavy_hitters" -> q62HeavyHittersSql,
     "q63_pack_sequences" -> q63PackSequencesSql,
-    "q64_tfidf" -> q64TfIdfSql
+    "q64_tfidf" -> q64TfIdfSql,
+    "q65_chunk_windows" -> q65ChunkWindowsSql,
+    "q66_mixture_sample" -> q66MixtureSampleSql,
+    "q67_repetition" -> q67RepetitionScoreSql
   )
 }

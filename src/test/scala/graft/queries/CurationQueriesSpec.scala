@@ -73,6 +73,60 @@ class CurationQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q65: chunks tile each doc with stride 32, last chunk short, hashes consistent") {
+    val out = CurationQueries.q65ChunkWindows(spark, sfDir).cache()
+    // start offsets are exactly 0, 32, 64, ... per doc with no gaps
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("chunk_idx")
+    val badStride = out.withColumn("prev", lag("start_tok", 1).over(w))
+      .filter(col("prev").isNotNull && col("start_tok") - col("prev") =!= 32)
+    assert(badStride.count() == 0)
+    // every chunk except possibly the last is exactly 64 tokens
+    val maxIdx = out.groupBy("doc_id").agg(max("chunk_idx").as("mx"))
+    val shortNonLast = out.join(maxIdx, Seq("doc_id"))
+      .filter(col("chunk_idx") < col("mx") && col("chunk_len") =!= 64)
+    assert(shortNonLast.count() == 0)
+    // chunk coverage: last chunk reaches the end of the doc
+    val uncovered = out.join(maxIdx, Seq("doc_id"))
+      .filter(col("chunk_idx") === col("mx"))
+      .filter(col("start_tok") + col("chunk_len") =!= col("n_tokens"))
+      // short docs (≤64 tokens) are one full-doc chunk; longer docs tile to the end
+      .filter(!(col("n_tokens") <= 64 && col("chunk_len") === col("n_tokens")))
+    assert(uncovered.count() == 0)
+    out.unpersist()
+  }
+
+  test("q66: per-source quota = isqrt(count); exactly quota docs kept per source") {
+    val out = CurationQueries.q66MixtureSample(spark, sfDir).cache()
+    val bad = out.groupBy("source", "n_total", "quota")
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))
+      .filter(col("n_kept") =!= col("quota")
+        || col("quota") * col("quota") > col("n_total")
+        || (col("quota") + 1) * (col("quota") + 1) <= col("n_total"))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("q67: rep_ratio bounded in [0,1); a looped doc scores higher than a diverse one") {
+    import spark.implicits._
+    val out = CurationQueries.q67RepetitionScore(spark, sfDir)
+    assert(out.filter(col("rep_ratio") < 0 || col("rep_ratio") >= 1).count() == 0)
+    // synthetic contrast: same op over a looped text vs an all-distinct text
+    val probe = Seq(
+      (1L, Seq.fill(20)("spam is spam").mkString(" ")),     // heavy repetition
+      (2L, (1 to 60).map(i => s"tok$i").mkString(" "))       // all distinct
+    ).toDF("doc_id", "text")
+    // route through the same expressions by writing a temp table? simpler:
+    // replicate the column pipeline inline via the public helpers
+    val scored = probe
+      .withColumn("th", graft.expr.NativeTextFns.tokenHashes(spark, col("text")))
+      .withColumn("n_shingles", greatest(size(col("th")) - 2, lit(0)).cast("long"))
+      .withColumn("n_distinct",
+        size(graft.expr.NativeTextFns.shingleHashes(spark, col("th"), 3)).cast("long"))
+      .withColumn("rep", (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+      .select("doc_id", "rep").as[(Long, Double)].collect().toMap
+    assert(scored(1L) > 0.8 && scored(2L) == 0.0)
+  }
+
   test("q64: ranks are 1..≤3 per doc, tfidf ordering matches rank, df consistent") {
     val out = CurationQueries.q64TfIdf(spark, sfDir).cache()
     assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)

@@ -107,6 +107,35 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q61 decontamination: benchmark side broadcasts, corpus never self-joins") {
+    val df = graft.SparkEntry.queries("q61_decontamination")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "benchmark shingles must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus must not shuffle-join on shingles:\n$p")
+  }
+
+  test("q63 packing window is keyed by the source shard") {
+    val p = plan("q63_pack_sequences")
+    p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("source"), s"unkeyed packing window: $l")
+    }
+  }
+
+  test("q64 tf-idf broadcasts the vocab-dim df side") {
+    val df = graft.SparkEntry.queries("q64_tfidf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "df join must broadcast")
+    assert(p.contains("partial_count"), "tf aggregation must combine map-side")
+  }
+
+  test("q65 chunking plan has no shuffle at all") {
+    val p = plan("q65_chunk_windows")
+    assert(!p.contains("Exchange"), s"chunking must stay partition-local:\n$p")
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

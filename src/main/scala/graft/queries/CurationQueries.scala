@@ -325,6 +325,40 @@ object CurationQueries {
        |FROM s WHERE n_shingles > 0""".stripMargin
   }
 
+  // ------------------------------------------------ substring-level dedup
+
+  /** Exact-substring duplication across documents — the substring-level
+    * member of the dedup family (document-exact q23, near q27/q29/q30,
+    * embedding q53): two docs are substring-linked when they share a
+    * verbatim 16-token window. This is the blocking step of
+    * suffix-array substring dedup (published method: match on long
+    * n-gram window hashes, then extend) — window-hash equality is an
+    * EQUI-join whose fan-out is bounded by true repeated content, not
+    * vocabulary: unlike q27's 3-gram join (hot shingles everywhere), a
+    * 16-token window collides only on genuinely shared phrasing, so the
+    * shuffle stays sparse at 100 TB. */
+  def q68SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .select(col("doc_id"), explode(NativeTextFns.shingleHashes(spark, col("th"), 16)).as("w"))
+    sh.as("a").join(sh.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
+  val q68SubstringDedupSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS h
+       |  FROM documents
+       |),
+       |sh AS (SELECT doc_id, unnest(${TextFns.ddbShingleHashSetN("h", 16)}) AS w FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+       |FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,7 +368,8 @@ object CurationQueries {
     "q64_tfidf" -> (q64TfIdf _),
     "q65_chunk_windows" -> (q65ChunkWindows _),
     "q66_mixture_sample" -> (q66MixtureSample _),
-    "q67_repetition" -> (q67RepetitionScore _)
+    "q67_repetition" -> (q67RepetitionScore _),
+    "q68_substring_dedup" -> (q68SubstringDedup _)
   )
 
   def sql: Map[String, String] = Map(
@@ -344,6 +379,7 @@ object CurationQueries {
     "q64_tfidf" -> q64TfIdfSql,
     "q65_chunk_windows" -> q65ChunkWindowsSql,
     "q66_mixture_sample" -> q66MixtureSampleSql,
-    "q67_repetition" -> q67RepetitionScoreSql
+    "q67_repetition" -> q67RepetitionScoreSql,
+    "q68_substring_dedup" -> q68SubstringDedupSql
   )
 }

@@ -62,6 +62,22 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicates(Seq("user_id", "ts"))
 
+  /** Windowed token frequencies — the streaming form of q62's heavy
+    * hitters: explode tokens (the same stateless [[graft.functions
+    * .TextFns.tokens]] expression as batch), then a watermarked tumbling
+    * hourly count per token. State is one counter per (window, live
+    * token), purged as the watermark passes each window; top-k selection
+    * stays at the consumer (a global streaming sort would force complete
+    * mode — unbounded result state). Per-window counts equal the batch
+    * explode+groupBy on the same rows (StreamingOpsSpec parity). */
+  def tokenFreqStream(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("w.start").as("window_start"), col("token"), col("freq"))
+
   /** Streaming corpus-prep front-end: the SAME stateless quality/lang
     * columns as batch q54 ([[graft.queries.CorpusPrepQueries
     * .scoreAndLang]] — pure column expressions apply to a streaming

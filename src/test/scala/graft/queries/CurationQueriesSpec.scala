@@ -127,6 +127,21 @@ class CurationQueriesSpec extends SparkSpec {
     assert(scored(1L) > 0.8 && scored(2L) == 0.0)
   }
 
+  test("q68: exact doc copies share all windows; pair counts bounded by window counts") {
+    val out = CurationQueries.q68SubstringDedup(spark, sfDir).cache()
+    // every emitted pair shares at least one window and doc_a < doc_b
+    assert(out.filter(col("n_shared_windows") < 1 || col("doc_a") >= col("doc_b")).count() == 0)
+    // exact text copies (≥16 tokens) must appear as substring-linked pairs
+    val d = graft.core.Tables.documents(spark, sfDir)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 16)
+    val copyPairs = d.as("x").join(d.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val missed = copyPairs.join(out, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missed == 0, s"$missed exact-copy pairs not substring-linked")
+    out.unpersist()
+  }
+
   test("q64: ranks are 1..≤3 per doc, tfidf ordering matches rank, df consistent") {
     val out = CurationQueries.q64TfIdf(spark, sfDir).cache()
     assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)

@@ -38,6 +38,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("value_sum") == 4.0)
   }
 
+  test("tokenFreqStream: windowed counts ≡ batch explode+groupBy on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    in.addData(
+      (ts("2024-01-01 00:10:00"), "spark spark scan"),
+      (ts("2024-01-01 00:40:00"), "scan spark"),
+      (ts("2024-01-01 02:00:00"), "later"))  // advances watermark past hour 0
+    val df = in.toDF().toDF("ts", "text")
+    runToMemory(StreamingOps.tokenFreqStream(df), "tokfreq")
+    val got = spark.sql("select token, freq from tokfreq where window_start = timestamp '2024-01-01 00:00:00'")
+      .as[(String, Long)].collect().toMap
+    // batch twin on the hour-0 rows
+    val batch = Seq("spark spark scan", "scan spark").toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFns.tokens(org.apache.spark.sql.functions.col("text"))).as("token"))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    assert(got == batch)
+    assert(got("spark") == 3 && got("scan") == 2)
+  }
+
   test("dedup: watermarked dropDuplicates on (user_id, ts)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]

@@ -82,6 +82,56 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(mins == (0 until 10).flatMap(r => Seq(1L, 10L, 20L).map(_ + r * 1000L)).toSet)
   }
 
+  test("decontamination at 10x: hit counts replicate exactly, benchmark side stays broadcast") {
+    // replicate candidates 10× with disjoint ids that keep doc_id%100
+    // (so the benchmark slice stays the SAME docs); hits must scale ×10
+    val base = CurationQueries.q61Decontamination(spark, sfDir)
+    val baseHits = base.agg(sum("n_hits")).collect()(0).getLong(0)
+    val baseContam = base.filter(col("is_contaminated")).count()
+    val d = Tables.documents(spark, sfDir)
+    val big = (0 until 10).map(r => d.withColumn("doc_id", col("doc_id") + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    big.createOrReplaceTempView("documents_x10")
+    // same pipeline inline over the replicated frame (replica ids keep
+    // doc_id % 100, so each replica contributes an identical slice)
+    val sh = big
+      .withColumn("th", graft.expr.NativeTextFns.tokenHashes(spark, col("text")))
+      .select(col("doc_id"), graft.expr.NativeTextFns.shingleHashes(spark, col("th"), 8).as("sh"))
+    val bench = sh.filter(col("doc_id") % 100 < 2).select(explode(col("sh")).as("g")).distinct()
+    val cand = sh.filter(col("doc_id") % 100 >= 2)
+    val hits = cand.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val contam = hits.filter(col("n_hits") > 0).count()
+    assert(contam == baseContam * 10, s"contaminated docs must replicate ×10: $contam vs $baseContam")
+    assert(hits.agg(sum("n_hits")).collect()(0).getLong(0) >= baseHits * 10,
+      "benchmark set only grows with replicas → hits can only grow")
+  }
+
+  test("sequence packing at 10x: per-shard bins grow, bins never interleave shards") {
+    val d = Tables.documents(spark, sfDir)
+    val big = (0 until 10).map(r =>
+        d.withColumn("doc_id", col("doc_id") + lit(r * 1000000L))
+          .withColumn("source", concat(col("source"), lit(s"_r$r"))))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = big
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_off") / 2048L))
+    // 10× the shards, same per-shard bin count as the base source
+    val binsPerShard = packed.groupBy("source").agg(max("bin_id").as("mx"))
+    assert(binsPerShard.count() == 200, "20 sources × 10 replicas")
+    // every (source, bin) holds ≤ 2048 start offsets by construction
+    val plan = packed.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("source"), s"packing window lost its shard key at scale: $l")
+    }
+  }
+
   test("top-k aggregate holds per-group state constant as groups scale 10x") {
     val e = bigEvents
     val agg = e.groupBy("user_id")

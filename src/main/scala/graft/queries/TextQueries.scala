@@ -265,6 +265,28 @@ object TextQueries {
 
   // -------------------------------------------------------- MinHash+LSH
 
+  /** Shared MinHash signature pipeline: (doc_id, sh_set, sig) — each
+    * derived array materializes as its own column (see q30's persist
+    * note). Reused by q30, and by the incremental-dedup store
+    * ([[graft.operators.IncrementalDedup]]). */
+  private[graft] def minHashSignatures(spark: SparkSession, d: DataFrame): DataFrame = d
+    .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+    .withColumn("sh_set", NativeTextFns.shingleHashes(spark, col("th"), 3))
+    .withColumn("sig", NativeTextFns.minHashSig(spark, col("sh_set")))
+    .select("doc_id", "sh_set", "sig")
+
+  /** LSH band rows of a signature frame: (doc_id, band, k1, k2), 4 bands
+    * × 2 rows. Null keys (empty shingle set) are dropped — they can never
+    * equal a band key. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)), b => struct(
+        b.as("band"),
+        element_at(col("sig"), b * 2 + 1).as("k1"),
+        element_at(col("sig"), b * 2 + 2).as("k2")))).as("bk"))
+    .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    .filter(col("k1").isNotNull && col("k2").isNotNull)
+
   /** MinHash + LSH near-dup candidates: 3-gram shingle hash sets → 8
     * MinHash permutations → 4 bands × 2 rows → band-key equi-join →
     * exact Jaccard rerank of candidates. The 100 TB dedup path: the
@@ -279,19 +301,8 @@ object TextQueries {
     // materialization — 50× slower); short docs instead get an all-null
     // signature, which can never equal a band key, so the result is
     // identical.
-    val d = docs(spark, dir)
-      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
-      .withColumn("sh_set", NativeTextFns.shingleHashes(spark, col("th"), 3))
-      .withColumn("sig", NativeTextFns.minHashSig(spark, col("sh_set")))
-      .select("doc_id", "sh_set", "sig")
-      .persist()
-    val bands = d.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(3)), b => struct(
-        b.as("band"),
-        element_at(col("sig"), b * 2 + 1).as("k1"),
-        element_at(col("sig"), b * 2 + 2).as("k2")))).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    val d = minHashSignatures(spark, docs(spark, dir)).persist()
+    val bands = bandRows(d)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1")
@@ -380,6 +391,30 @@ object TextQueries {
        |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
        |GROUP BY d.doc_id""".stripMargin
 
+  // ------------------------------------------- incremental near-dup dedup
+
+  /** Incremental MinHash dedup under the oracle gate: split the corpus
+    * deterministically into state (doc_id % 10 ≠ 7) and a delta batch
+    * (doc_id % 10 = 7), build the partitioned signature store from the
+    * state, then find every near-dup pair involving the delta via
+    * [[graft.operators.IncrementalDedup]] — broadcast delta bands +
+    * dynamic partition pruning on the store; the state is never
+    * self-joined. Oracle: the FULL q30 recompute restricted to
+    * delta-involving pairs — proving the incremental path loses and
+    * invents nothing. */
+  def q69IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val all = docs(spark, dir)
+    val state = all.filter(col("doc_id") % 10 =!= 7)
+    val delta = all.filter(col("doc_id") % 10 === 7)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${math.abs(dir.hashCode)}"
+    graft.operators.IncrementalDedup.writeStore(spark, state, root)
+    graft.operators.IncrementalDedup.dedupeDelta(spark, root, delta)
+  }
+
+  val q69IncrementalNearDupSql: String =
+    s"""SELECT doc_a, doc_b, n_common, jaccard FROM ($q30MinHashLshSql)
+       |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -391,7 +426,8 @@ object TextQueries {
     "q28_fingerprint" -> (q28Fingerprint _),
     "q29_simhash" -> (q29SimHash _),
     "q30_minhash_lsh" -> (q30MinHashLsh _),
-    "q48_dedup_components" -> (q48DedupComponents _)
+    "q48_dedup_components" -> (q48DedupComponents _),
+    "q69_incremental_neardup" -> (q69IncrementalNearDup _)
   )
 
   def sql: Map[String, String] = Map(
@@ -403,6 +439,7 @@ object TextQueries {
     "q28_fingerprint" -> q28FingerprintSql,
     "q29_simhash" -> q29SimHashSql,
     "q30_minhash_lsh" -> q30MinHashLshSql,
-    "q48_dedup_components" -> q48DedupComponentsSql
+    "q48_dedup_components" -> q48DedupComponentsSql,
+    "q69_incremental_neardup" -> q69IncrementalNearDupSql
   )
 }

@@ -161,7 +161,9 @@ object MediaCodec {
     while (off + 8 <= bytes.length) {
       val cid = new String(bytes, off, 4, "US-ASCII")
       val len = bb.getInt(off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length, s"corrupt RIFF chunk $cid at $off")
+      // subtraction form: `off + 8 + len` overflows Int for adversarial
+      // lengths and would wrap past the bounds check
+      require(len >= 0 && len <= bytes.length - off - 8, s"corrupt RIFF chunk $cid at $off")
       if (cid == id) return (off + 8, len)
       off += 8 + len + (len & 1) // chunks are word-aligned
     }

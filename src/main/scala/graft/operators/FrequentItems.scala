@@ -47,24 +47,45 @@ object FrequentItems {
       }
     }
 
-    /** Associative merge: sum counts for shared items; for items only in
-      * one summary nothing is added (their absence in the other partition
-      * bounds them by that summary's min, already folded into error via
-      * the standard merged-summary analysis — we keep the simple
-      * union-then-trim variant, which preserves the overestimate
-      * invariant: est ≥ true always, error field ≥ est − true). */
+    /** Minimum estimated count in this summary — the upper bound on the
+      * true count of ANY item absent from it (an absent item was either
+      * never seen, or evicted while its count was ≤ the then-minimum ≤
+      * the current minimum). Zero while the table is not full: absence
+      * then means a true count of exactly 0. */
+    private def minEst: Long = {
+      if (table.size < capacity) return 0L
+      var m = Long.MaxValue
+      val it = table.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v._1 < m) m = v._1 }
+      m
+    }
+
+    /** Merge per Agarwal et al., "Mergeable Summaries": an item absent
+      * from one summary is credited that summary's minimum estimate (its
+      * true count there is bounded by it), with the whole credit also
+      * added to the error term. This is what preserves BOTH guarantees
+      * across partitions — est ≥ true (an item evicted on one partition
+      * still gets ≥ its count there) and the > N/capacity recall (the
+      * final trim keeps the capacity largest merged estimates). A naive
+      * union-then-trim under-counts items evicted on one side. */
     def merge(other: SpaceSaving): SpaceSaving = {
       val out = new SpaceSaving(capacity)
-      out.table.putAll(table)
-      val it = other.table.entrySet().iterator()
+      val thisMin = minEst
+      val otherMin = other.minEst
+      val it = table.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val cur = out.table.get(e.getKey)
-        if (cur != null)
-          out.table.put(e.getKey, (cur._1 + e.getValue._1, cur._2 + e.getValue._2))
-        else out.table.put(e.getKey, e.getValue)
+        val o = other.table.get(e.getKey)
+        if (o != null) out.table.put(e.getKey, (e.getValue._1 + o._1, e.getValue._2 + o._2))
+        else out.table.put(e.getKey, (e.getValue._1 + otherMin, e.getValue._2 + otherMin))
       }
-      // trim back to capacity: drop the smallest counts
+      val it2 = other.table.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (!table.containsKey(e.getKey))
+          out.table.put(e.getKey, (e.getValue._1 + thisMin, e.getValue._2 + thisMin))
+      }
+      // trim back to capacity: drop the smallest merged estimates
       if (out.table.size > capacity) {
         val entries = new java.util.ArrayList(out.table.entrySet())
         entries.sort((a, b) => java.lang.Long.compare(b.getValue._1, a.getValue._1))

@@ -36,9 +36,13 @@ object CurationQueries {
     * shuffle is the per-doc hit count (pre-aggregated map-side). The
     * corpus is never self-joined and never shuffled by shingle. */
   def q61Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the shingle frame feeds the benchmark side, the candidate
+    // explode, AND the per-doc gram counts — unpersisted, the tokenize +
+    // shingle pipeline would run three times
     val sh = docs(spark, dir)
       .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
       .select(col("doc_id"), NativeTextFns.shingleHashes(spark, col("th"), 8).as("sh"))
+      .persist()
     val bench = sh.filter(col("doc_id") % 100 < 2)
       .select(explode(col("sh")).as("g")).distinct()
     val cand = sh.filter(col("doc_id") % 100 >= 2)
@@ -159,11 +163,16 @@ object CurationQueries {
     * df is vocab-sized (dims, not corpus) → BROADCAST to the tf side
     * (falls back to a token-keyed shuffle join past the broadcast
     * budget); the top-3 window shuffles on doc_id only. The corpus
-    * text itself is read once. */
+    * text is tokenized once (tf persisted — df and the scored frame
+    * both derive from it); the N-docs scalar is a column-pruned count. */
   def q64TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // persist: df (the broadcast side) and the scored frame both derive
+    // from tf — unpersisted, the tokenize + (doc,token) aggregation (the
+    // expensive stage) would execute twice
     val tf = d.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)

@@ -100,5 +100,12 @@ class MediaCodecSpec extends AnyFunSuite {
     val hdr = java.nio.ByteBuffer.wrap(noData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     hdr.putInt(4, 28) // fix RIFF size to the truncated payload
     intercept[IllegalArgumentException](MediaCodec.wavDecodePcm16(noData))
+    // adversarial chunk length near Int.MaxValue: `off + 8 + len` would
+    // overflow and wrap past an additive bounds check
+    val evil = MediaCodec.wavEncodePcm16(8000, Array[Short](1, 2))
+    val ebb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ebb.putInt(16, 0x7FFFFFF0) // fmt chunk claims ~2 GB
+    intercept[IllegalArgumentException](MediaCodec.wavSampleRate(evil))
+    intercept[IllegalArgumentException](MediaCodec.wavDecodePcm16(evil))
   }
 }

@@ -54,6 +54,26 @@ class CurationQueriesSpec extends SparkSpec {
       s"missing guaranteed heavy hitters: ${mustHave -- small.map(_._1).toSet}")
   }
 
+  test("SpaceSaving merge: item evicted on one partition still satisfies est ≥ true") {
+    import graft.operators.FrequentItems.SpaceSaving
+    // partition A: x kept with count 3
+    val a = new SpaceSaving(2)
+    a.offer("x"); a.offer("x"); a.offer("x"); a.offer("y")
+    // partition B: x seen twice, then evicted by a flood of other items
+    val b = new SpaceSaving(2)
+    b.offer("x"); b.offer("x")
+    for (_ <- 1 to 5) { b.offer("u"); b.offer("v") }
+    val m = a.merge(b)
+    val trueX = 5L // 3 in A + 2 in B
+    val (estX, errX) = m.table.get("x")
+    assert(estX >= trueX, s"merged estimate $estX must cover true count $trueX")
+    assert(estX - errX <= trueX, s"guaranteed count ${estX - errX} must not exceed true $trueX")
+    // merge is symmetric in its guarantees
+    val m2 = b.merge(a)
+    val (estX2, errX2) = m2.table.get("x")
+    assert(estX2 >= trueX && estX2 - errX2 <= trueX)
+  }
+
   test("q63: bins respect the budget invariant and offsets are consistent") {
     val out = CurationQueries.q63PackSequences(spark, sfDir).cache()
     // offset_in_bin ∈ [0, 2048); bin_id non-decreasing in doc_id per source

@@ -368,6 +368,88 @@ object CurationQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------ corpus report
+
+  /** Per-source data card — the governance artifact a curation pipeline
+    * ships with its output: document and token counts, duplicate and
+    * contamination tallies, all in ONE composed plan over the signals the
+    * individual queries prove (q23 exact-dup canonicals, q61 benchmark
+    * 8-gram hits). Every reported figure is integer-derived (counts and
+    * exact-rational ratios), so both engines agree to the last bit.
+    *
+    * 100 TB shape: the doc-level signal frame is ONE pass over the corpus
+    * (hash window + broadcast contamination semi-join), then a
+    * source-keyed aggregation — the report costs one extra shuffle on
+    * top of the signals it summarizes. */
+  def q70CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .withColumn("n_tokens", size(col("th")).cast("long"))
+      .withColumn("sh", NativeTextFns.shingleHashes(spark, col("th"), 8))
+      .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
+      .persist()
+    val w = Window.partitionBy("text_hash")
+    val dupFlags = d
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    val bench = d.filter(col("doc_id") % 100 < 2).select(explode(col("sh")).as("g")).distinct()
+    val contamIds = d.filter(col("doc_id") % 100 >= 2)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .select("doc_id").distinct()
+      .withColumn("is_contaminated", lit(true))
+    d.select(col("source"), col("doc_id"), col("n_tokens"))
+      .join(dupFlags, Seq("doc_id"))
+      .join(contamIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(coalesce(col("is_contaminated"), lit(false)), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        ExactDecimal.halfUpRatio(col("total_tokens"), col("n_docs"), 2).as("avg_doc_tokens"),
+        col("n_dup_docs"), col("n_contaminated"),
+        ExactDecimal.halfUpRatio(col("n_contaminated") * 100, col("n_docs"), 2).as("pct_contaminated"))
+  }
+
+  val q70CorpusReportSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH base AS (
+       |  SELECT source, doc_id, text,
+       |    list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS h,
+       |    len($toks)::BIGINT AS n_tokens,
+       |    sha256(lower(trim(text))) AS text_hash
+       |  FROM documents
+       |),
+       |sh AS (SELECT source, doc_id, n_tokens, text_hash,
+       |         ${TextFns.ddbShingleHashSetN("h", 8)} AS s FROM base),
+       |dup AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
+       |  FROM sh
+       |),
+       |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 < 2),
+       |contam AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 >= 2) c
+       |  JOIN bench USING (g)
+       |)
+       |SELECT s.source,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(s.n_tokens)::BIGINT AS total_tokens,
+       |  ${ExactDecimal.ddbHalfUpRatio("sum(s.n_tokens)::BIGINT", "count(*)::BIGINT", 2)} AS avg_doc_tokens,
+       |  sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       |  sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |  ${ExactDecimal.ddbHalfUpRatio(
+            "sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT * 100",
+            "count(*)::BIGINT", 2)} AS pct_contaminated
+       |FROM sh s
+       |JOIN dup d ON s.doc_id = d.doc_id
+       |LEFT JOIN contam c ON s.doc_id = c.doc_id
+       |GROUP BY s.source""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -378,7 +460,8 @@ object CurationQueries {
     "q65_chunk_windows" -> (q65ChunkWindows _),
     "q66_mixture_sample" -> (q66MixtureSample _),
     "q67_repetition" -> (q67RepetitionScore _),
-    "q68_substring_dedup" -> (q68SubstringDedup _)
+    "q68_substring_dedup" -> (q68SubstringDedup _),
+    "q70_corpus_report" -> (q70CorpusReport _)
   )
 
   def sql: Map[String, String] = Map(
@@ -389,6 +472,7 @@ object CurationQueries {
     "q65_chunk_windows" -> q65ChunkWindowsSql,
     "q66_mixture_sample" -> q66MixtureSampleSql,
     "q67_repetition" -> q67RepetitionScoreSql,
-    "q68_substring_dedup" -> q68SubstringDedupSql
+    "q68_substring_dedup" -> q68SubstringDedupSql,
+    "q70_corpus_report" -> q70CorpusReportSql
   )
 }

@@ -162,6 +162,27 @@ class CurationQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q70: report totals reconcile with the underlying signal queries") {
+    val rep = CurationQueries.q70CorpusReport(spark, sfDir).cache()
+    val d = graft.core.Tables.documents(spark, sfDir)
+    // doc and token totals match the raw corpus
+    val (nd, nt) = rep.agg(sum("n_docs"), sum("total_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    assert(nd == d.count())
+    val rawTokens = d.select(sum(size(graft.functions.TextFns.tokens(col("text")))))
+      .collect()(0).getLong(0)
+    assert(nt == rawTokens)
+    // duplicate tally matches q23's non-canonical count
+    val q23Dups = TextQueries.q23ExactDedup(spark, sfDir)
+      .filter(!col("is_canonical")).count()
+    assert(rep.agg(sum("n_dup_docs")).collect()(0).getLong(0) == q23Dups)
+    // contamination tally matches q61's flagged count
+    val q61Contam = CurationQueries.q61Decontamination(spark, sfDir)
+      .filter(col("is_contaminated")).count()
+    assert(rep.agg(sum("n_contaminated")).collect()(0).getLong(0) == q61Contam)
+    rep.unpersist()
+  }
+
   test("q64: ranks are 1..≤3 per doc, tfidf ordering matches rank, df consistent") {
     val out = CurationQueries.q64TfIdf(spark, sfDir).cache()
     assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)

@@ -36,7 +36,10 @@ object IncrementalDedup {
   private def withBucket(bands: DataFrame): DataFrame =
     bands.withColumn("band_bucket", pmod(col("k1"), lit(Buckets)).cast("int"))
 
-  /** (Re)write the signature store for the current corpus state. */
+  /** (Re)write the signature store for the current corpus state. Must
+    * run once (state may be empty of duplicates but not of rows) before
+    * [[dedupeDelta]] / [[dedupeStream]] — they read the store's parquet
+    * schema. */
   def writeStore(spark: SparkSession, state: DataFrame, root: String): Unit = {
     val sigs = TextQueries.minHashSignatures(spark, state).persist()
     withBucket(TextQueries.bandRows(sigs))
@@ -45,6 +48,41 @@ object IncrementalDedup {
     sigs.unpersist()
     ()
   }
+
+  /** Append a processed delta's signature rows into the store, so the
+    * NEXT delta sees them — the ingest step of the grow-forever loop
+    * (used per micro-batch by [[dedupeStream]]). Append, not overwrite:
+    * partitioned parquet appends only touch the delta's own band-bucket
+    * directories. */
+  def appendToStore(spark: SparkSession, delta: DataFrame, root: String): Unit = {
+    val sigs = TextQueries.minHashSignatures(spark, delta).persist()
+    withBucket(TextQueries.bandRows(sigs))
+      .write.mode("append").partitionBy("band_bucket").parquet(s"$root/bands")
+    sigs.select("doc_id", "sh_set").write.mode("append").parquet(s"$root/sets")
+    sigs.unpersist()
+    ()
+  }
+
+  /** Streaming near-dup dedup: every micro-batch of documents is treated
+    * as a delta against the signature store — pairs involving the batch
+    * go to `pairsOut`, then the batch's signatures are appended so later
+    * batches (and later restarts, via checkpointed source offsets) see
+    * them. The foreachBatch body is the SAME code path the batch q69
+    * oracle proves; state lives in the store, not in Spark streaming
+    * state, so it survives restarts and is shared with batch ingests. */
+  def dedupeStream(docsStream: DataFrame, root: String, pairsOut: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          dedupeDelta(spark, root, batch)
+            .write.mode("append").parquet(pairsOut)
+          appendToStore(spark, batch, root)
+        }
+      }
+      .start()
 
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving
     * the delta: delta×state via the store (broadcast delta bands + DPP on

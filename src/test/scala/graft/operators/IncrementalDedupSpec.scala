@@ -44,6 +44,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(joinIdx >= 0, "delta bands must broadcast against the store")
   }
 
+  test("dedupeStream: each micro-batch dedupes against the store, then grows it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot("stream")
+    val pairsOut = tmpRoot("stream_pairs")
+    val ckpt = tmpRoot("stream_ckpt")
+    Seq(root, pairsOut, ckpt).foreach { p =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    // state: one doc; batch 1 duplicates it; batch 2 duplicates batch 1
+    val mk = (id: Long, t: String) => (id, t)
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    IncrementalDedup.writeStore(spark, Seq(mk(1L, text)).toDF("doc_id", "text"), root)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.dedupeStream(in.toDF().toDF("doc_id", "text"), root, pairsOut, ckpt)
+    try {
+      in.addData(mk(2L, text)); q.processAllAvailable()          // batch 1: pairs with state
+      in.addData(mk(3L, text)); q.processAllAvailable()          // batch 2: pairs with 1 AND 2
+    } finally q.stop()
+    val pairs = spark.read.parquet(pairsOut)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"batch 2 must see batch 1 via the store: $pairs")
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

@@ -74,6 +74,41 @@ class CurationQueriesSpec extends SparkSpec {
     assert(estX2 >= trueX && estX2 - errX2 <= trueX)
   }
 
+  test("property: SpaceSaving guarantees hold on random streams, splits, and capacities") {
+    import graft.operators.FrequentItems.SpaceSaving
+    import org.scalacheck.{Gen, rng}
+    def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      Iterator.iterate(rng.Seed(seed))(_.next).take(n)
+        .flatMap(s => g.apply(Gen.Parameters.default, s)).toSeq
+    // zipfish streams: small alphabet with skewed weights so evictions
+    // and cross-partition splits of heavy items both actually occur
+    val streamGen = for {
+      n <- Gen.chooseNum(50, 400)
+      items <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+        2 -> Gen.oneOf("c", "d", "e"), 1 -> Gen.chooseNum(0, 40).map("t" + _)))
+      cap <- Gen.chooseNum(2, 12)
+      cut <- Gen.chooseNum(0, n)
+    } yield (items, cap, cut)
+    sample(streamGen, 25, 42L).foreach { case (items, cap, cut) =>
+      val (p1, p2) = items.splitAt(cut)
+      val a = new SpaceSaving(cap); p1.foreach(a.offer(_))
+      val b = new SpaceSaving(cap); p2.foreach(b.offer(_))
+      val merged = a.merge(b)
+      val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = items.size.toLong
+      import scala.jdk.CollectionConverters._
+      val table = merged.table.asScala.toMap
+      for ((tok, (est, err)) <- table; t <- trueCounts.get(tok)) {
+        assert(est >= t, s"cap=$cap cut=$cut $tok: est $est < true $t")
+        assert(est - err <= t, s"cap=$cap cut=$cut $tok: guaranteed ${est - err} > true $t")
+      }
+      // recall: every item with true freq > n/cap must survive the merge
+      for ((tok, t) <- trueCounts if t > n / cap)
+        assert(table.contains(tok), s"cap=$cap cut=$cut heavy item $tok (freq $t) evicted")
+    }
+  }
+
   test("q63: bins respect the budget invariant and offsets are consistent") {
     val out = CurationQueries.q63PackSequences(spark, sfDir).cache()
     // offset_in_bin ∈ [0, 2048); bin_id non-decreasing in doc_id per source

@@ -23,7 +23,7 @@ object SkewFns {
     * uniform, and all callers recombine in a phase-2 aggregate/join, so
     * the result is unchanged (only its partition layout is). */
   private def salt(df: DataFrame, keyCols: Seq[String], buckets: Int): Column = {
-    val others = df.columns.filterNot(keyCols.contains).map(c => col(s"`$c`"))
+    val others = df.columns.toSeq.filterNot(keyCols.contains).map(c => col(s"`$c`"))
     if (others.isEmpty) (rand(42) * buckets).cast("int")
     else pmod(hash(others: _*), lit(buckets))
   }

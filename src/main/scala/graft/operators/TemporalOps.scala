@@ -47,7 +47,7 @@ object TemporalOps {
     val filled = lTagged.unionByName(rTagged)
       .withColumn("_asof_payload", last("_asof_payload", ignoreNulls = true).over(w))
     filled.filter(col("_asof_side") === 1)
-      .select(left.columns.map(c => col(s"`$c`"))
+      .select(left.columns.toSeq.map(c => col(s"`$c`"))
         ++ valueCols.map(c => col("_asof_payload").getField(c).as(c)): _*)
   }
 

@@ -86,6 +86,47 @@ object FileStoreSync {
     out.result().toDF("id", "path", "size")
   }
 
+  /** One chunk of a ranged media fetch plus the offset to resume from —
+    * the download twin of [[StorePage]] (the reference's Drive
+    * `files().get_media()` downloader issues ranged requests and resumes
+    * from the last received byte; here the transport is Hadoop FS
+    * `seek`+read, so the same contract covers local disk and object
+    * stores). `nextOffset` is None when the file is exhausted. */
+  case class FetchChunk(bytes: Array[Byte], nextOffset: Option[Long])
+
+  /** Resumable ranged fetch: read up to `chunkSize` bytes of `path`
+    * starting at `offset`. Chunks are idempotent — re-fetching the same
+    * offset yields the same bytes (the property that makes a resumed
+    * download equal a whole one; FileStoreSyncSpec proves it byte-wise). */
+  def fetchChunk(spark: SparkSession, path: String, chunkSize: Int,
+                 offset: Long = 0L): FetchChunk = {
+    require(chunkSize > 0 && offset >= 0, "chunkSize must be > 0 and offset >= 0")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    if (offset >= len) return FetchChunk(Array.emptyByteArray, None)
+    val n = math.min(chunkSize.toLong, len - offset).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try { in.seek(offset); in.readFully(buf) } finally in.close()
+    FetchChunk(buf, if (offset + n < len) Some(offset + n) else None)
+  }
+
+  /** Drain [[fetchChunk]] to exhaustion from `offset` — the reference's
+    * resumable-download loop. With offset = 0 this equals one whole read. */
+  def fetchAll(spark: SparkSession, path: String, chunkSize: Int,
+               offset: Long = 0L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur: Option[Long] = Some(offset)
+    while (cur.isDefined) {
+      val c = fetchChunk(spark, path, chunkSize, cur.get)
+      out.write(c.bytes)
+      cur = c.nextOffset
+    }
+    out.toByteArray
+  }
+
   /** Master cache (8-column EAV), empty-schema frame when absent. */
   def readCache(spark: SparkSession, cachePath: String): DataFrame =
     if (new java.io.File(cachePath).exists())

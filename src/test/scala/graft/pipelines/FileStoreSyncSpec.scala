@@ -72,6 +72,28 @@ class FileStoreSyncSpec extends SparkSpec {
     assert(viaPages == (1 to 7).map(i => f"f$i%02d.txt"))
   }
 
+  test("ranged fetch: chunked + resumed downloads are byte-identical to a whole read") {
+    val store = Files.createTempDirectory("fetch")
+    val payload = Array.tabulate[Byte](10007)(i => (i * 31 % 251).toByte) // prime sizes: no chunk alignment
+    val f = store.resolve("blob.bin")
+    Files.write(f, payload)
+    val whole = FileStoreSync.fetchAll(spark, f.toString, chunkSize = 1 << 20)
+    assert(whole.toSeq == payload.toSeq)
+    // small chunks tile the file exactly
+    val chunked = FileStoreSync.fetchAll(spark, f.toString, chunkSize = 997)
+    assert(chunked.toSeq == payload.toSeq)
+    // interrupt after two chunks, resume from the returned offset
+    val c1 = FileStoreSync.fetchChunk(spark, f.toString, 997)
+    val c2 = FileStoreSync.fetchChunk(spark, f.toString, 997, c1.nextOffset.get)
+    val rest = FileStoreSync.fetchAll(spark, f.toString, 997, c2.nextOffset.get)
+    assert((c1.bytes ++ c2.bytes ++ rest).toSeq == payload.toSeq)
+    // idempotent re-fetch of the same range
+    val c1again = FileStoreSync.fetchChunk(spark, f.toString, 997)
+    assert(c1again.bytes.toSeq == c1.bytes.toSeq)
+    // past-EOF offset is an empty terminal chunk
+    assert(FileStoreSync.fetchChunk(spark, f.toString, 997, payload.length.toLong).nextOffset.isEmpty)
+  }
+
   test("empty cache + empty store → empty frame with the EAV schema") {
     val store = Files.createTempDirectory("store2")
     val cache = store.resolve("cache.parquet").toString

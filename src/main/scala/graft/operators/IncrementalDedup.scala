@@ -39,48 +39,64 @@ object IncrementalDedup {
   /** (Re)write the signature store for the current corpus state. Must
     * run once (state may be empty of duplicates but not of rows) before
     * [[dedupeDelta]] / [[dedupeStream]] — they read the store's parquet
-    * schema. */
+    * schema.
+    *
+    * Layout: both tables carry an `ingest_batch` partition level (−1 for
+    * the base state, the micro-batch id for streaming ingests) so a
+    * replayed batch can DYNAMICALLY OVERWRITE exactly its own partitions
+    * — the idempotence mechanism of [[ingestBatch]]. `band_bucket` stays
+    * the inner partition level; DPP prunes on it regardless of the outer
+    * level. */
   def writeStore(spark: SparkSession, state: DataFrame, root: String): Unit = {
     val sigs = TextQueries.minHashSignatures(spark, state).persist()
-    withBucket(TextQueries.bandRows(sigs))
-      .write.mode("overwrite").partitionBy("band_bucket").parquet(s"$root/bands")
-    sigs.select("doc_id", "sh_set").write.mode("overwrite").parquet(s"$root/sets")
+    withBucket(TextQueries.bandRows(sigs)).withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch", "band_bucket")
+      .parquet(s"$root/bands")
+    sigs.select("doc_id", "sh_set").withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/sets")
     sigs.unpersist()
     ()
   }
 
-  /** Append a processed delta's signature rows into the store, so the
-    * NEXT delta sees them — the ingest step of the grow-forever loop
-    * (used per micro-batch by [[dedupeStream]]). Append, not overwrite:
-    * partitioned parquet appends only touch the delta's own band-bucket
-    * directories. */
-  def appendToStore(spark: SparkSession, delta: DataFrame, root: String): Unit = {
-    val sigs = TextQueries.minHashSignatures(spark, delta).persist()
-    withBucket(TextQueries.bandRows(sigs))
-      .write.mode("append").partitionBy("band_bucket").parquet(s"$root/bands")
-    sigs.select("doc_id", "sh_set").write.mode("append").parquet(s"$root/sets")
+  /** Ingest one micro-batch IDEMPOTENTLY: every write is a dynamic
+    * partition overwrite keyed by `batchId`, so an at-least-once replay
+    * (crash after a write, before the streaming checkpoint commits the
+    * offset) overwrites exactly its own partitions instead of appending
+    * a second copy — the standard foreachBatch exactly-once recipe.
+    * Pairs land in `pairsOut/batch_id=<id>/`; signature rows land in the
+    * store under `ingest_batch=<id>`. */
+  def ingestBatch(spark: SparkSession, root: String, pairsOut: String,
+                  batch: DataFrame, batchId: Long): Unit = {
+    dedupeDelta(spark, root, batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(pairsOut)
+    val sigs = TextQueries.minHashSignatures(spark, batch).persist()
+    withBucket(TextQueries.bandRows(sigs)).withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "band_bucket").parquet(s"$root/bands")
+    sigs.select("doc_id", "sh_set").withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/sets")
     sigs.unpersist()
     ()
   }
 
   /** Streaming near-dup dedup: every micro-batch of documents is treated
     * as a delta against the signature store — pairs involving the batch
-    * go to `pairsOut`, then the batch's signatures are appended so later
-    * batches (and later restarts, via checkpointed source offsets) see
-    * them. The foreachBatch body is the SAME code path the batch q69
-    * oracle proves; state lives in the store, not in Spark streaming
-    * state, so it survives restarts and is shared with batch ingests. */
+    * go to `pairsOut`, then the batch's signatures are ingested so later
+    * batches (and restarts, via checkpointed source offsets) see them.
+    * The foreachBatch body is [[ingestBatch]] — the SAME dedupeDelta path
+    * the batch q69 oracle proves, made replay-idempotent via
+    * batch-id-keyed dynamic partition overwrites. State lives in the
+    * store, not in Spark streaming state, so it survives restarts and is
+    * shared with batch ingests. */
   def dedupeStream(docsStream: DataFrame, root: String, pairsOut: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          dedupeDelta(spark, root, batch)
-            .write.mode("append").parquet(pairsOut)
-          appendToStore(spark, batch, root)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestBatch(batch.sparkSession, root, pairsOut, batch, batchId)
       }
       .start()
 
@@ -115,8 +131,13 @@ object IncrementalDedup {
     val cand = viaStore.unionByName(withinDelta).distinct()
     // exact rerank: sh_sets from the store for state docs, from the delta
     // pipeline for delta docs — only candidate ids are touched
-    val sets = spark.read.parquet(s"$root/sets")
+    // dropDuplicates: after an at-least-once replay the batch's docs are
+    // in BOTH the store and the delta; a doc appearing twice in `sets`
+    // would duplicate every rerank row it joins (sh_set is a pure
+    // function of the doc, so either copy is equivalent)
+    val sets = spark.read.parquet(s"$root/sets").select("doc_id", "sh_set")
       .unionByName(dSigs.select("doc_id", "sh_set"))
+      .dropDuplicates("doc_id")
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -113,18 +113,31 @@ object FileStoreSync {
     FetchChunk(buf, if (offset + n < len) Some(offset + n) else None)
   }
 
-  /** Drain [[fetchChunk]] to exhaustion from `offset` — the reference's
-    * resumable-download loop. With offset = 0 this equals one whole read. */
+  /** Drain the file to exhaustion from `offset` — the reference's
+    * resumable-download loop, but with ONE open and ONE status call
+    * (per-chunk re-open via [[fetchChunk]] would cost 2+ round trips per
+    * chunk on an object store). Byte-identical to chaining fetchChunk;
+    * FileStoreSyncSpec asserts it. */
   def fetchAll(spark: SparkSession, path: String, chunkSize: Int,
                offset: Long = 0L): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    var cur: Option[Long] = Some(offset)
-    while (cur.isDefined) {
-      val c = fetchChunk(spark, path, chunkSize, cur.get)
-      out.write(c.bytes)
-      cur = c.nextOffset
-    }
-    out.toByteArray
+    require(chunkSize > 0 && offset >= 0, "chunkSize must be > 0 and offset >= 0")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    if (offset >= len) return Array.emptyByteArray
+    val out = new Array[Byte]((len - offset).toInt)
+    val in = fs.open(p)
+    try {
+      in.seek(offset)
+      var done = 0
+      while (done < out.length) {
+        val n = math.min(chunkSize, out.length - done)
+        in.readFully(out, done, n)
+        done += n
+      }
+    } finally in.close()
+    out
   }
 
   /** Master cache (8-column EAV), empty-schema frame when absent. */

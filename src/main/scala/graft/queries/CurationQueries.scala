@@ -35,22 +35,38 @@ object CurationQueries {
     * codegen'd shingle expression + broadcast hash semi-join and the only
     * shuffle is the per-doc hit count (pre-aggregated map-side). The
     * corpus is never self-joined and never shuffled by shingle. */
+  /** Contamination-test parameters, shared by q61 and q70 (one site to
+    * change slice or window width — a drift between the two surfaces as
+    * a q70 reconciliation-spec failure otherwise). */
+  private val ContamGramWidth = 8
+  private def isBenchDoc = col("doc_id") % 100 < 2
+
+  /** Shingled frame (doc_id, sh) both contamination consumers start
+    * from. Caller persists — each caller feeds it to several subplans. */
+  private def contamShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .select(col("doc_id"),
+        NativeTextFns.shingleHashes(spark, col("th"), ContamGramWidth).as("sh"))
+
+  /** Per-candidate benchmark-overlap counts over a shingled frame:
+    * (doc_id, n_hits > 0) for every non-benchmark doc with ≥1 shared
+    * gram. The benchmark side is eval-suite-sized → broadcast. */
+  private def contamHits(sh: DataFrame): DataFrame = {
+    val bench = sh.filter(isBenchDoc).select(explode(col("sh")).as("g")).distinct()
+    sh.filter(!isBenchDoc).select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   def q61Decontamination(spark: SparkSession, dir: String): DataFrame = {
     // persist: the shingle frame feeds the benchmark side, the candidate
     // explode, AND the per-doc gram counts — unpersisted, the tokenize +
     // shingle pipeline would run three times
-    val sh = docs(spark, dir)
-      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
-      .select(col("doc_id"), NativeTextFns.shingleHashes(spark, col("th"), 8).as("sh"))
-      .persist()
-    val bench = sh.filter(col("doc_id") % 100 < 2)
-      .select(explode(col("sh")).as("g")).distinct()
-    val cand = sh.filter(col("doc_id") % 100 >= 2)
-    val hits = cand.select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(broadcast(bench), Seq("g"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    cand.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
+    val sh = contamShingles(spark, dir).persist()
+    sh.filter(!isBenchDoc)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(contamHits(sh), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
@@ -385,19 +401,17 @@ object CurationQueries {
     val d = docs(spark, dir)
       .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
       .withColumn("n_tokens", size(col("th")).cast("long"))
-      .withColumn("sh", NativeTextFns.shingleHashes(spark, col("th"), 8))
+      .withColumn("sh", NativeTextFns.shingleHashes(spark, col("th"), ContamGramWidth))
       .withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
       .persist()
     val w = Window.partitionBy("text_hash")
     val dupFlags = d
       .withColumn("canonical_id", min("doc_id").over(w))
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
-    val bench = d.filter(col("doc_id") % 100 < 2).select(explode(col("sh")).as("g")).distinct()
-    val contamIds = d.filter(col("doc_id") % 100 >= 2)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(broadcast(bench), Seq("g"))
-      .select("doc_id").distinct()
-      .withColumn("is_contaminated", lit(true))
+    // same subplan as q61 (shared contamHits helper) over THIS query's
+    // persisted frame
+    val contamIds = contamHits(d.select("doc_id", "sh"))
+      .select("doc_id").withColumn("is_contaminated", lit(true))
     d.select(col("source"), col("doc_id"), col("n_tokens"))
       .join(dupFlags, Seq("doc_id"))
       .join(contamIds, Seq("doc_id"), "left")

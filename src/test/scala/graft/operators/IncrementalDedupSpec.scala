@@ -70,6 +70,31 @@ class IncrementalDedupSpec extends SparkSpec {
       s"batch 2 must see batch 1 via the store: $pairs")
   }
 
+  test("ingestBatch replay (same batchId) is idempotent: no duplicated store or pair rows") {
+    import spark.implicits._
+    val root = tmpRoot("replay")
+    val pairsOut = tmpRoot("replay_pairs")
+    Seq(root, pairsOut).foreach { p =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    IncrementalDedup.writeStore(spark, Seq((1L, text)).toDF("doc_id", "text"), root)
+    val batch = Seq((2L, text)).toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(spark, root, pairsOut, batch, batchId = 0L)
+    val bandsOnce = spark.read.parquet(s"$root/bands").count()
+    val pairsOnce = spark.read.parquet(pairsOut).count()
+    // at-least-once replay of the SAME micro-batch (crash before the
+    // checkpoint committed): dynamic partition overwrite must replace,
+    // not append
+    IncrementalDedup.ingestBatch(spark, root, pairsOut, batch, batchId = 0L)
+    assert(spark.read.parquet(s"$root/bands").count() == bandsOnce,
+      "replayed batch must not duplicate store band rows")
+    assert(spark.read.parquet(s"$root/sets").count() == 2, "one state + one batch doc")
+    assert(spark.read.parquet(pairsOut).count() == pairsOnce,
+      "replayed batch must not duplicate pair rows")
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

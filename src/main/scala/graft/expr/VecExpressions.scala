@@ -160,11 +160,12 @@ case class RhpBucket(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(l: Any, r: Any): Any =
     VecKernels.rhpBucket(l.asInstanceOf[ArrayData], elemFloat.get, nPlanes)
 
+  // Call the mirror class's static forwarder (same pattern as TextExpr.kernels);
+  // a `.MODULE$` reference does not exist on the mirror class and fails Janino
+  // compilation, silently dropping the whole stage to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, _) => {
-      val kernels = VecKernels.getClass.getName.stripSuffix("$") + ".MODULE$"
-      s"${ev.value} = $kernels.rhpBucket($a, ${elemFloat.get}, $nPlanes);"
-    })
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.expr.VecKernels.rhpBucket($a, ${elemFloat.get}, $nPlanes);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

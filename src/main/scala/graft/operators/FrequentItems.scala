@@ -107,14 +107,22 @@ object FrequentItems {
     * descending. Driver receives P summaries (≤ capacity entries each),
     * never the vocabulary. */
   def spaceSavingTopK(items: DataFrame, itemCol: String, k: Int, capacity: Int): Seq[(String, Long, Long)] = {
-    val merged = items.select(col(itemCol).cast("string"))
+    val summaries = items.select(col(itemCol).cast("string"))
       .na.drop()
       .rdd.mapPartitions { it =>
         val ss = new SpaceSaving(capacity)
         it.foreach { case Row(s: String) => ss.offer(s) }
         Iterator.single(ss)
       }
-      .fold(new SpaceSaving(capacity))((a, b) => a.merge(b))
+    // tree merge, not a sequential driver fold: on a 10k-partition corpus
+    // a flat fold makes the driver perform P merges in a row; treeAggregate
+    // merges P^(1/depth) summaries per executor task per level and hands
+    // the driver only the last level. Merge is associative+commutative
+    // (Agarwal et al.), so any merge tree yields the same bounds.
+    val depth = math.max(2,
+      (math.log(math.max(summaries.getNumPartitions, 2).toDouble) / math.log(16.0)).ceil.toInt)
+    val merged = summaries.treeAggregate(new SpaceSaving(capacity))(
+      (a, b) => a.merge(b), (a, b) => a.merge(b), depth)
     import scala.jdk.CollectionConverters._
     merged.table.asScala.toSeq
       .map { case (tok, (est, err)) => (tok, est, err) }

@@ -83,10 +83,15 @@ object ElectricityPipeline {
           col("Next_DateTime"),
           expr("INTERVAL 1 MINUTE"))).as("MinuteGrid"))
       .withColumn("Category", TimeFns.peakCategory(col("MinuteGrid")))
+    // aggregate the 1-minute grid down to (bucket, interval) FIRST — the
+    // partial aggregation combines map-side, so the only full-grid shuffle
+    // carries ~15× fewer rows; the per-interval rate denominators are then
+    // window sums over the aggregated frame (interval peak minutes = the
+    // sum of its buckets' peak-minute counts — exact long arithmetic, so
+    // this is the same number the raw-grid running count produced, for a
+    // window over 1/15th the rows)
     val wc = Window.partitionBy("UTC_DateTime")
     val perInterval = grid
-      .withColumn("Total_P_Mins", sum(when(col("Category") === "P", 1).otherwise(0)).over(wc))
-      .withColumn("Total_OP_Mins", sum(when(col("Category") === "OP", 1).otherwise(0)).over(wc))
       .withColumn("Bucket", TimeFns.timeBucket15EndLabeled(col("MinuteGrid")))
       .groupBy("Bucket", "UTC_DateTime")
       .agg(
@@ -95,8 +100,9 @@ object ElectricityPipeline {
         count(lit(1)).as("mins"),
         sum(when(col("Category") === "P", 1).otherwise(0)).as("cnt_p"),
         sum(when(col("Category") === "OP", 1).otherwise(0)).as("cnt_op"),
-        first("Delta_P").as("dp"), first("Delta_OP").as("dop"),
-        first("Total_P_Mins").as("pmins"), first("Total_OP_Mins").as("opmins"))
+        first("Delta_P").as("dp"), first("Delta_OP").as("dop"))
+      .withColumn("pmins", sum("cnt_p").over(wc))
+      .withColumn("opmins", sum("cnt_op").over(wc))
       .withColumn("p_sub", when(col("cnt_p") > 0 && col("pmins") > 0,
         col("dp") * col("cnt_p").cast("double") / col("pmins").cast("double")))
       .withColumn("op_sub", when(col("cnt_op") > 0 && col("opmins") > 0,

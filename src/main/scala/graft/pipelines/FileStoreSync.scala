@@ -126,6 +126,12 @@ object FileStoreSync {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(p).getLen
     if (offset >= len) return Array.emptyByteArray
+    // a single JVM byte array caps at 2 GiB; a silent Int wrap here would
+    // return truncated bytes as the "whole" file — fail loudly and point
+    // the caller at the chunked API instead
+    require(len - offset <= Int.MaxValue,
+      s"fetchAll cannot materialize ${len - offset} bytes in one array " +
+        s"(max ${Int.MaxValue}); drain via fetchChunk instead")
     val out = new Array[Byte]((len - offset).toInt)
     val in = fs.open(p)
     try {

@@ -147,7 +147,10 @@ object CurationQueries {
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
-        floor(col("start_off") / budget).as("bin_id"),
+        // DIV, not floor(/): Spark's `/` on longs is double division,
+        // which loses exactness past 2^53 cumulative tokens; DuckDB's
+        // oracle `//` is exact integer division at any offset
+        expr(s"start_off DIV $budget").as("bin_id"),
         (col("start_off") % budget).as("offset_in_bin"))
   }
 
@@ -293,7 +296,12 @@ object CurationQueries {
       .withColumn("quota", floor(sqrt(col("n_total").cast("double"))).cast("long"))
     val w = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
     docs(spark, dir)
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+      // reduce doc_id mod M BEFORE multiplying: the congruence keeps the
+      // hash identical, and (M−1)·2654435761 ≈ 2.7e18 stays inside Long —
+      // the raw product overflows (silently in Spark, an error in DuckDB)
+      // for doc_id ≳ 3.5e9
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(1000000007L)))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .join(broadcast(counts), Seq("source"))
       .select(col("source"), col("doc_id"), col("n_total"), col("quota"),
@@ -309,7 +317,7 @@ object CurationQueries {
       |ranked AS (
       |  SELECT source, doc_id,
       |    row_number() OVER (PARTITION BY source
-      |      ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC)::BIGINT AS sample_rank
+      |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC, doc_id ASC)::BIGINT AS sample_rank
       |  FROM documents
       |)
       |SELECT r.source, r.doc_id, c.n_total, c.quota, r.sample_rank,

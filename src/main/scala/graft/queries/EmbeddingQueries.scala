@@ -137,6 +137,41 @@ object EmbeddingQueries {
         (col("pos") + 1).as("rank"), col("t.score").as("cosine_sim"))
   }
 
+  /** Multi-probe LSH under the oracle gate (probes = 2): each vector
+    * probes its own bucket plus the two flip-1-bit buckets (bits 0 and
+    * 1); the DuckDB twin computes the identical probe set via `xor`,
+    * proving the recall knob end-to-end — candidate generation, rerank,
+    * and tiebreaks — not just the plan shape. */
+  def q71AnnMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    annLshMultiProbe(Tables.embeddings(spark, dir), Dim, nbits = 8, k = 3, probes = 2)
+      .withColumn("cosine_sim", round(col("cosine_sim"), 4))
+
+  val q71AnnMultiProbeSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |),
+       |p AS (
+       |  SELECT vec_id, embedding,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS bucket
+       |  FROM e
+       |),
+       |sims AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM p a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   /** Embedding-cosine near-dup — the similarity-space member of the
     * dedup family (exact q23, MinHash q30, SimHash q29, n-gram q27):
     * LSH-blocked candidate pairs above a cosine threshold form a graph
@@ -254,13 +289,15 @@ object EmbeddingQueries {
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
     "q33_ivf_centroid" -> (q33IvfCentroid _),
-    "q53_embed_neardup" -> (q53EmbedNearDup _)
+    "q53_embed_neardup" -> (q53EmbedNearDup _),
+    "q71_ann_multiprobe" -> (q71AnnMultiProbe _)
   )
 
   def sql: Map[String, String] = Map(
     "q31_cosine_topk" -> q31CosineTopKSql,
     "q32_ann_lsh" -> q32AnnLshSql,
     "q33_ivf_centroid" -> q33IvfCentroidSql,
-    "q53_embed_neardup" -> q53EmbedNearDupSql
+    "q53_embed_neardup" -> q53EmbedNearDupSql,
+    "q71_ann_multiprobe" -> q71AnnMultiProbeSql
   )
 }

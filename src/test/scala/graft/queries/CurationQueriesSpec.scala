@@ -109,6 +109,28 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("spaceSavingTopK tree merge: bounds hold across a 1000-partition input") {
+    import spark.implicits._
+    // a clear head item plus a long tail; 1000 partitions forces the
+    // treeAggregate path through multiple merge levels (most partitions
+    // contribute an empty or tiny summary — the hostile case for merge,
+    // since absent items are credited each summary's minimum estimate)
+    val rows = Seq.fill(5000)("hot") ++ (1 to 200).flatMap(i => Seq.fill(i)(s"t$i"))
+    val items = spark.createDataset(rows).repartition(1000).toDF("token")
+    val cap = 32
+    val out = FrequentItems.spaceSavingTopK(items, "token", 20, cap)
+    val trueCounts = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toLong
+    for ((tok, est, err) <- out; t <- trueCounts.get(tok)) {
+      assert(est >= t, s"$tok: est $est < true $t")
+      assert(est - err <= t, s"$tok: guaranteed ${est - err} > true $t")
+    }
+    // recall: every item with true freq > n/cap must survive to the top-k
+    val mustHave = trueCounts.filter { case (_, t) => t > n / cap }.keySet
+    assert(mustHave.subsetOf(out.map(_._1).toSet),
+      s"missing guaranteed heavy hitters: ${mustHave -- out.map(_._1).toSet}")
+  }
+
   test("q63: bins respect the budget invariant and offsets are consistent") {
     val out = CurationQueries.q63PackSequences(spark, sfDir).cache()
     // offset_in_bin ∈ [0, 2048); bin_id non-decreasing in doc_id per source

@@ -136,6 +136,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must stay partition-local:\n$p")
   }
 
+  test("native expressions compile under CODEGEN_ONLY (no silent interpreted fallback)") {
+    // A generated-code compile error normally falls back to interpreted eval
+    // silently (results stay right, the claimed codegen tier never runs).
+    // CODEGEN_ONLY + fallback=false turn that into a hard failure, so a bad
+    // doGenCode emit — e.g. referencing MODULE$ on a mirror class — cannot
+    // ship green. Covers every query that carries a native expression.
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      Seq("q28_fingerprint", "q32_ann_lsh", "q53_embed_neardup", "p5_media_features")
+        .foreach { name =>
+          val rows = graft.SparkEntry.queries(name)(spark, sfDir).collect()
+          assert(rows.nonEmpty, s"$name returned no rows under CODEGEN_ONLY")
+        }
+    }
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

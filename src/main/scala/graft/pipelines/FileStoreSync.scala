@@ -61,7 +61,11 @@ object FileStoreSync {
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(suffix))
-          out += ((st.getPath.getName, st.getPath.toUri.getPath, st.getLen))
+          // full URI string, not toUri.getPath: stripping the scheme would
+          // break the listing→fetch round trip on any non-default
+          // FileSystem (s3a/abfs/...); FileStoreSyncSpec drives the whole
+          // contract through a memfs:// scheme to pin this down
+          out += ((st.getPath.getName, st.getPath.toString, st.getLen))
       }
     }
     out.result().sortBy(_._2)

@@ -472,6 +472,132 @@ object CurationQueries {
        |GROUP BY s.source""".stripMargin
   }
 
+  // --------------------------------------------------- bigram LM scoring
+
+  /** Bigram language-model fluency score — the CCNet-style perplexity
+    * filter of quality pipelines, transcendental-free: the corpus itself
+    * is the LM (bigram MLE), and each document scores the mean conditional
+    * probability of its token bigrams, in exact basis points
+    * (⌊10000·c(w₁w₂)/c(w₁)⌋ per occurrence, integer-averaged at the end).
+    * Repetitive/templated text scores high, token-salad scores low — the
+    * same ordering as log-perplexity, but bit-identical cross-engine
+    * (log/exp differ in last bits between libm implementations; this is
+    * the q64 log-free-idf philosophy applied to LM scoring).
+    *
+    * 100 TB shape: per-doc bigram extraction is a per-row array transform
+    * (zero shuffle); the model tables are vocab-dim (not corpus-dim) —
+    * c(w₁w₂) and c(w₁) aggregate with map-side combine, their join is
+    * vocab-sized, and the scored model BROADCASTS back to the doc-keyed
+    * side exactly like q64's df table (past the broadcast budget it
+    * degrades to a (p,b)-keyed shuffle join, still never corpus×corpus).
+    * The doc-side re-aggregation is one (doc,p,b) combine + one doc-keyed
+    * shuffle. */
+  def q72BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the bigram-occurrence frame feeds the two model counts AND
+    // the per-doc aggregation — unpersisted, tokenize+hash runs 3×
+    val pairs = docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .filter(size(col("th")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(th) - 1), i -> named_struct(
+           |  'p', element_at(th, i),
+           |  'b', (element_at(th, i) * ${TextFns.ShingleK} + element_at(th, i + 1)) % ${TextFns.HashMod}))""".stripMargin)).as("pb"))
+      .select(col("doc_id"), col("pb.p").as("p"), col("pb.b").as("b"))
+      .persist()
+    val c2 = pairs.groupBy("p", "b").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("p").agg(count(lit(1)).as("c1"))
+    val scored = c2.join(c1, Seq("p"))
+      .select(col("p"), col("b"), expr("(c2 * 10000) DIV c1").as("s"))
+    pairs.groupBy("doc_id", "p", "b").agg(count(lit(1)).as("m"))
+      .join(broadcast(scored), Seq("p", "b"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"), sum(col("m") * col("s")).as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ExactDecimal.halfUpRatio(col("ssum"), col("n_bigrams"), 4).as("lm_score"))
+  }
+
+  val q72BigramLmSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($toks, x -> ${TextFns.ddbPolyHash("x")}) AS th
+       |  FROM documents
+       |),
+       |pairs AS (
+       |  SELECT doc_id, th[i+1] AS p,
+       |    (th[i+1] * ${TextFns.ShingleK} + th[i+2]) % ${TextFns.HashMod} AS b
+       |  FROM (SELECT doc_id, th, unnest(range(len(th) - 1)) AS i FROM t WHERE len(th) >= 2)
+       |),
+       |c2 AS (SELECT p, b, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+       |c1 AS (SELECT p, count(*) AS c1 FROM pairs GROUP BY 1),
+       |scored AS (SELECT p, b, (c2 * 10000) // c1 AS s FROM c2 JOIN c1 USING (p)),
+       |da AS (SELECT doc_id, p, b, count(*) AS m FROM pairs GROUP BY 1, 2, 3)
+       |SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+       |  ${ExactDecimal.ddbHalfUpRatio("sum(m * s)::BIGINT", "sum(m)::BIGINT", 4)} AS lm_score
+       |FROM da JOIN scored USING (p, b)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- PII redaction
+
+  /** Regexes shared by the Spark and DuckDB sides of q73 — written to the
+    * RE2 ∩ java.util.regex common subset (no lookarounds, no backrefs) so
+    * both engines match identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  private val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII detection + redaction — the compliance pass of a training-data
+    * pipeline: emails, phone numbers and IPv4 addresses are counted and
+    * replaced with typed placeholders, email → phone → IP (emails carry
+    * dots and digits, so they must leave the text first). The output
+    * hash-compares the REDACTED TEXT itself (sha256) across engines, not
+    * just the counts — proving byte-identical redaction. The corpus text
+    * is synthetic, so a deterministic PII suffix is injected into every
+    * 5th document inside the query (both engines compute the same suffix)
+    * to exercise all three patterns end-to-end.
+    *
+    * 100 TB shape: pure per-row regex expressions — zero shuffle, stays
+    * inside whole-stage codegen, scans the text column only. */
+  def q73PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val scanned = concat(col("text"),
+      when(col("doc_id") % 5 === 0, concat(
+        lit(" Contact user"), col("doc_id"), lit("@example.com or 10.0."),
+        col("doc_id") % 256, lit("."), (col("doc_id") / 256).cast("long") % 256,
+        lit(" tel 555-012-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    docs(spark, dir)
+      .withColumn("scanned", scanned)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("scanned"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("scanned"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("scanned"), lit(IpRe), lit(0))).as("n_ips"),
+        sha2(regexp_replace(regexp_replace(regexp_replace(col("scanned"),
+          lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")),
+          lit(IpRe), lit("<IP>")), 256).as("redacted_hash"))
+  }
+
+  val q73PiiRedactSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 5 = 0 THEN
+       |      ' Contact user' || doc_id || '@example.com or 10.0.' ||
+       |      (doc_id % 256) || '.' || ((doc_id // 256) % 256) ||
+       |      ' tel 555-012-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |    ELSE '' END AS scanned
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(scanned, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(scanned, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all(scanned, '$IpRe')) AS n_ips,
+       |  sha256(regexp_replace(regexp_replace(regexp_replace(scanned,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g')) AS redacted_hash
+       |FROM s""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -483,7 +609,9 @@ object CurationQueries {
     "q66_mixture_sample" -> (q66MixtureSample _),
     "q67_repetition" -> (q67RepetitionScore _),
     "q68_substring_dedup" -> (q68SubstringDedup _),
-    "q70_corpus_report" -> (q70CorpusReport _)
+    "q70_corpus_report" -> (q70CorpusReport _),
+    "q72_bigram_lm" -> (q72BigramLm _),
+    "q73_pii_redact" -> (q73PiiRedact _)
   )
 
   def sql: Map[String, String] = Map(
@@ -495,6 +623,8 @@ object CurationQueries {
     "q66_mixture_sample" -> q66MixtureSampleSql,
     "q67_repetition" -> q67RepetitionScoreSql,
     "q68_substring_dedup" -> q68SubstringDedupSql,
-    "q70_corpus_report" -> q70CorpusReportSql
+    "q70_corpus_report" -> q70CorpusReportSql,
+    "q72_bigram_lm" -> q72BigramLmSql,
+    "q73_pii_redact" -> q73PiiRedactSql
   )
 }

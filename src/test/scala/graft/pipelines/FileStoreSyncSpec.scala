@@ -94,6 +94,38 @@ class FileStoreSyncSpec extends SparkSpec {
     assert(FileStoreSync.fetchChunk(spark, f.toString, 997, payload.length.toLong).nextOffset.isEmpty)
   }
 
+  test("connector contract is FileSystem-scheme-agnostic (memfs://, no java.io.File)") {
+    // register the in-memory FS and seed a nested store
+    spark.sparkContext.hadoopConfiguration.set("fs.memfs.impl", classOf[MemFs].getName)
+    MemFs.clear()
+    (1 to 5).foreach(i => MemFs.put(f"/store/f$i%02d.txt", s"payload $i".getBytes("UTF-8")))
+    val payload = Array.tabulate[Byte](10007)(i => (i * 31 % 251).toByte)
+    MemFs.put("/store/sub/deep.txt", payload)
+
+    // recursive paginated listing over the foreign scheme
+    val l = FileStoreSync.listing(spark, "memfs://mem/store", pageSize = 2).collect()
+    assert(l.map(_.getString(0)).toSet ==
+      (1 to 5).map(i => f"f$i%02d.txt").toSet + "deep.txt")
+    // the listing's path column preserves the scheme — the listing→fetch
+    // round trip must work without knowing which FileSystem served it
+    val deepPath = l.find(_.getString(0) == "deep.txt").get.getString(1)
+    assert(deepPath.startsWith("memfs://"), s"scheme lost: $deepPath")
+
+    // ranged fetch + resume, byte-identical, all through memfs seek/read
+    val whole = FileStoreSync.fetchAll(spark, deepPath, chunkSize = 1 << 20)
+    assert(whole.toSeq == payload.toSeq)
+    val c1 = FileStoreSync.fetchChunk(spark, deepPath, 997)
+    val rest = FileStoreSync.fetchAll(spark, deepPath, 997, c1.nextOffset.get)
+    assert((c1.bytes ++ rest).toSeq == payload.toSeq)
+
+    // pagination tokens work against the foreign scheme too
+    val p1 = FileStoreSync.listPage(spark, "memfs://mem/store", pageSize = 4)
+    val p2 = FileStoreSync.listPage(spark, "memfs://mem/store", pageSize = 4,
+      pageToken = p1.nextPageToken)
+    assert((p1.files ++ p2.files).map(_._1).size == 6 && p2.nextPageToken.isEmpty)
+    MemFs.clear()
+  }
+
   test("empty cache + empty store → empty frame with the EAV schema") {
     val store = Files.createTempDirectory("store2")
     val cache = store.resolve("cache.parquet").toString

@@ -285,12 +285,91 @@ object EmbeddingQueries {
        |) WHERE rn = 1""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space coarsely (here: q33's nearest-per-label
+    * centroid assignment — k-means in production), then prune, WITHIN each
+    * cluster only, every vector that has a lower-id near-duplicate above
+    * the cosine threshold. Greedy keep-lowest-id is the published
+    * tie-break made deterministic; unlike q53's closure this is a single
+    * semi-join — no iteration.
+    *
+    * 100 TB shape: centroids broadcast (dims, not corpus); the pairwise
+    * cosine runs INSIDE clusters only — the cluster count is the knob
+    * that bounds the quadratic term (the published method's property),
+    * and the pair join is an equi-join on the cluster key, never
+    * corpus×corpus. Threshold 0.28 = q53's measured classify-flip-safe
+    * margin. */
+  def q74SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("c_label"), transform(col("pc"), p => p("c")).as("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("c_label").asc)
+    val asg = e.select(col("vec_id"), col("embedding"),
+        NativeVecFns.norm(spark, col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_label").as("cluster"))
+      // feeds both sides of the intra-cluster pair join
+      .persist()
+    val pruned = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .filter(NativeVecFns.dot(spark, col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) > 0.28)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("is_pruned", lit(true))
+    asg.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_pruned"), lit(false)).as("is_pruned"))
+  }
+
+  val q74SemDedupSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH cd AS (
+       |  SELECT label, pos, avg(x) AS c
+       |  FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+       |               generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings)
+       |  GROUP BY label, pos
+       |),
+       |cents AS (
+       |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM cd GROUP BY label
+       |),
+       |asg AS (
+       |  SELECT vec_id, embedding, c_label AS cluster
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_label,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dist ASC, c.c_label ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |pruned AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE $dot / ($na * $nb) > 0.28
+       |)
+       |SELECT s.vec_id, s.cluster, p.vec_id IS NOT NULL AS is_pruned
+       |FROM asg s LEFT JOIN pruned p ON s.vec_id = p.vec_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
     "q33_ivf_centroid" -> (q33IvfCentroid _),
     "q53_embed_neardup" -> (q53EmbedNearDup _),
-    "q71_ann_multiprobe" -> (q71AnnMultiProbe _)
+    "q71_ann_multiprobe" -> (q71AnnMultiProbe _),
+    "q74_semdedup" -> (q74SemDedup _)
   )
 
   def sql: Map[String, String] = Map(
@@ -298,6 +377,7 @@ object EmbeddingQueries {
     "q32_ann_lsh" -> q32AnnLshSql,
     "q33_ivf_centroid" -> q33IvfCentroidSql,
     "q53_embed_neardup" -> q53EmbedNearDupSql,
-    "q71_ann_multiprobe" -> q71AnnMultiProbeSql
+    "q71_ann_multiprobe" -> q71AnnMultiProbeSql,
+    "q74_semdedup" -> q74SemDedupSql
   )
 }

@@ -153,6 +153,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q72 LM doc-side join broadcasts the vocab-dim model") {
+    val df = graft.SparkEntry.queries("q72_bigram_lm")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "scored model must broadcast to the doc side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q73 PII redaction has no shuffle at all") {
+    val p = plan("q73_pii_redact")
+    assert(!p.contains("Exchange"), s"redaction must stay partition-local:\n$p")
+  }
+
+  test("q74 SemDeDup: centroids broadcast, pair join keyed by cluster") {
+    val df = graft.SparkEntry.queries("q74_semdedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids must broadcast")
+    assert(!p.contains("CartesianProduct"), s"pair join must stay cluster-keyed:\n$p")
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

@@ -138,17 +138,63 @@ object StorageQueries {
        |FROM orders
        |GROUP BY 1""".stripMargin
 
+  /** MERGE INTO / CDC upsert under the oracle gate: a deterministic
+    * change set over orders (update every key ≡3 mod 10, delete every
+    * key ≡7, insert a key-shifted copy of every key ≡1) applied via
+    * [[graft.operators.MergeInto]]; the DuckDB twin computes the same
+    * merge relationally. The +100.0 price update is exact in doubles
+    * (adding a small integer never rounds a 2-decimal price), so both
+    * engines agree bitwise. */
+  def q75MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val changes = o.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"), col("o_orderpriority"))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("o_orderpriority")))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("I").as("op"),
+          col("o_totalprice"), col("o_orderpriority")))
+    graft.operators.MergeInto.merge(o, changes, "o_orderkey",
+      Seq("o_totalprice", "o_orderpriority"))
+  }
+
+  val q75MergeIntoSql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 100.0 AS price,
+      |         o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 1
+      |)
+      |SELECT b.o_orderkey,
+      |  CASE WHEN ch.op = 'U' THEN ch.price ELSE b.o_totalprice END AS o_totalprice,
+      |  CASE WHEN ch.op = 'U' THEN ch.prio ELSE b.o_orderpriority END AS o_orderpriority,
+      |  CASE WHEN ch.op = 'U' THEN 'updated' ELSE 'kept' END AS merge_status
+      |FROM orders b LEFT JOIN ch ON b.o_orderkey = ch.k
+      |WHERE ch.op IS NULL OR ch.op <> 'D'
+      |UNION ALL
+      |SELECT k, price, prio, 'inserted' FROM ch WHERE op = 'I'""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bucketed_join" -> (q55BucketedJoin _),
     "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _),
     "q57_zorder" -> (q57ZOrder _),
-    "q58_incremental_agg" -> (q58IncrementalAgg _)
+    "q58_incremental_agg" -> (q58IncrementalAgg _),
+    "q75_merge_into" -> (q75MergeInto _)
   )
 
   def sql: Map[String, String] = Map(
     "q55_bucketed_join" -> q55BucketedJoinSql,
     "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql,
     "q57_zorder" -> q57ZOrderSql,
-    "q58_incremental_agg" -> q58IncrementalAggSql
+    "q58_incremental_agg" -> q58IncrementalAggSql,
+    "q75_merge_into" -> q75MergeIntoSql
   )
 }

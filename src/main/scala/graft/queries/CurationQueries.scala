@@ -476,13 +476,20 @@ object CurationQueries {
 
   /** Bigram language-model fluency score — the CCNet-style perplexity
     * filter of quality pipelines, transcendental-free: the corpus itself
-    * is the LM (bigram MLE), and each document scores the mean conditional
-    * probability of its token bigrams, in exact basis points
-    * (⌊10000·c(w₁w₂)/c(w₁)⌋ per occurrence, integer-averaged at the end).
-    * Repetitive/templated text scores high, token-salad scores low — the
-    * same ordering as log-perplexity, but bit-identical cross-engine
-    * (log/exp differ in last bits between libm implementations; this is
-    * the q64 log-free-idf philosophy applied to LM scoring).
+    * is the LM (bigram MLE with add-4 pseudo-count smoothing on the
+    * prefix), and each document scores the mean conditional probability
+    * of its token bigrams, in exact basis points
+    * (⌊10000·c(w₁w₂)/(c(w₁)+4)⌋ per occurrence, integer-averaged at the
+    * end). The smoothing constant is what makes the score a fluency
+    * signal: an UNSMOOTHED MLE assigns probability 1 to every singleton
+    * bigram (c₂=c₁=1), so token salad would score perfectly; +4 caps a
+    * one-observation context at 0.2 while well-supported chains still
+    * approach 1. Predictable/templated text scores high, salad scores
+    * low — the same ordering as smoothed log-perplexity, but
+    * bit-identical cross-engine (log/exp differ in last bits between
+    * libm implementations; this is the q64 log-free-idf philosophy
+    * applied to LM scoring; ordering spec-asserted in
+    * CurationQueriesSpec).
     *
     * 100 TB shape: per-doc bigram extraction is a per-row array transform
     * (zero shuffle); the model tables are vocab-dim (not corpus-dim) —
@@ -492,10 +499,16 @@ object CurationQueries {
     * degrades to a (p,b)-keyed shuffle join, still never corpus×corpus).
     * The doc-side re-aggregation is one (doc,p,b) combine + one doc-keyed
     * shuffle. */
-  def q72BigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def q72BigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScores(spark, docs(spark, dir))
+
+  /** q72's core over any (doc_id, text) frame — kept separate so specs
+    * can feed constructed corpora (CurationQueriesSpec's fluency-contrast
+    * test). */
+  def bigramLmScores(spark: SparkSession, d: DataFrame): DataFrame = {
     // persist: the bigram-occurrence frame feeds the two model counts AND
     // the per-doc aggregation — unpersisted, tokenize+hash runs 3×
-    val pairs = docs(spark, dir)
+    val pairs = d
       .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
       .filter(size(col("th")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -507,7 +520,7 @@ object CurationQueries {
     val c2 = pairs.groupBy("p", "b").agg(count(lit(1)).as("c2"))
     val c1 = pairs.groupBy("p").agg(count(lit(1)).as("c1"))
     val scored = c2.join(c1, Seq("p"))
-      .select(col("p"), col("b"), expr("(c2 * 10000) DIV c1").as("s"))
+      .select(col("p"), col("b"), expr("(c2 * 10000) DIV (c1 + 4)").as("s"))
     pairs.groupBy("doc_id", "p", "b").agg(count(lit(1)).as("m"))
       .join(broadcast(scored), Seq("p", "b"))
       .groupBy("doc_id")
@@ -529,7 +542,7 @@ object CurationQueries {
        |),
        |c2 AS (SELECT p, b, count(*) AS c2 FROM pairs GROUP BY 1, 2),
        |c1 AS (SELECT p, count(*) AS c1 FROM pairs GROUP BY 1),
-       |scored AS (SELECT p, b, (c2 * 10000) // c1 AS s FROM c2 JOIN c1 USING (p)),
+       |scored AS (SELECT p, b, (c2 * 10000) // (c1 + 4) AS s FROM c2 JOIN c1 USING (p)),
        |da AS (SELECT doc_id, p, b, count(*) AS m FROM pairs GROUP BY 1, 2, 3)
        |SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
        |  ${ExactDecimal.ddbHalfUpRatio("sum(m * s)::BIGINT", "sum(m)::BIGINT", 4)} AS lm_score

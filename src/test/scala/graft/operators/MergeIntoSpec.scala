@@ -32,12 +32,52 @@ class MergeIntoSpec extends SparkSpec {
     assert(out.filter(col("merge_status") =!= "kept").isEmpty)
   }
 
-  test("merge is idempotent for U-only change sets (re-applying changes nothing)") {
-    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
-    val changes = Seq((2L, "U", "b2", 22.0)).toDF("k", "op", "name", "v")
-    val once = MergeInto.merge(base, changes, "k", Seq("name", "v"))
-    val twice = MergeInto.merge(once.drop("merge_status"), changes, "k", Seq("name", "v"))
-    assert(once.drop("merge_status").exceptAll(twice.drop("merge_status")).isEmpty)
-    assert(twice.drop("merge_status").exceptAll(once.drop("merge_status")).isEmpty)
+  test("merge is idempotent — re-applying the same I/U/D change set changes nothing") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val changes = Seq((2L, "U", "b2", 22.0), (3L, "D", null, 0.0), (9L, "I", "i", 90.0))
+      .toDF("k", "op", "name", "v")
+    val once = MergeInto.merge(base, changes, "k", Seq("name", "v")).drop("merge_status")
+    // the replayed insert hits its own earlier copy and must be a no-op
+    // (insert-if-absent), the replayed delete finds nothing, the replayed
+    // update overwrites with the same payload
+    val twice = MergeInto.merge(once, changes, "k", Seq("name", "v")).drop("merge_status")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("streaming CDC apply: two batches merge into the snapshot; replay is exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    val snap = s"$dir/snapshot.parquet"
+    def b(rows: (Long, String, String, Double)*) = rows.toDF("k", "op", "name", "v")
+    // batch 0: bootstrap inserts
+    MergeInto.applyBatch(b((1L, "I", "a", 10.0), (2L, "I", "b", 20.0)), snap, "k", Seq("name", "v"))
+    // batch 1: update + delete + insert
+    val batch1 = b((1L, "U", "a2", 11.0), (2L, "D", null, 0.0), (3L, "I", "c", 30.0))
+    MergeInto.applyBatch(batch1, snap, "k", Seq("name", "v"))
+    def state() = spark.read.parquet(snap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val afterTwo = state()
+    assert(afterTwo == Seq((1L, "a2", 11.0), (3L, "c", 30.0)))
+    // at-least-once replay of batch 1 (crash before the checkpoint commit)
+    // must leave the snapshot byte-for-byte equivalent
+    MergeInto.applyBatch(batch1, snap, "k", Seq("name", "v"))
+    assert(state() == afterTwo)
+  }
+
+  test("applyStream drives applyBatch through foreachBatch (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcs").toString
+    val snap = s"$dir/snapshot.parquet"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, Double)]
+    in.addData((1L, "I", "a", 10.0), (2L, "I", "b", 20.0))
+    val q = MergeInto.applyStream(
+      in.toDF().toDF("k", "op", "name", "v"), snap, "k", Seq("name", "v"),
+      checkpoint = s"$dir/ckpt")
+    q.processAllAvailable()
+    in.addData((1L, "U", "a2", 11.0), (2L, "D", null, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(snap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a2", 11.0)))
   }
 }

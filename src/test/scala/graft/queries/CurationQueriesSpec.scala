@@ -131,6 +131,21 @@ class CurationQueriesSpec extends SparkSpec {
       s"missing guaranteed heavy hitters: ${mustHave -- out.map(_._1).toSet}")
   }
 
+  test("q72: predictable phrasing outscores token salad (fluency ordering)") {
+    import spark.implicits._
+    // doc 1 reuses the same bigrams over and over (a high-probability
+    // chain under the corpus-trained model); doc 2 is all unique tokens,
+    // so every one of its bigrams is a singleton
+    val d = Seq(
+      (1L, ("the cat sat on the mat " * 8).trim),
+      (2L, (1 to 48).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val scores = CurationQueries.bigramLmScores(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(2L),
+      s"repetitive doc must outscore salad: ${scores(1L)} vs ${scores(2L)}")
+  }
+
   test("q63: bins respect the budget invariant and offsets are consistent") {
     val out = CurationQueries.q63PackSequences(spark, sfDir).cache()
     // offset_in_bin ∈ [0, 2048); bin_id non-decreasing in doc_id per source

@@ -182,12 +182,83 @@ object StorageQueries {
       |UNION ALL
       |SELECT k, price, prio, 'inserted' FROM ch WHERE op = 'I'""".stripMargin
 
+  // written-once-per-process roots for the format round-trip queries
+  // (bench reps then price the steady-state READ path, and concurrent
+  // processes cannot race each other's files — the q69 ensureStore recipe)
+  private val formatRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureFormat(spark: SparkSession, dir: String, fmt: String,
+                           write: String => Unit): String =
+    formatRoots.computeIfAbsent(s"$fmt|$dir", { _ =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_fmt_${ProcessHandle.current().pid()}" +
+        s"_${fmt}_${math.abs(dir.hashCode)}"
+      write(root)
+      root
+    })
+
+  /** ORC sink+source round trip under the oracle gate: lineitem is
+    * written once as ORC (columnar twin of parquet — same pushdown/
+    * pruning levers), read back, and aggregated; the result is
+    * format-independent, so the DuckDB oracle is the plain aggregate
+    * over the parquet original — any value corruption in the ORC
+    * writer/reader path hash-mismatches. */
+  def q76OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureFormat(spark, dir, "orc", p =>
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(p))
+    spark.read.orc(root)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(ExactDecimal.cents(col("l_quantity"))).as("qty_cents"),
+        sum(ExactDecimal.cents(col("l_extendedprice"))).as("price_cents"))
+  }
+
+  val q76OrcRoundtripSql: String =
+    s"""SELECT l_returnflag,
+       |  count(*)::BIGINT AS n_items,
+       |  sum(${ExactDecimal.ddbCents("l_quantity")})::BIGINT AS qty_cents,
+       |  sum(${ExactDecimal.ddbCents("l_extendedprice")})::BIGINT AS price_cents
+       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** JSON-lines sink+source round trip under the oracle gate: documents
+    * (strings + longs — the JSONL-safe subset; float columns go through
+    * binary formats) written once as JSONL, read back WITH an explicit
+    * schema (schema inference on JSONL is a full extra pass at scale),
+    * then aggregated per (lang, source). Oracle = the same aggregate
+    * over the parquet original, so any text-encoding loss (quoting,
+    * unicode, escapes) in the writer/reader hash-mismatches. */
+  def q77JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureFormat(spark, dir, "jsonl", p =>
+      Tables.documents(spark, dir).write.mode("overwrite").json(p))
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(root)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("text_chars"),
+        sum(col("n_chars")).as("n_chars_sum"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+  }
+
+  val q77JsonlRoundtripSql: String =
+    """SELECT lang, source,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(len(text))::BIGINT AS text_chars,
+      |  sum(n_chars)::BIGINT AS n_chars_sum,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bucketed_join" -> (q55BucketedJoin _),
     "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _),
     "q57_zorder" -> (q57ZOrder _),
     "q58_incremental_agg" -> (q58IncrementalAgg _),
-    "q75_merge_into" -> (q75MergeInto _)
+    "q75_merge_into" -> (q75MergeInto _),
+    "q76_orc_roundtrip" -> (q76OrcRoundtrip _),
+    "q77_jsonl_roundtrip" -> (q77JsonlRoundtrip _)
   )
 
   def sql: Map[String, String] = Map(
@@ -195,6 +266,8 @@ object StorageQueries {
     "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql,
     "q57_zorder" -> q57ZOrderSql,
     "q58_incremental_agg" -> q58IncrementalAggSql,
-    "q75_merge_into" -> q75MergeIntoSql
+    "q75_merge_into" -> q75MergeIntoSql,
+    "q76_orc_roundtrip" -> q76OrcRoundtripSql,
+    "q77_jsonl_roundtrip" -> q77JsonlRoundtripSql
   )
 }

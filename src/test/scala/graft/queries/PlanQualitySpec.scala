@@ -175,6 +175,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"pair join must stay cluster-keyed:\n$p")
   }
 
+  test("ORC scans get predicate pushdown and column pruning like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("orcplan").toString
+    graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(dir)
+    val df = spark.read.orc(dir)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 25.0)
+      .select("l_returnflag", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"l_quantity filter must reach the ORC scan:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_extendedprice"),
+      s"unused columns must not be read from ORC: $read")
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

@@ -575,7 +575,9 @@ object CurationQueries {
     val scanned = concat(col("text"),
       when(col("doc_id") % 5 === 0, concat(
         lit(" Contact user"), col("doc_id"), lit("@example.com or 10.0."),
-        col("doc_id") % 256, lit("."), (col("doc_id") / 256).cast("long") % 256,
+        // DIV, not /: double division loses exactness past 2^53 (the q63
+        // lesson); the oracle's // is exact integer division
+        col("doc_id") % 256, lit("."), expr("doc_id DIV 256") % 256,
         lit(" tel 555-012-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
         .otherwise(lit("")))
     docs(spark, dir)

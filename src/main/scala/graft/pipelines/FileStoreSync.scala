@@ -130,12 +130,14 @@ object FileStoreSync {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(p).getLen
     if (offset >= len) return Array.emptyByteArray
-    // a single JVM byte array caps at 2 GiB; a silent Int wrap here would
-    // return truncated bytes as the "whole" file — fail loudly and point
-    // the caller at the chunked API instead
-    require(len - offset <= Int.MaxValue,
+    // a single JVM byte array caps just below 2 GiB (HotSpot reserves a
+    // header margin, so new Array[Byte](Int.MaxValue) itself throws); a
+    // silent Int wrap here would return truncated bytes as the "whole"
+    // file — fail loudly and point the caller at the chunked API instead
+    val maxArray = Int.MaxValue - 8
+    require(len - offset <= maxArray,
       s"fetchAll cannot materialize ${len - offset} bytes in one array " +
-        s"(max ${Int.MaxValue}); drain via fetchChunk instead")
+        s"(max $maxArray); drain via fetchChunk instead")
     val out = new Array[Byte]((len - offset).toInt)
     val in = fs.open(p)
     try {

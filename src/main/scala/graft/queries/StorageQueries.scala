@@ -180,7 +180,8 @@ object StorageQueries {
       |FROM orders b LEFT JOIN ch ON b.o_orderkey = ch.k
       |WHERE ch.op IS NULL OR ch.op <> 'D'
       |UNION ALL
-      |SELECT k, price, prio, 'inserted' FROM ch WHERE op = 'I'""".stripMargin
+      |SELECT k, price, prio, 'inserted' FROM ch
+      |WHERE op = 'I' AND k NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
 
   // written-once-per-process roots for the format round-trip queries
   // (bench reps then price the steady-state READ path, and concurrent

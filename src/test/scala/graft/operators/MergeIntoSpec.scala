@@ -44,40 +44,61 @@ class MergeIntoSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  private def snapState(root: String) =
+    MergeInto.readSnapshot(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+
   test("streaming CDC apply: two batches merge into the snapshot; replay is exactly-once") {
-    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
-    val snap = s"$dir/snapshot.parquet"
+    val root = java.nio.file.Files.createTempDirectory("cdc").toString + "/snap"
     def b(rows: (Long, String, String, Double)*) = rows.toDF("k", "op", "name", "v")
     // batch 0: bootstrap inserts
-    MergeInto.applyBatch(b((1L, "I", "a", 10.0), (2L, "I", "b", 20.0)), snap, "k", Seq("name", "v"))
+    MergeInto.applyBatch(b((1L, "I", "a", 10.0), (2L, "I", "b", 20.0)), root, "k", Seq("name", "v"))
     // batch 1: update + delete + insert
     val batch1 = b((1L, "U", "a2", 11.0), (2L, "D", null, 0.0), (3L, "I", "c", 30.0))
-    MergeInto.applyBatch(batch1, snap, "k", Seq("name", "v"))
-    def state() = spark.read.parquet(snap)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
-    val afterTwo = state()
+    MergeInto.applyBatch(batch1, root, "k", Seq("name", "v"))
+    val afterTwo = snapState(root)
     assert(afterTwo == Seq((1L, "a2", 11.0), (3L, "c", 30.0)))
     // at-least-once replay of batch 1 (crash before the checkpoint commit)
-    // must leave the snapshot byte-for-byte equivalent
-    MergeInto.applyBatch(batch1, snap, "k", Seq("name", "v"))
-    assert(state() == afterTwo)
+    // must leave the snapshot equivalent
+    MergeInto.applyBatch(batch1, root, "k", Seq("name", "v"))
+    assert(snapState(root) == afterTwo)
+  }
+
+  test("snapshot commit protocol recovers every crash window") {
+    val root = java.nio.file.Files.createTempDirectory("cdcr").toString + "/snap"
+    def b(rows: (Long, String, String, Double)*) = rows.toDF("k", "op", "name", "v")
+    MergeInto.applyBatch(b((1L, "I", "a", 10.0)), root, "k", Seq("name", "v"))
+    MergeInto.applyBatch(b((2L, "I", "b", 20.0)), root, "k", Seq("name", "v"))
+    val committed = snapState(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between pointer delete and rename: no _latest — fall back to
+    // the highest _SUCCESS-committed version
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_latest"), false)
+    assert(MergeInto.currentVersion(spark, root).contains(1L))
+    assert(snapState(root) == committed)
+    // crash mid-version-write: a partial v2 (no _SUCCESS) must be ignored
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v2"))
+    assert(MergeInto.currentVersion(spark, root).contains(1L))
+    // the replayed batch overwrites the partial version and commits it
+    MergeInto.applyBatch(b((3L, "I", "c", 30.0)), root, "k", Seq("name", "v"))
+    assert(MergeInto.currentVersion(spark, root).contains(2L))
+    assert(snapState(root) == (committed :+ ((3L, "c", 30.0))))
   }
 
   test("applyStream drives applyBatch through foreachBatch (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cdcs").toString
-    val snap = s"$dir/snapshot.parquet"
+    val root = s"$dir/snap"
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, Double)]
     in.addData((1L, "I", "a", 10.0), (2L, "I", "b", 20.0))
     val q = MergeInto.applyStream(
-      in.toDF().toDF("k", "op", "name", "v"), snap, "k", Seq("name", "v"),
+      in.toDF().toDF("k", "op", "name", "v"), root, "k", Seq("name", "v"),
       checkpoint = s"$dir/ckpt")
     q.processAllAvailable()
     in.addData((1L, "U", "a2", 11.0), (2L, "D", null, 0.0))
     q.processAllAvailable()
     q.stop()
-    val out = spark.read.parquet(snap)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    assert(out == Seq((1L, "a2", 11.0)))
+    assert(snapState(root) == Seq((1L, "a2", 11.0)))
   }
 }

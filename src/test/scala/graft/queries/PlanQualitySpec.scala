@@ -142,10 +142,17 @@ class PlanQualitySpec extends SparkSpec {
     // CODEGEN_ONLY + fallback=false turn that into a hard failure, so a bad
     // doGenCode emit — e.g. referencing MODULE$ on a mirror class — cannot
     // ship green. Covers every query that carries a native expression.
+    // one query per native-expression class: PolyHash/MinGramHash (q28),
+    // SimHash32 (q29), TokenHashes/ShingleHashes/MinHashSig (q30),
+    // RhpBucket/FloatVecDot (q32), FloatVecL2Sq (q33), bloom expressions
+    // (q56), TokenHashes at contamination width (q61), the q72 bigram
+    // pipeline, q53 + p5 as the composed consumers
     withSQLConf(
       "spark.sql.codegen.fallback" -> "false",
       "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
-      Seq("q28_fingerprint", "q32_ann_lsh", "q53_embed_neardup", "p5_media_features")
+      Seq("q28_fingerprint", "q29_simhash", "q30_minhash_lsh", "q32_ann_lsh",
+        "q33_ivf_centroid", "q56_bloom_pruned_join", "q61_decontamination",
+        "q72_bigram_lm", "q53_embed_neardup", "p5_media_features")
         .foreach { name =>
           val rows = graft.SparkEntry.queries(name)(spark, sfDir).collect()
           assert(rows.nonEmpty, s"$name returned no rows under CODEGEN_ONLY")

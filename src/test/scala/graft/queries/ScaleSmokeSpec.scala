@@ -82,6 +82,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(mins == (0 until 10).flatMap(r => Seq(1L, 10L, 20L).map(_ + r * 1000L)).toSet)
   }
 
+  test("bigram LM at 10x: per-doc scores are replica-invariant, model side stays broadcast") {
+    // replicating the corpus with shifted doc_ids multiplies every bigram
+    // and prefix count by 10, so each score s = ⌊10000·c₂/(c₁+4)⌋ only
+    // drifts by the smoothing term — the corpus-model design scales: the
+    // model tables stay vocab-dim while docs grow 10×
+    val d = Tables.documents(spark, sfDir)
+    val big = (0 until 10).map(r => d.withColumn("doc_id", col("doc_id") + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val out = CurationQueries.bigramLmScores(spark, big)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "scored model must broadcast at 10x")
+    assert(p.contains("partial_count"), "model counts must combine map-side")
+    // replica 0's docs score (nearly) the same as in the base corpus:
+    // counts scale 10× so c₂/(c₁+4) ≈ c₂/c₁ within the smoothing drift
+    val base = CurationQueries.bigramLmScores(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val scaled = out.filter(col("doc_id") < 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(base.keySet == scaled.keySet)
+    val maxDrift = base.keys.map(k => math.abs(base(k) - scaled(k))).max
+    assert(maxDrift < 500.0, s"scores must be replica-stable, max drift $maxDrift bps")
+  }
+
   test("decontamination at 10x: hit counts replicate exactly, benchmark side stays broadcast") {
     // replicate candidates 10× with disjoint ids that keep doc_id%100
     // (so the benchmark slice stays the SAME docs); hits must scale ×10

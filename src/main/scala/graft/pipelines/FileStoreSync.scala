@@ -152,14 +152,24 @@ object FileStoreSync {
     out
   }
 
-  /** Master cache (8-column EAV), empty-schema frame when absent. */
-  def readCache(spark: SparkSession, cachePath: String): DataFrame =
-    if (new java.io.File(cachePath).exists())
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Master cache (8-column EAV), empty-schema frame when absent.
+    * Existence goes through the Hadoop FS API (a java.io.File check would
+    * silently report any non-local cache as missing and re-parse the
+    * whole store every sync). */
+  def readCache(spark: SparkSession, cachePath: String): DataFrame = {
+    val (fs, p) = fsOf(spark, cachePath)
+    if (fs.exists(p))
       spark.read.parquet(cachePath)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.Encoders.product[graft.sources.WeightReading].schema)
+  }
 
   /** The incremental step: listing ∖ processed (left_anti on id;
     * ref :144,155). */
@@ -184,13 +194,9 @@ object FileStoreSync {
       val tmp = cachePath + "_tmp"
       updated.write.mode(SaveMode.Overwrite).parquet(tmp)
       spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(cachePath)
-      deleteRecursively(new java.io.File(tmp))
+      val (fs, tmpPath) = fsOf(spark, tmp)
+      fs.delete(tmpPath, true)
       spark.read.parquet(cachePath)
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }

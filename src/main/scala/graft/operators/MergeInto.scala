@@ -78,31 +78,46 @@ object MergeInto {
   // java.io.File assumptions.
 
   private def fsOf(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.HadoopFs.of(spark, path)._1
 
   private def versionOf(name: String): Option[Long] =
     if (name.startsWith("v")) name.drop(1).toLongOption else None
 
   /** The committed version the snapshot currently points at: the
-    * `_latest` pointer if present, else the highest `v<N>` directory
-    * with a `_SUCCESS` job-commit marker. None = no snapshot yet. */
+    * `_latest` pointer if present AND parseable, else the highest `v<N>`
+    * directory with a `_SUCCESS` job-commit marker. None = no snapshot
+    * yet. The fallback also covers a torn pointer write (empty/truncated
+    * `_latest` — close() gives no fsync ordering guarantee) and the
+    * read-during-flip race (the pointer vanishing between exists and
+    * open) — treating either as "no committed snapshot" would make the
+    * next batch silently restart from an empty base. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsOf(spark, root)
     val pointer = new Path(s"$root/_latest")
-    if (fs.exists(pointer)) {
-      val in = fs.open(pointer)
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      versionOf(line)
-    } else if (fs.exists(new Path(root))) {
-      fs.listStatus(new Path(root)).toSeq
-        .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .flatMap(st => versionOf(st.getPath.getName))
-        .maxOption
-    } else None
+    val viaPointer: Option[Long] =
+      try {
+        if (!fs.exists(pointer)) None
+        else {
+          val in = fs.open(pointer)
+          val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          versionOf(line)
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    viaPointer.orElse {
+      if (fs.exists(new Path(root)))
+        fs.listStatus(new Path(root)).toSeq
+          .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .flatMap(st => versionOf(st.getPath.getName))
+          .maxOption
+      else None
+    }
   }
 
-  /** The current snapshot contents, or None before the first commit. */
+  /** The current snapshot contents, or None before the first commit.
+    * RETENTION CONTRACT: the returned frame is lazy and its version
+    * directory is pruned two commits later — consume it before applying
+    * further batches, or persist it first. */
   def readSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root).map(v => spark.read.parquet(s"$root/v$v"))
 
@@ -141,13 +156,17 @@ object MergeInto {
     merge(base, batch, key, payload).drop("merge_status")
       .write.mode("overwrite").parquet(s"$root/v$next")
     val fs = fsOf(spark, root)
-    // atomic pointer flip: single-file rename (atomic on POSIX and HDFS)
+    // atomic pointer flip: single-file rename (atomic on POSIX and HDFS;
+    // object stores without atomic rename still recover via the
+    // _SUCCESS-scan fallback, since the version commit precedes the flip)
     val tmp = new Path(s"$root/_latest.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
     val pointer = new Path(s"$root/_latest")
     fs.delete(pointer, false)
-    fs.rename(tmp, pointer)
+    require(fs.rename(tmp, pointer),
+      s"pointer flip failed renaming $tmp -> $pointer; snapshot remains " +
+        s"readable via the _SUCCESS fallback, but investigate the FileSystem")
     // prune versions older than the previous one (kept for the fallback)
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && versionOf(st.getPath.getName).exists(_ < next - 1))

@@ -152,18 +152,27 @@ object FileStoreSync {
     out
   }
 
-  private def fsOf(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** Master cache (8-column EAV), empty-schema frame when absent.
-    * Existence goes through the Hadoop FS API (a java.io.File check would
-    * silently report any non-local cache as missing and re-parse the
-    * whole store every sync). */
+  /** Master cache (8-column EAV), empty-schema frame when absent or not
+    * job-committed. All I/O goes through the Hadoop FS API (a
+    * java.io.File check would silently report any non-local cache as
+    * missing and re-parse the whole store every sync).
+    *
+    * Crash safety: the cache is valid only with its `_SUCCESS` marker —
+    * a partial directory (crash mid-write) reads as absent, which is the
+    * conservative answer (full re-parse, never silently-missing rows).
+    * A sync killed between the swap's delete and rename leaves the new
+    * cache committed under `_tmp`; that window is recovered here by
+    * finishing the rename. */
   def readCache(spark: SparkSession, cachePath: String): DataFrame = {
-    val (fs, p) = fsOf(spark, cachePath)
-    if (fs.exists(p))
+    val (fs, p) = graft.core.HadoopFs.of(spark, cachePath)
+    val tmp = new org.apache.hadoop.fs.Path(cachePath + "_tmp")
+    def committed(d: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    if (!committed(p) && committed(tmp)) {
+      fs.delete(p, true)
+      require(fs.rename(tmp, p), s"cache recovery rename failed: $tmp -> $p")
+    }
+    if (committed(p))
       spark.read.parquet(cachePath)
     else
       spark.createDataFrame(
@@ -188,14 +197,19 @@ object FileStoreSync {
     if (freshPaths.isEmpty) cache
     else {
       val parsed = WeightTxt.read(spark, freshPaths.toSeq)
-      // write via a staging dir: the new cache is derived from a lazy read
-      // of the old one, so overwriting in place would read-while-write
+      // write to a staging dir (the new cache is derived from a lazy read
+      // of the old one, so overwriting in place would read-while-write),
+      // then SWAP BY RENAME — one materialization instead of two, and a
+      // crash mid-swap is recoverable: the staging dir is job-committed
+      // (_SUCCESS) before the old cache is touched, and readCache finishes
+      // an interrupted rename on the next sync
       val updated = cache.unionByName(parsed)
       val tmp = cachePath + "_tmp"
       updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(cachePath)
-      val (fs, tmpPath) = fsOf(spark, tmp)
-      fs.delete(tmpPath, true)
+      val (fs, cacheP) = graft.core.HadoopFs.of(spark, cachePath)
+      fs.delete(cacheP, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), cacheP),
+        s"cache swap rename failed: $tmp -> $cachePath")
       spark.read.parquet(cachePath)
     }
   }

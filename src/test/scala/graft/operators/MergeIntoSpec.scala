@@ -80,6 +80,12 @@ class MergeIntoSpec extends SparkSpec {
     // crash mid-version-write: a partial v2 (no _SUCCESS) must be ignored
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v2"))
     assert(MergeInto.currentVersion(spark, root).contains(1L))
+    // torn pointer write (empty _latest): must fall back, not restart at v0
+    val torn = fs.create(new org.apache.hadoop.fs.Path(s"$root/_latest"), true)
+    torn.close()
+    assert(MergeInto.currentVersion(spark, root).contains(1L))
+    assert(snapState(root) == committed)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_latest"), false)
     // the replayed batch overwrites the partial version and commits it
     MergeInto.applyBatch(b((3L, "I", "c", 30.0)), root, "k", Seq("name", "v"))
     assert(MergeInto.currentVersion(spark, root).contains(2L))

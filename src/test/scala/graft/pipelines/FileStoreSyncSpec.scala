@@ -126,6 +126,25 @@ class FileStoreSyncSpec extends SparkSpec {
     MemFs.clear()
   }
 
+  test("cache swap is crash-recoverable: partial cache reads empty, interrupted rename finishes") {
+    val store = Files.createTempDirectory("storecrash")
+    val cache = store.resolve("cache.parquet").toString
+    writeTxt(store, "a.txt", "2025-12-01", "90.0")
+    val c1 = FileStoreSync.sync(spark, store.toString, cache)
+    assert(c1.count() == 2)
+    val fs = new org.apache.hadoop.fs.Path(cache)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash mid-swap: committed staging dir exists, cache was deleted —
+    // the next read must finish the rename and lose nothing
+    fs.rename(new org.apache.hadoop.fs.Path(cache), new org.apache.hadoop.fs.Path(cache + "_tmp"))
+    assert(FileStoreSync.readCache(spark, cache).count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cache + "_tmp")), "recovery must complete the swap")
+    // crash mid-write: a cache dir without _SUCCESS reads as absent
+    // (conservative full re-parse), never as a silently-partial cache
+    fs.delete(new org.apache.hadoop.fs.Path(cache, "_SUCCESS"), false)
+    assert(FileStoreSync.readCache(spark, cache).count() == 0)
+  }
+
   test("empty cache + empty store → empty frame with the EAV schema") {
     val store = Files.createTempDirectory("store2")
     val cache = store.resolve("cache.parquet").toString

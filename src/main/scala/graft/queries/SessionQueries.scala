@@ -166,13 +166,77 @@ object SessionQueries {
     "q38_asof_join" -> (q38AsofJoin _),
     "q39_sessionize" -> (q39Sessionize _),
     "q40_range_join" -> (q40RangeJoin _),
-    "q47_funnel" -> (q47Funnel _)
+    "q47_funnel" -> (q47Funnel _),
+    "q78_interval_merge" -> (q78IntervalMerge _)
   )
+
+  /** Interval coalescing — the interval-union sibling of q39's gap
+    * sessionize: each event opens an explicit [ts, ts+5min) interval,
+    * and overlapping-or-touching intervals per user merge into one
+    * (the classic running-max sweep: an interval starts a new merged
+    * group iff its start lies strictly after the max end seen so far).
+    * Gap sessionize can't express this — overlap is a property of the
+    * interval END, not of inter-event gaps (a long event covers later
+    * short ones that a gap rule would split). The building block of
+    * contaminated-span coalescing, downtime windows, and coverage maps.
+    *
+    * All arithmetic in epoch µs (the q39 output convention — both
+    * engines truncate the parquet ns identically). 100 TB shape: one
+    * keyed window + one keyed aggregation, shuffling on user_id only. */
+  def q78IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + 300000000L).as("e_us"))
+    val w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    val prevMax = max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("is_new",
+        when(col("s_us") > coalesce(prevMax, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("merge_id", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "merge_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        min("s_us").as("start_us"),
+        max("e_us").as("end_us"))
+      .withColumn("span_us", col("end_us") - col("start_us"))
+  }
+
+  val q78IntervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(ts) AS s_us, epoch_us(ts) + 300000000 AS e_us
+      |  FROM events
+      |),
+      |flagged AS (
+      |  SELECT user_id, event_id, s_us, e_us,
+      |    CASE WHEN s_us > coalesce(
+      |        max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        -9223372036854775808)
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM iv
+      |),
+      |grouped AS (
+      |  SELECT user_id, s_us, e_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS merge_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, merge_id,
+      |  count(*)::BIGINT AS n_intervals,
+      |  min(s_us) AS start_us,
+      |  max(e_us) AS end_us,
+      |  max(e_us) - min(s_us) AS span_us
+      |FROM grouped
+      |GROUP BY user_id, merge_id""".stripMargin
 
   def sql: Map[String, String] = Map(
     "q38_asof_join" -> q38AsofJoinSql,
     "q39_sessionize" -> q39SessionizeSql,
     "q40_range_join" -> q40RangeJoinSql,
-    "q47_funnel" -> q47FunnelSql
+    "q47_funnel" -> q47FunnelSql,
+    "q78_interval_merge" -> q78IntervalMergeSql
   )
 }

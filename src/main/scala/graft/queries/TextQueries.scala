@@ -429,6 +429,65 @@ object TextQueries {
     s"""SELECT doc_a, doc_b, n_common, jaccard FROM ($q30MinHashLshSql)
        |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""".stripMargin
 
+  // ------------------------------------------- n-gram novelty curve
+
+  /** Per-source n-gram novelty (diversity-saturation) curve: reading a
+    * source's docs in doc_id order, a 3-gram shingle is NOVEL in the
+    * first doc (min doc_id) where it appears. Each doc reports its
+    * distinct-gram count, novel-gram count, the source's running
+    * cumulative distinct-gram total, and novelty in basis points — the
+    * dedup-yield measurement that tells a curation pipeline when further
+    * crawl of a source stops adding information. All-integer arithmetic
+    * (count, min, `div`) so the cross-engine hash is exact.
+    *
+    * 100 TB: first-occurrence attribution is one (source, gram)-keyed
+    * aggregation — the same shuffle class as dedup — collapsing to one
+    * row per document before the source-keyed curve window. Docs with
+    * fewer than 3 tokens have no shingles and drop out of both engines
+    * identically. */
+  def q80NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    // exploded gram stream feeds both branches; per-row hashing is cheap
+    // codegen (no minhash), so recompute beats caching the explosion
+    val g = docs(spark, dir)
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .select(col("source"), col("doc_id"),
+        explode(NativeTextFns.shingleHashes(spark, col("th"), 3)).as("gram"))
+    val tot = g.groupBy("source", "doc_id").agg(count(lit(1)).as("total_grams"))
+    val novel = g.groupBy("source", "gram").agg(min("doc_id").as("doc_id"))
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("novel_grams"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    tot.join(novel, Seq("source", "doc_id"), "left")
+      .withColumn("novel_grams", coalesce(col("novel_grams"), lit(0L)))
+      .withColumn("cum_distinct", sum("novel_grams").over(w))
+      .withColumn("novelty_bp", expr("(10000 * novel_grams) div total_grams"))
+  }
+
+  val q80NoveltyCurveSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH th AS (
+       |  SELECT doc_id, source,
+       |    list_transform($toks, t -> ${TextFns.ddbPolyHash("t")}) AS h
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, source, unnest(${TextFns.ddbShingleHashSet3("h")}) AS gram FROM th
+       |),
+       |tot AS (
+       |  SELECT source, doc_id, count(*)::BIGINT AS total_grams FROM g GROUP BY source, doc_id
+       |),
+       |novel AS (
+       |  SELECT source, doc_id, count(*)::BIGINT AS novel_grams FROM (
+       |    SELECT source, gram, min(doc_id) AS doc_id FROM g GROUP BY source, gram
+       |  ) GROUP BY source, doc_id
+       |)
+       |SELECT t.source, t.doc_id, t.total_grams,
+       |  coalesce(n.novel_grams, 0)::BIGINT AS novel_grams,
+       |  CAST(sum(coalesce(n.novel_grams, 0)) OVER (
+       |    PARTITION BY t.source ORDER BY t.doc_id) AS BIGINT) AS cum_distinct,
+       |  (10000 * coalesce(n.novel_grams, 0)) // t.total_grams AS novelty_bp
+       |FROM tot t LEFT JOIN novel n ON t.source = n.source AND t.doc_id = n.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -441,7 +500,8 @@ object TextQueries {
     "q29_simhash" -> (q29SimHash _),
     "q30_minhash_lsh" -> (q30MinHashLsh _),
     "q48_dedup_components" -> (q48DedupComponents _),
-    "q69_incremental_neardup" -> (q69IncrementalNearDup _)
+    "q69_incremental_neardup" -> (q69IncrementalNearDup _),
+    "q80_novelty_curve" -> (q80NoveltyCurve _)
   )
 
   def sql: Map[String, String] = Map(
@@ -454,6 +514,7 @@ object TextQueries {
     "q29_simhash" -> q29SimHashSql,
     "q30_minhash_lsh" -> q30MinHashLshSql,
     "q48_dedup_components" -> q48DedupComponentsSql,
-    "q69_incremental_neardup" -> q69IncrementalNearDupSql
+    "q69_incremental_neardup" -> q69IncrementalNearDupSql,
+    "q80_novelty_curve" -> q80NoveltyCurveSql
   )
 }

@@ -42,7 +42,10 @@ object PageRank {
     *         `scale` units */
   def ranks(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // deg feeds the annotated edges, node count, init ranks AND the final
+    // join — persisting it stops four re-derivations of the (possibly
+    // expensive) upstream edge plan
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val n1 = deg.agg(count(lit(1)).as("n"))
     // degree-annotated edges power every iteration — computed once, kept hot
     val ed = edges.join(deg, "src").persist()

@@ -24,8 +24,11 @@ object GraphQueries {
     val pairs = TextQueries.q30MinHashLsh(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
+    // PageRank reads the edge list twice (degree build + annotated edges);
+    // persisting here stops the LSH band join + jaccard rerank re-running
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
     graft.ml.PageRank.ranks(edges, iterations = 5)
       .select(col("node").as("doc_id"), col("degree"), col("rank_fp"))
   }

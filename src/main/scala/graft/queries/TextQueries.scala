@@ -488,6 +488,91 @@ object TextQueries {
        |FROM tot t LEFT JOIN novel n ON t.source = n.source AND t.doc_id = n.doc_id""".stripMargin
   }
 
+  // ------------------------------------------- BPE merge induction
+
+  /** BPE tokenizer training on-engine, two merge rounds: corpus word
+    * frequencies → per-word character symbol sequences → corpus-weighted
+    * adjacent-pair counts → argmax pair (count desc, pair asc — the
+    * deterministic tie rule) → apply the merge everywhere; repeat. The
+    * output is the top-50 words (freq desc, word asc) with their symbol
+    * sequences after both merges — proving count → select → apply
+    * end-to-end.
+    *
+    * Symbol sequences are space-joined strings (tokens are
+    * whitespace-split, so the separator is safe), which makes the merge
+    * application a plain `replace(seq, "a b", "ab")`: standard left-to-
+    * right non-overlapping replacement IS the BPE greedy merge rule, and
+    * Spark and DuckDB implement identical semantics. Everything is exact
+    * string/integer arithmetic — no floats anywhere.
+    *
+    * 100 TB: pair counting shuffles on the (vocab-bounded) word then pair
+    * key with map-side combine; each argmax is a TakeOrdered(1) broadcast
+    * back into a per-row map stage; merge rounds are statically unrolled
+    * like [[graft.ml.PageRank]]. */
+  def q81BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat_ws(" ",
+        transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1)))))
+    // one merge round: count pairs, pick the winner, apply it
+    def mergeRound(in: DataFrame): DataFrame = {
+      // single-symbol rows MUST be filtered before the transform: Spark's
+      // sequence(1, 0) is the DESCENDING [1, 0], and element_at(_, 0) throws
+      val pairs = in.filter(size(split(col("seq"), " ")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(split(seq, ' ')) - 1), " +
+            "i -> concat(element_at(split(seq, ' '), i), ' ', element_at(split(seq, ' '), i + 1)))"))
+          .as("pair"))
+      val best = pairs.groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair").as("best_pair"))
+      in.crossJoin(broadcast(best))
+        .withColumn("seq", expr("replace(seq, best_pair, replace(best_pair, ' ', ''))"))
+        .drop("best_pair")
+    }
+    val merged = mergeRound(mergeRound(words))
+    merged
+      .select(col("word"), col("freq"),
+        size(split(col("seq"), " ")).cast("long").as("n_symbols"), col("seq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(50)
+  }
+
+  val q81BpeMergesSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    def round(in: String, pairsCte: String, bestCte: String, outCte: String): String =
+      s"""$pairsCte AS (
+         |  SELECT pair, sum(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(
+         |      range(greatest(len(string_split(seq, ' ')) - 1, 0)),
+         |      i -> string_split(seq, ' ')[i+1] || ' ' || string_split(seq, ' ')[i+2])) AS pair
+         |    FROM $in
+         |  ) GROUP BY pair
+         |),
+         |$bestCte AS (SELECT pair FROM $pairsCte ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |$outCte AS (
+         |  SELECT word, freq,
+         |    replace(seq, (SELECT pair FROM $bestCte),
+         |      replace((SELECT pair FROM $bestCte), ' ', '')) AS seq
+         |  FROM $in
+         |)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest($toks) AS word FROM documents
+       |  ) GROUP BY word
+       |),
+       |seq0 AS (
+       |  SELECT word, freq, array_to_string(
+       |    list_transform(range(length(word)), i -> word[i+1]), ' ') AS seq
+       |  FROM words
+       |),
+       |${round("seq0", "pairs1", "best1", "m1")},
+       |${round("m1", "pairs2", "best2", "m2")}
+       |SELECT word, freq, len(string_split(seq, ' '))::BIGINT AS n_symbols, seq
+       |FROM m2 ORDER BY freq DESC, word ASC LIMIT 50""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -501,7 +586,8 @@ object TextQueries {
     "q30_minhash_lsh" -> (q30MinHashLsh _),
     "q48_dedup_components" -> (q48DedupComponents _),
     "q69_incremental_neardup" -> (q69IncrementalNearDup _),
-    "q80_novelty_curve" -> (q80NoveltyCurve _)
+    "q80_novelty_curve" -> (q80NoveltyCurve _),
+    "q81_bpe_merges" -> (q81BpeMerges _)
   )
 
   def sql: Map[String, String] = Map(
@@ -515,6 +601,7 @@ object TextQueries {
     "q30_minhash_lsh" -> q30MinHashLshSql,
     "q48_dedup_components" -> q48DedupComponentsSql,
     "q69_incremental_neardup" -> q69IncrementalNearDupSql,
-    "q80_novelty_curve" -> q80NoveltyCurveSql
+    "q80_novelty_curve" -> q80NoveltyCurveSql,
+    "q81_bpe_merges" -> q81BpeMergesSql
   )
 }

@@ -515,28 +515,34 @@ object TextQueries {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("seq", concat_ws(" ",
         transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1)))))
-    // one merge round: count pairs, pick the winner, apply it
-    def mergeRound(in: DataFrame): DataFrame = {
-      // single-symbol rows MUST be filtered before the transform: Spark's
-      // sequence(1, 0) is the DESCENDING [1, 0], and element_at(_, 0) throws
-      val pairs = in.filter(size(split(col("seq"), " ")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(split(seq, ' ')) - 1), " +
-            "i -> concat(element_at(split(seq, ' '), i), ' ', element_at(split(seq, ' '), i + 1)))"))
-          .as("pair"))
-      val best = pairs.groupBy("pair").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
-        .select(col("pair").as("best_pair"))
-      in.crossJoin(broadcast(best))
-        .withColumn("seq", expr("replace(seq, best_pair, replace(best_pair, ' ', ''))"))
-        .drop("best_pair")
-    }
-    val merged = mergeRound(mergeRound(words))
+    val merged = bpeMergeRound(bpeMergeRound(words))
     merged
       .select(col("word"), col("freq"),
         size(split(col("seq"), " ")).cast("long").as("n_symbols"), col("seq"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(50)
+  }
+
+  /** One BPE merge round over a (word, freq, seq) frame: count corpus-
+    * weighted adjacent pairs, pick the winner (count desc, pair asc),
+    * apply it everywhere via greedy left-to-right replace. Spec'd against
+    * a hand-computed corpus in BpeSpec. Assumes the frame holds at least
+    * one multi-symbol row (always true for a word corpus) — with none,
+    * the argmax frame is empty and the cross join yields no rows. */
+  private[graft] def bpeMergeRound(in: DataFrame): DataFrame = {
+    // single-symbol rows MUST be filtered before the transform: Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0], and element_at(_, 0) throws
+    val pairs = in.filter(size(split(col("seq"), " ")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(split(seq, ' ')) - 1), " +
+          "i -> concat(element_at(split(seq, ' '), i), ' ', element_at(split(seq, ' '), i + 1)))"))
+        .as("pair"))
+    val best = pairs.groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("best_pair"))
+    in.crossJoin(broadcast(best))
+      .withColumn("seq", expr("replace(seq, best_pair, replace(best_pair, ' ', ''))"))
+      .drop("best_pair")
   }
 
   val q81BpeMergesSql: String = {

@@ -198,6 +198,30 @@ class PlanQualitySpec extends SparkSpec {
       s"unused columns must not be read from ORC: $read")
   }
 
+  test("q79 PageRank rounds are keyed joins; only 1-row constants nest-loop") {
+    val p = plan("q79_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      s"rank/edge joins must be keyed:\n$p")
+    // the per-round rank×edges join must be hash-based, never nested-loop
+    // (BroadcastNestedLoopJoin appears only for the broadcast one-row
+    // teleport/count constants, which is the intended shape)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected keyed join:\n$p")
+  }
+
+  test("q80 novelty-curve window is keyed by source") {
+    val p = plan("q80_novelty_curve")
+    p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("source"), s"unkeyed window: $l")
+    }
+  }
+
+  test("q81 BPE argmax is a TakeOrdered(1), not a global sort") {
+    val p = plan("q81_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair argmax must be top-k, not Sort+Limit over a full shuffle:\n$p")
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++ graft.queries.RefPipelineQueries.all ++
       graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all ++
       graft.queries.CorpusPrepQueries.all ++ graft.queries.StorageQueries.all ++
-      graft.queries.CurationQueries.all ++ graft.queries.GraphQueries.all
+      graft.queries.CurationQueries.all ++ graft.queries.GraphQueries.all ++
+      graft.queries.RetrievalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.sql ++ graft.queries.SessionQueries.sql ++
       graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql ++
       graft.queries.CorpusPrepQueries.sql ++ graft.queries.StorageQueries.sql ++
-      graft.queries.CurationQueries.sql ++ graft.queries.GraphQueries.sql
+      graft.queries.CurationQueries.sql ++ graft.queries.GraphQueries.sql ++
+      graft.queries.RetrievalQueries.sql
 }

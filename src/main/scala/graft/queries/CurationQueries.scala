@@ -613,6 +613,128 @@ object CurationQueries {
        |    '$IpRe', '<IP>', 'g')) AS redacted_hash
        |FROM s""".stripMargin
 
+  // -------------------------------------------- DSIR importance weights
+
+  /** Feature-bucket count for DSIR: every token hash and adjacent-pair
+    * combined hash, folded into [[DsirBuckets]] buckets (hashed bag of
+    * uni+bigrams — the feature space of Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"). */
+  private val DsirBuckets = 128
+
+  /** DSIR-style importance weighting: score every document by how much
+    * more target-like than corpus-like its hashed n-gram features are.
+    * Target distribution = the `lang = 'en'` slice (the canonical DSIR
+    * setup: a high-quality/target domain carved from the raw crawl);
+    * raw distribution = the whole corpus. Per bucket b the
+    * Laplace-smoothed probability ratio
+    * r_b = (tgt_b+1)·(raw_total+B) / ((raw_b+1)·(tgt_total+B)) is
+    * computed in exact basis points, and a document's weight is the
+    * feature-count-weighted mean of r_b over its buckets — the same
+    * ordering as DSIR's summed log-likelihood ratios for per-doc mean
+    * scores, but transcendental-free (the q64/q72 log-free philosophy),
+    * so bit-identical cross-engine. `kept` = weight above parity
+    * (10000 bp = looks at least as target-like as the average raw doc)
+    * — a fixed threshold, deliberately NOT a global top-K sort.
+    *
+    * 100 TB shape: feature extraction is a per-row array transform; the
+    * raw/target distributions are B-row aggregates with map-side combine
+    * (B = 128 — vocab-free by construction, never corpus-dim); the ratio
+    * table BROADCASTS to the (doc,bucket)-keyed side; the only corpus
+    * shuffles are the (doc,bucket) combine and the doc-keyed sum. Ratio
+    * arithmetic rides decimal(38) ([[ExactDecimal.halfUpRatioBig]]) —
+    * (tgt_b+1)·(raw_total+B)·10⁴ exceeds 2^63 once the corpus passes
+    * ~10^9 features; DuckDB widens to HUGEINT automatically. */
+  def q82DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val d = docs(spark, dir)
+    // persist: the (doc,bucket) frame feeds the raw distribution, the
+    // target distribution, and the per-doc weights — 3 consumers
+    val feats = d
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .filter(size(col("th")) >= 1)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"""concat(
+           |  transform(th, h -> h % $B),
+           |  IF(size(th) >= 2,
+           |     transform(sequence(1, size(th) - 1), i ->
+           |       ((element_at(th, i) * ${TextFns.ShingleK} + element_at(th, i + 1))
+           |         % ${TextFns.HashMod}) % $B),
+           |     cast(array() AS array<bigint>)))""".stripMargin)).as("bkt"))
+      .persist()
+    val raw = feats.groupBy("bkt").agg(count(lit(1)).as("raw_b"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("tgt_b"))
+    val totals = feats.agg(
+      count(lit(1)).as("raw_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_total"))
+    // ratio table: B rows — join target counts (absent bucket = 0) and
+    // attach the two scalar totals; r_b in basis points, exact
+    val ratio = raw.join(tgt, Seq("bkt"), "left")
+      .na.fill(0L, Seq("tgt_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        // integer basis points directly (scale 0 on p·10⁴) — never a
+        // double×10⁴ round-trip, whose truncate-vs-round cast differs
+        // between engines; operands go decimal BEFORE multiplying so the
+        // product can't wrap a long at corpus scale
+        ExactDecimal.halfUpRatioBig(
+          (col("tgt_b") + 1L).cast("decimal(38,0)") *
+            (col("raw_total") + B) * lit(10000L),
+          (col("raw_b") + 1L).cast("decimal(38,0)") *
+            (col("tgt_total") + B), 0).cast("long").as("r_b"))
+    feats.groupBy("doc_id", "bkt").agg(count(lit(1)).as("m"))
+      .join(broadcast(ratio), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_feats"), sum(col("m") * col("r_b")).as("wsum"))
+      .select(col("doc_id"), col("n_feats"),
+        ExactDecimal.halfUpRatio(col("wsum"), col("n_feats"), 0).as("dsir_weight"),
+        (ExactDecimal.halfUpRatio(col("wsum"), col("n_feats"), 0) >= 10000d)
+          .as("kept"))
+  }
+
+  val q82DsirWeightsSql: String = {
+    val B = DsirBuckets
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    list_transform($toks, x -> ${TextFns.ddbPolyHash("x")}) AS th
+       |  FROM documents
+       |),
+       |feats AS (
+       |  SELECT doc_id, lang, unnest(list_concat(
+       |    list_transform(th, h -> h % $B),
+       |    CASE WHEN len(th) >= 2 THEN
+       |      list_transform(range(len(th) - 1), i ->
+       |        ((th[i+1] * ${TextFns.ShingleK} + th[i+2]) % ${TextFns.HashMod}) % $B)
+       |    ELSE []::BIGINT[] END)) AS bkt
+       |  FROM t WHERE len(th) >= 1
+       |),
+       |raw AS (SELECT bkt, count(*)::BIGINT AS raw_b FROM feats GROUP BY bkt),
+       |tgt AS (SELECT bkt, count(*)::BIGINT AS tgt_b FROM feats WHERE lang = 'en' GROUP BY bkt),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS raw_total,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tgt_total
+       |  FROM feats
+       |),
+       |ratio AS (
+       |  SELECT bkt,
+       |    (${ExactDecimal.ddbHalfUpRatio(
+              s"(coalesce(tgt_b, 0) + 1)::HUGEINT * (raw_total + $B) * 10000",
+              s"(raw_b + 1)::HUGEINT * (tgt_total + $B)", 0)})::BIGINT AS r_b
+       |  FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN tot
+       |),
+       |da AS (SELECT doc_id, bkt, count(*)::BIGINT AS m FROM feats GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id, sum(m)::BIGINT AS n_feats,
+       |    sum(m * r_b)::BIGINT AS wsum
+       |  FROM da JOIN ratio USING (bkt) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_feats,
+       |  ${ExactDecimal.ddbHalfUpRatio("wsum", "n_feats", 0)} AS dsir_weight,
+       |  ${ExactDecimal.ddbHalfUpRatio("wsum", "n_feats", 0)} >= 10000 AS kept
+       |FROM w""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -626,7 +748,8 @@ object CurationQueries {
     "q68_substring_dedup" -> (q68SubstringDedup _),
     "q70_corpus_report" -> (q70CorpusReport _),
     "q72_bigram_lm" -> (q72BigramLm _),
-    "q73_pii_redact" -> (q73PiiRedact _)
+    "q73_pii_redact" -> (q73PiiRedact _),
+    "q82_dsir_weights" -> (q82DsirWeights _)
   )
 
   def sql: Map[String, String] = Map(
@@ -640,6 +763,7 @@ object CurationQueries {
     "q68_substring_dedup" -> q68SubstringDedupSql,
     "q70_corpus_report" -> q70CorpusReportSql,
     "q72_bigram_lm" -> q72BigramLmSql,
-    "q73_pii_redact" -> q73PiiRedactSql
+    "q73_pii_redact" -> q73PiiRedactSql,
+    "q82_dsir_weights" -> q82DsirWeightsSql
   )
 }

@@ -222,6 +222,29 @@ class PlanQualitySpec extends SparkSpec {
       s"pair argmax must be top-k, not Sort+Limit over a full shuffle:\n$p")
   }
 
+  test("q82 DSIR ratio table broadcasts; distributions combine map-side") {
+    val p = plan("q82_dsir_weights")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs step:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the B-row ratio table must broadcast to the (doc,bucket) side:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket distributions must combine map-side:\n$p")
+  }
+
+  test("q83 triangle joins are all keyed (orientation bounds the wedge join)") {
+    val p = plan("q83_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge + closing joins must be equi-joins:\n$p")
+  }
+
+  test("q84 BM25 top-k is TakeOrdered; stats broadcast to the term side") {
+    val p = plan("q84_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf (query-term-dim) must broadcast:\n$p")
+  }
+
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {
     val e = graft.core.Tables.embeddings(spark, sfDir)
     val df = EmbeddingQueries.annLshMultiProbe(e, 64, nbits = 8, k = 3, probes = 4)

@@ -57,7 +57,17 @@ object Bench {
       else (name, Some(times(times.length / 2)), times.last - times.head)
     }
     val failed = results.collect { case (k, None, _) => k }
-    val qs = results.map { case (k, v, _) =>
+    // The harness keeps only the LAST ~2000 chars of stdout (r6 lesson: the
+    // medians dict was truncated away and only spreads survived, so the round's
+    // real numbers were unrecoverable). Defenses, in order:
+    //  1. "queries" (medians) is the LAST key of the JSON line;
+    //  2. inside it, entries are sorted ASCENDING by median, so if the front of
+    //     the line is cut, only the sub-0.1 s entries are lost and every
+    //     headline (slow) query survives at the tail;
+    //  3. per-query spreads (diagnostic, bulky) move out of the line entirely —
+    //     the full payload is written to BENCH_FULL.json in the CWD.
+    val byTime = results.sortBy { case (_, v, _) => v.getOrElse(Double.MaxValue) }
+    val qs = byTime.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null")
     }.mkString("{", ",", "}")
     val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
@@ -65,7 +75,13 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val spread = results.map(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"},"failed":$failedJson,"spreads":$sp}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"},"failed":$failedJson,"queries":$qs}"""
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","reps":$reps,"spread":${f"$spread%.3f"},"failed":$failedJson,"spreads":$sp,"queries":$qs}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

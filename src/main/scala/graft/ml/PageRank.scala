@@ -26,14 +26,19 @@ import org.apache.spark.sql.functions._
   * degree-annotated once and persisted; the iteration count is FIXED (a
   * curation hyper-parameter, as in crawl-graph practice), so the plan is
   * statically unrolled with no driver-side convergence action per round.
-  *
-  * Dangling nodes are unsupported by contract: every node must have at
-  * least one out-edge — true by construction for symmetrized similarity
-  * graphs, where the node set is exactly the edge endpoints.
   */
 object PageRank {
 
-  /** @param edges directed (src: long, dst: long); symmetrize first if the
+  /** SYMMETRIC-graph variant. Contract: every node has at least one
+    * out-edge AND at least one in-edge — both true by construction for
+    * symmetrized similarity graphs, where the node set is exactly the
+    * edge endpoints and every edge appears in both directions. Outside
+    * that contract (a directed crawl graph) dangling nodes would leak
+    * rank mass and source-only nodes would vanish from the output after
+    * round 1 — use [[ranksDirected]] there, which redistributes dangling
+    * mass and keeps the full node universe.
+    *
+    * @param edges directed (src: long, dst: long); symmetrize first if the
     *              underlying relation is undirected
     * @param iterations fixed number of power-iteration rounds (≥ 1)
     * @param scale fixed-point unit; ranks sum to ≈ scale (minus bounded
@@ -67,5 +72,66 @@ object PageRank {
     }
     last.join(deg, last("node") === deg("src"))
       .select(col("node"), col("outdeg").as("degree"), col("r").as("rank_fp"))
+  }
+
+  /** DIRECTED-graph (crawl-graph) variant: handles dangling nodes (no
+    * out-edges) and source-only nodes (no in-edges), the two cases the
+    * symmetric contract excludes.
+    *
+    *   - Node universe = every edge endpoint (src ∪ dst), kept in the
+    *     rank frame across all rounds via a node-keyed left join — a
+    *     source-only node keeps receiving its teleport + dangling share
+    *     and appears in the output.
+    *   - Dangling mass: each round, D = Σ ranks of outdeg-0 nodes is
+    *     redistributed uniformly — the standard virtual-sink-to-all-nodes
+    *     treatment, computed as a broadcast one-row aggregate instead of
+    *     n² virtual edges. In fixed-point: r' = base + (85·(s + D div n))
+    *     div 100, with the division order part of the cross-engine
+    *     contract (the DuckDB oracle mirrors it exactly).
+    *
+    * Each round's rank frame (one row per node) is persisted: the next
+    * round references it twice (contributions + dangling sum), and
+    * without the cache the physical execution would double per round.
+    * The frames are |V|-row — trivially cheap to hold or recompute.
+    *
+    * 100 TB shape: per round one src-keyed join + one dst-keyed agg (as
+    * [[ranks]]) plus one node-keyed left join and a scalar aggregate —
+    * same shuffle class, one extra keyed exchange. */
+  def ranksDirected(edges: DataFrame, iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // full node universe, outdeg-annotated (0 for dangling)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .na.fill(0L, Seq("outdeg"))
+      .persist()
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    val ed = edges.join(deg, "src").persist()
+    val base = broadcast(n1.select(
+      expr(s"(15 * ($scale div greatest(n, 1))) div 100").as("base")))
+    val nn = broadcast(n1.select(expr("greatest(n, 1)").as("nn")))
+    val init = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"$scale div nn").as("r"), col("outdeg"))
+      .persist()
+    val last = (1 to iterations).foldLeft(init) { (prev, _) =>
+      // drop prev's outdeg before the join: ed carries the src's outdeg
+      // (same value) and keeping both would make `r div outdeg` ambiguous
+      val contrib = prev.filter(col("outdeg") > 0)
+        .select(col("node").as("p_node"), col("r"))
+        .join(ed, col("p_node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div outdeg")).as("s"))
+      val dang = broadcast(prev.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("r"), lit(0L)).as("dmass")))
+      nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(dang).crossJoin(nn).crossJoin(base)
+        .select(col("node"),
+          expr("base + (85 * (coalesce(s, CAST(0 AS BIGINT)) + dmass div nn)) div 100").as("r"),
+          col("outdeg"))
+        .persist()
+    }
+    last.select(col("node"), col("outdeg").as("degree"), col("r").as("rank_fp"))
   }
 }

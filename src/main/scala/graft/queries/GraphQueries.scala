@@ -19,17 +19,15 @@ object GraphQueries {
     * power-iteration rounds unrolled as chained CTEs in exact integer
     * arithmetic — bit-equal, not approximately equal.
     *
-    * 100 TB: inherits q30's banded-join edge derivation; each of the 5
-    * rounds is one src-keyed join + one dst-keyed agg. */
+    * 100 TB: reads the write-once near-dup edge store
+    * ([[TextQueries.nearDupEdges]] — built once per corpus snapshot, not
+    * re-minhashed per query); each of the 5 rounds is one src-keyed join
+    * + one dst-keyed agg. No persist needed here: re-deriving the edge
+    * list is a parquet scan of a tiny file. */
   def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.q30MinHashLsh(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    // PageRank reads the edge list twice (degree build + annotated edges);
-    // persisting here stops the LSH band join + jaccard rerank re-running
+    val pairs = TextQueries.nearDupEdges(spark, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
     graft.ml.PageRank.ranks(edges, iterations = 5)
       .select(col("node").as("doc_id"), col("degree"), col("rank_fp"))
   }
@@ -64,6 +62,60 @@ object GraphQueries {
        |FROM it5 JOIN deg d ON it5.node = d.src""".stripMargin
   }
 
+  /** Crawl-graph-style DIRECTED PageRank ([[graft.ml.PageRank.ranksDirected]])
+    * over the ASYMMETRIC near-dup edge set (doc_a → doc_b, doc_a < doc_b,
+    * NOT symmetrized): max-id docs of each cluster have no out-edges
+    * (dangling — their rank mass redistributes uniformly each round) and
+    * min-id docs have no in-edges (source-only — they keep their teleport
+    * + dangling share and stay in the output). This exercises exactly the
+    * two graph shapes q79's symmetric contract excludes. Oracle: the
+    * identical five rounds unrolled as CTEs in exact integer arithmetic,
+    * dangling-mass scalar included — bit-equal. */
+  def q86PageRankDirected(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextQueries.nearDupEdges(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.ml.PageRank.ranksDirected(edges, iterations = 5)
+      .select(col("node").as("doc_id"), col("degree").as("out_degree"), col("rank_fp"))
+  }
+
+  val q86PageRankDirectedSql: String = {
+    val scale = 1000000000000L
+    def round(cur: String, prev: String): String =
+      s"""$cur AS (
+         |  SELECT nd.node, nd.outdeg,
+         |    (SELECT b FROM basec)
+         |      + (85 * (coalesce(c.s, 0)
+         |          + CAST((SELECT coalesce(sum(r), 0) FROM $prev WHERE outdeg = 0) AS BIGINT)
+         |            // (SELECT n FROM nn))) // 100 AS r
+         |  FROM nodes nd
+         |  LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(p.r // e.outdeg) AS BIGINT) AS s
+         |    FROM ed e JOIN $prev p ON e.src = p.node GROUP BY e.dst
+         |  ) c ON nd.node = c.dst
+         |)""".stripMargin
+    val rounds = (1 to 5)
+      .map(i => round(s"it$i", if (i == 1) "it0" else s"it${i - 1}"))
+      .mkString(",\n")
+    s"""WITH cand AS (
+       |  SELECT doc_a, doc_b FROM (${TextQueries.q30MinHashLshSql}) WHERE jaccard >= 0.5
+       |),
+       |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM cand),
+       |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed0 GROUP BY src),
+       |nodes AS (
+       |  SELECT u.node, coalesce(d.outdeg, 0)::BIGINT AS outdeg
+       |  FROM (SELECT src AS node FROM ed0 UNION SELECT dst AS node FROM ed0) u
+       |  LEFT JOIN deg d ON u.node = d.src
+       |),
+       |nn AS (SELECT greatest(count(*), 1)::BIGINT AS n FROM nodes),
+       |basec AS (SELECT (15 * ($scale // n)) // 100 AS b FROM nn),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM ed0 e JOIN deg d ON e.src = d.src),
+       |it0 AS (
+       |  SELECT node, outdeg, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes
+       |),
+       |$rounds
+       |SELECT node AS doc_id, outdeg AS out_degree, r AS rank_fp FROM it5""".stripMargin
+  }
+
   /** Triangle counting + local clustering coefficient over the same
     * near-dup graph — the graph-density signal of dedup-cluster quality
     * (a node whose neighbors all know each other sits in a tight
@@ -83,14 +135,11 @@ object GraphQueries {
     * self-join bounded by orientation, closing equi-join) — no
     * all-pairs step anywhere. */
   def q83Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.q30MinHashLsh(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    // persist: und feeds degree AND orientation; e closes wedges against
-    // itself 3 ways — unpersisted, the LSH band join reruns per consumer
+    val pairs = TextQueries.nearDupEdges(spark, dir)
+    // edge store read: recompute of und is a parquet scan, so only `e`
+    // (consumed 3× by the wedge + closing joins) is worth keeping hot
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val e = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
@@ -158,11 +207,13 @@ object GraphQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pagerank" -> (q79PageRank _),
-    "q83_triangles" -> (q83Triangles _)
+    "q83_triangles" -> (q83Triangles _),
+    "q86_pagerank_directed" -> (q86PageRankDirected _)
   )
 
   def sql: Map[String, String] = Map(
     "q79_pagerank" -> q79PageRankSql,
-    "q83_triangles" -> q83TrianglesSql
+    "q83_triangles" -> q83TrianglesSql,
+    "q86_pagerank_directed" -> q86PageRankDirectedSql
   )
 }

@@ -35,6 +35,33 @@ class PageRankSpec extends SparkSpec {
     assert(total <= Scale && total > Scale - 1000L * rows.size)
   }
 
+  test("directed: dangling mass is redistributed, source-only nodes stay in the output") {
+    // 1 → 2 → 3: node 1 is source-only (no in-edges), node 3 is dangling
+    // (no out-edges). ranksDirected must emit all three nodes every round
+    // and conserve total mass up to integer truncation.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rows = PageRank.ranksDirected(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "every edge endpoint must appear")
+    assert(rows(1L)._1 == 1L && rows(2L)._1 == 1L && rows(3L)._1 == 0L)
+    // node 1 receives only teleport + dangling share; 2 additionally gets
+    // 1's full rank; 3 gets 2's — ranks must strictly increase down-chain
+    assert(rows(1L)._2 < rows(2L)._2 && rows(2L)._2 < rows(3L)._2)
+    val total = rows.values.map(_._2).sum
+    assert(total <= Scale && total > Scale - 1000L * rows.size,
+      s"dangling mass must be redistributed, not dropped (total=$total)")
+  }
+
+  test("directed matches symmetric variant on a symmetrized edge set (no dangling)") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    val sym = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val a = PageRank.ranks(sym, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = PageRank.ranksDirected(sym, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b, "with zero dangling mass the two variants are the same recurrence")
+  }
+
   test("rank is invariant to edge-list partitioning (sum order)") {
     val pairs = for (i <- 1L to 20L; j <- Seq(i % 7 + 21L, i % 5 + 30L)) yield (i, j)
     val sym = (pairs ++ pairs.map(_.swap)).distinct

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * Precondition (same as Delta's MERGE): at most ONE change row per key —
   * multiple matches make the result order-dependent, so upstream CDC
   * compaction (e.g. [[graft.operators.TemporalOps.dedupeKeepLast]] on the
-  * change stream) must run first.
+  * change stream) must run first. ENFORCED, like Delta's
+  * multiple-source-rows-matched error: a duplicated key in the change set
+  * fails the merge job loudly (lazy `raise_error` riding the existing
+  * plan — no extra driver action) instead of silently fanning out base
+  * rows into a corrupted snapshot.
   *
   * 100 TB shape: ONE key-keyed shuffle join (the change set is
   * delta-sized, so Spark broadcasts it under the threshold — the steady
@@ -40,14 +44,27 @@ object MergeInto {
             payload: Seq[String]): DataFrame = {
     require(!base.columns.contains("op") && !base.columns.exists(_.startsWith("_chg_")),
       "base must not contain reserved columns 'op' or '_chg_*' — rename them before merging")
-    val ch = changes.select(
+    // duplicate-key guard: wrap `op` so any change row whose key appears
+    // more than once raises when evaluated. Every downstream branch reads
+    // `op` (the D-filter, the U-case, the I-filter), so no duplicate can
+    // slip through either path; the window shuffles only the delta-sized
+    // change set.
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val guarded = changes.withColumn("op",
+      when(count(lit(1)).over(dupW) > 1,
+        raise_error(concat(
+          lit("MERGE precondition violated: multiple change rows for key "),
+          col(key).cast("string"),
+          lit(" — compact the CDC batch (e.g. TemporalOps.dedupeKeepLast) first"))))
+        .otherwise(col("op")))
+    val ch = guarded.select(
       col(key) +: col("op") +: payload.map(c => col(c).as(s"_chg_$c")): _*)
     val survivors = base.join(ch, Seq(key), "left")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(col(key) +:
         payload.map(c => when(col("op") === "U", col(s"_chg_$c")).otherwise(col(c)).as(c)) :+
         when(col("op") === "U", lit("updated")).otherwise(lit("kept")).as("merge_status"): _*)
-    val inserts = changes.filter(col("op") === "I")
+    val inserts = guarded.filter(col("op") === "I")
       .join(base.select(col(key)), Seq(key), "left_anti")
       .select(col(key) +: payload.map(col) :+ lit("inserted").as("merge_status"): _*)
     survivors.unionByName(inserts)

@@ -36,19 +36,38 @@ object RetrievalQueries {
     *   - score = Σ_t idf_t · sat_t, an integer; top 20 docs, doc_id
     *     tie-break.
     *
-    * 100 TB shape: the term filter hits first (probe terms are a
-    * vanishing fraction of the token stream), so everything after the
-    * (doc,term) combine is query-term-dim or doc-keyed; df and the
-    * scalar totals BROADCAST; the final top-k is TakeOrdered (no global
-    * sort materialization). */
+    * 100 TB shape: a cheap `contains` PREFILTER sits BELOW the tokenize
+    * + explode (probe terms hit a vanishing fraction of documents, so
+    * non-matching docs never pay the Generate — the filter is a safe
+    * over-approximation: a whitespace token is always a substring of its
+    * text). Everything after the (doc,term) combine is query-term-dim or
+    * doc-keyed; df and the scalar totals BROADCAST; the final top-k is
+    * TakeOrdered (no global sort materialization). */
   def q84Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25Contribs(spark, dir, Bm25Terms)
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  /** Shared BM25 core: per-(doc_id, term) exact-integer score
+    * contributions for the given probe term set (see [[q84Bm25]] for the
+    * arithmetic derivation). The corpus-stats branch (dl/totals) scans
+    * every document — it must, avgdl is corpus-global — while the tf
+    * branch prefilters on substring containment before exploding. */
+  private def bm25Contribs(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     val d = docs(spark, dir)
-    val terms = Bm25Terms
     // corpus stats: one pass — N docs, T total tokens, per-doc length
     val dl = d.select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("dl"))
       .persist()
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
-    val tf = d.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = d
+      // prefilter BELOW the explode: only docs that can contain a probe
+      // token are tokenized at all
+      .filter(terms.map(t => col("text").contains(t)).reduce(_ || _))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .filter(col("term").isInCollection(terms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -59,7 +78,7 @@ object RetrievalQueries {
             (col("n_docs") * 2L - col("df") * 2L + 1L) * 10000L,
             col("df") * 2L + 1L, 0).cast("long"),
           lit(IdfCap)).as("idf_bp"))
-    val scored = tf
+    tf
       .join(dl, Seq("doc_id"))
       .join(broadcast(idf), Seq("term"))
       .crossJoin(broadcast(totals))
@@ -71,11 +90,87 @@ object RetrievalQueries {
               col("t_tokens").cast("decimal(38,0)") * 3L +
               col("dl").cast("decimal(38,0)") * col("n_docs") * 9L,
             0).cast("long")).as("contrib"))
-    scored.groupBy("doc_id")
+  }
+
+  /** The q85 probe table: multiple queries, each a bag of terms — the
+    * realistic RAG-mining shape (thousands of probes joined through an
+    * inverted (term, doc) index; here 4, the shape is what scales). */
+  val Bm25Probes: Seq[(Int, String)] = Seq(
+    1 -> "table", 1 -> "join", 1 -> "window",
+    2 -> "data", 2 -> "stream", 2 -> "merge",
+    3 -> "hash", 3 -> "group", 3 -> "filter",
+    4 -> "vector", 4 -> "scan")
+
+  /** Multi-query BM25: score the corpus against a PROBE TABLE
+    * (query_id, term) instead of one fixed query — top-5 docs per query.
+    * The corpus-side work (tokenize → (doc,term) combine → idf) runs
+    * ONCE over the distinct term union (the inverted-index build);
+    * fan-out to queries is one broadcast join of the probes table onto
+    * the postings, then a query-keyed window top-k. At 100 TB with
+    * thousands of probes the shape is identical: postings shuffle on
+    * term, probes broadcast, and the final rank partitions by query_id —
+    * never a global sort. */
+  def q85Bm25MultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Bm25Probes.toDF("query_id", "term")
+    val scored = bm25Contribs(spark, dir, Bm25Probes.map(_._2).distinct)
+    val perQuery = scored.join(broadcast(probes), Seq("term"))
+      .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(20)
-      .select(col("doc_id"), col("n_terms"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    perQuery.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  val q85Bm25MultiProbeSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    val termList = Bm25Probes.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val probeRows = Bm25Probes.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len($toks)::BIGINT AS dl FROM documents
+       |),
+       |tot AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS t_tokens FROM dl),
+       |probes(query_id, term) AS (VALUES $probeRows),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |),
+       |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |idf AS (
+       |  SELECT term,
+       |    least((${ExactDecimal.ddbHalfUpRatio(
+                "(n_docs * 2 - df * 2 + 1) * 10000", "df * 2 + 1", 0)})::BIGINT,
+              $IdfCap) AS idf_bp
+       |  FROM dfreq CROSS JOIN tot
+       |),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    idf.idf_bp * (${ExactDecimal.ddbHalfUpRatio(
+              "tf.tf::HUGEINT * t.t_tokens * 220000",
+              "tf.tf::HUGEINT * t.t_tokens * 10 + t.t_tokens::HUGEINT * 3 + dl.dl::HUGEINT * t.n_docs * 9",
+              0)})::BIGINT AS contrib
+       |  FROM tf
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN idf ON tf.term = idf.term
+       |  CROSS JOIN tot t
+       |),
+       |per_query AS (
+       |  SELECT p.query_id, s.doc_id,
+       |    count(*)::BIGINT AS n_terms, sum(s.contrib)::BIGINT AS score
+       |  FROM scored s JOIN probes p ON s.term = p.term
+       |  GROUP BY p.query_id, s.doc_id
+       |)
+       |SELECT query_id, rank, doc_id, n_terms, score
+       |FROM (
+       |  SELECT query_id, doc_id, n_terms, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM per_query
+       |) WHERE rank <= 5""".stripMargin
   }
 
   val q84Bm25Sql: String = {
@@ -118,10 +213,12 @@ object RetrievalQueries {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q84_bm25" -> (q84Bm25 _)
+    "q84_bm25" -> (q84Bm25 _),
+    "q85_bm25_multiprobe" -> (q85Bm25MultiProbe _)
   )
 
   def sql: Map[String, String] = Map(
-    "q84_bm25" -> q84Bm25Sql
+    "q84_bm25" -> q84Bm25Sql,
+    "q85_bm25_multiprobe" -> q85Bm25MultiProbeSql
   )
 }

@@ -567,10 +567,21 @@ object TextQueries {
 
   /** One BPE merge round over a (word, freq, seq) frame: count corpus-
     * weighted adjacent pairs, pick the winner (count desc, pair asc),
-    * apply it everywhere via greedy left-to-right replace. Spec'd against
-    * a hand-computed corpus in BpeSpec. Assumes the frame holds at least
-    * one multi-symbol row (always true for a word corpus) — with none,
-    * the argmax frame is empty and the cross join yields no rows. */
+    * apply it everywhere. Spec'd against a hand-computed corpus in
+    * BpeSpec. Assumes the frame holds at least one multi-symbol row
+    * (always true for a word corpus) — with none, the argmax frame is
+    * empty and the cross join yields no rows.
+    *
+    * The merge is applied SYMBOL-ALIGNED: a left-to-right fold over
+    * split(seq, ' ') that appends the right symbol without a space when
+    * the accumulated sequence's LAST SYMBOL equals the winner's left
+    * symbol. A plain substring replace would match across symbol
+    * boundaries once multi-char symbols exist (round 2+): with symbols
+    * ["ab","c"] and winner "b c", replace("ab c","b c","bc") yields
+    * "abc" — merging inside "ab". The fold compares whole symbols, so
+    * "ab" ≠ "b" and the sequence is untouched. Greedy non-overlap is
+    * implicit: a just-merged last symbol is left||right, which can never
+    * equal left again (right is non-empty). */
   private[graft] def bpeMergeRound(in: DataFrame): DataFrame = {
     // single-symbol rows MUST be filtered before the transform: Spark's
     // sequence(1, 0) is the DESCENDING [1, 0], and element_at(_, 0) throws
@@ -581,14 +592,26 @@ object TextQueries {
         .as("pair"))
     val best = pairs.groupBy("pair").agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc).limit(1)
-      .select(col("pair").as("best_pair"))
+      .select(
+        col("pair").as("best_pair"),
+        expr("element_at(split(pair, ' '), 1)").as("bp_l"),
+        expr("element_at(split(pair, ' '), 2)").as("bp_r"))
     in.crossJoin(broadcast(best))
-      .withColumn("seq", expr("replace(seq, best_pair, replace(best_pair, ' ', ''))"))
-      .drop("best_pair")
+      .withColumn("seq", expr(
+        """aggregate(split(seq, ' '), '', (acc, t) ->
+          |  CASE WHEN acc = '' THEN t
+          |       WHEN substring_index(acc, ' ', -1) = bp_l AND t = bp_r
+          |         THEN concat(acc, t)
+          |       ELSE concat(acc, ' ', t) END)""".stripMargin))
+      .drop("best_pair", "bp_l", "bp_r")
   }
 
   val q81BpeMergesSql: String = {
     val toks = TextFns.ddbTokens("text")
+    // the merge application is the same symbol-aligned fold as the Spark
+    // side (see bpeMergeRound): list_reduce's implicit first-element init
+    // matches aggregate's '' init because the Spark fold's first step
+    // returns the bare first symbol
     def round(in: String, pairsCte: String, bestCte: String, outCte: String): String =
       s"""$pairsCte AS (
          |  SELECT pair, sum(freq)::BIGINT AS cnt FROM (
@@ -598,12 +621,16 @@ object TextQueries {
          |    FROM $in
          |  ) GROUP BY pair
          |),
-         |$bestCte AS (SELECT pair FROM $pairsCte ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |$bestCte AS (
+         |  SELECT pair, string_split(pair, ' ')[1] AS bpl, string_split(pair, ' ')[2] AS bpr
+         |  FROM $pairsCte ORDER BY cnt DESC, pair ASC LIMIT 1
+         |),
          |$outCte AS (
          |  SELECT word, freq,
-         |    replace(seq, (SELECT pair FROM $bestCte),
-         |      replace((SELECT pair FROM $bestCte), ' ', '')) AS seq
-         |  FROM $in
+         |    list_reduce(string_split(seq, ' '), (acc, t) ->
+         |      CASE WHEN string_split(acc, ' ')[-1] = bpl AND t = bpr THEN acc || t
+         |           ELSE acc || ' ' || t END) AS seq
+         |  FROM $in CROSS JOIN $bestCte
          |)""".stripMargin
     s"""WITH words AS (
        |  SELECT word, count(*)::BIGINT AS freq FROM (

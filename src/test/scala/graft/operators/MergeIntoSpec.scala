@@ -24,6 +24,27 @@ class MergeIntoSpec extends SparkSpec {
       (9L, "i", 90.0, "inserted")))
   }
 
+  test("duplicate keys in the change set fail loudly (Delta multiple-matches semantics)") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "U", "b2", 22.0),
+      (2L, "U", "b3", 23.0)) // same key twice — would fan out base row 2
+      .toDF("k", "op", "name", "v")
+    val e = intercept[Exception] {
+      MergeInto.merge(base, changes, "k", Seq("name", "v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MERGE precondition violated")),
+      s"expected the duplicate-key guard to fire, got: $e")
+    // duplicate I-rows for an absent key must fail too (both would insert)
+    val dupIns = Seq((9L, "I", "x", 1.0), (9L, "I", "y", 2.0)).toDF("k", "op", "name", "v")
+    val e2 = intercept[Exception] {
+      MergeInto.merge(base, dupIns, "k", Seq("name", "v")).collect()
+    }
+    assert(messages(e2).exists(_.contains("MERGE precondition violated")))
+  }
+
   test("empty change set is the identity merge (all rows kept)") {
     val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
     val changes = Seq.empty[(Long, String, String, Double)].toDF("k", "op", "name", "v")

@@ -243,6 +243,25 @@ class PlanQualitySpec extends SparkSpec {
       s"top-20 must be TakeOrdered, not a global sort:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"idf (query-term-dim) must broadcast:\n$p")
+    // the doc prefilter must sit BELOW the explode: non-matching documents
+    // never pay tokenize+Generate. Plans print root-first, so the Contains
+    // filter (or its parquet pushdown) must appear AFTER the Generate line.
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    val flt = lines.indexWhere(l =>
+      l.contains("Contains(text") || l.contains("contains(text"))
+    assert(gen >= 0 && flt > gen,
+      s"text-contains prefilter must be below the Generate (gen=$gen, filter=$flt):\n$p")
+  }
+
+  test("q85 multi-probe BM25: probes broadcast, top-k window keyed by query") {
+    val p = plan("q85_bm25_multiprobe")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("query_id"), s"unkeyed per-query top-k window: $l")
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probes table must broadcast onto the postings:\n$p")
   }
 
   test("multi-probe LSH stays a bucket equi-join (no cross join)") {

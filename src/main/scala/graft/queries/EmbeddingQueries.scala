@@ -285,37 +285,63 @@ object EmbeddingQueries {
        |) WHERE rn = 1""".stripMargin
   }
 
+  /** k-means coarse-quantizer TRAINING, materialized once per (process,
+    * data dir): [[graft.ml.KMeans.fit]] with deterministic init (the k
+    * lowest-id vectors), `SemKIters` Lloyd rounds, written to a
+    * write-once parquet store — the offline index build an IVF/SemDeDup
+    * deployment runs once per corpus snapshot, not per query (same
+    * pattern as the near-dup edge store and the incremental-dedup
+    * signature store). k is a REAL knob: independent of any schema
+    * accident like label cardinality. */
+  private[graft] val SemK = 32
+  private[graft] val SemKIters = 2
+  private val centroidStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val root = centroidStoreRoots.computeIfAbsent(dir, { d =>
+      val r = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_" +
+        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      val (cents, _) = graft.ml.KMeans.fit(vecs, SemK, SemKIters)
+      cents.coalesce(1).write.mode("overwrite").parquet(r)
+      cents.unpersist()
+      r
+    })
+    spark.read.parquet(root)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
-    * cluster the embedding space coarsely (here: q33's nearest-per-label
-    * centroid assignment — k-means in production), then prune, WITHIN each
+    * cluster the embedding space coarsely with TRAINED k-means centroids
+    * (k = [[SemK]] = 32, [[trainedCentroids]] — the published method's
+    * k-means, not a schema-derived proxy), then prune, WITHIN each
     * cluster only, every vector that has a lower-id near-duplicate above
     * the cosine threshold. Greedy keep-lowest-id is the published
     * tie-break made deterministic; unlike q53's closure this is a single
-    * semi-join — no iteration.
+    * semi-join — no iteration. Oracle: the FULL training replayed in
+    * DuckDB — deterministic init + both Lloyd rounds unrolled as CTEs —
+    * then the identical assignment and prune.
     *
-    * 100 TB shape: centroids broadcast (dims, not corpus); the pairwise
-    * cosine runs INSIDE clusters only — the cluster count is the knob
-    * that bounds the quadratic term (the published method's property),
-    * and the pair join is an equi-join on the cluster key, never
-    * corpus×corpus. Threshold 0.28 = q53's measured classify-flip-safe
-    * margin. */
+    * 100 TB shape: centroids broadcast (k×dim, not corpus); the pairwise
+    * cosine runs INSIDE clusters only — k is the knob that bounds the
+    * quadratic term (the published method's property), and the pair join
+    * is an equi-join on the cluster key, never corpus×corpus. Threshold
+    * 0.28 = q53's measured classify-flip-safe margin. Cross-engine float
+    * safety re-measured for the trained-centroid form at sf0.01: the
+    * final-assignment argmin margin (2nd-best − best distance) is
+    * ≥ 6.7e-4 and the prune threshold clears every intra-cluster pair by
+    * ≥ 2.5e-5 — both ≥9 orders above summation-order wobble. */
   def q74SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("c"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").as("c_label"), transform(col("pc"), p => p("c")).as("centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("c_label").asc)
+    val cents = broadcast(trainedCentroids(spark, dir))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
     val asg = e.select(col("vec_id"), col("embedding"),
         NativeVecFns.norm(spark, col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(cents)
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_label").as("cluster"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cluster"))
       // feeds both sides of the intra-cluster pair join
       .persist()
     val pruned = asg.as("a")
@@ -335,23 +361,44 @@ object EmbeddingQueries {
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
     val na = VecFns.ddbNorm("a.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH cd AS (
-       |  SELECT label, pos, avg(x) AS c
-       |  FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
-       |               generate_subscripts(embedding, 1) AS pos
-       |        FROM embeddings)
-       |  GROUP BY label, pos
+    // one Lloyd round: nearest-centroid assignment (deterministic (dist,
+    // cid) tiebreak, mirroring KMeans.assign), per-(cid, pos) mean,
+    // empty clusters keep the previous centroid (KMeans.update)
+    def lloyd(prevC: String, asgCte: String, freshCte: String, outCte: String): String =
+      s"""$asgCte AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $dist ASC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $prevC c
+         |  ) WHERE rn = 1
+         |),
+         |$freshCte AS (
+         |  SELECT cid, list(c ORDER BY pos) AS centroid FROM (
+         |    SELECT cid, pos, avg(x) AS c
+         |    FROM (SELECT cid, unnest(embedding)::DOUBLE AS x,
+         |                 generate_subscripts(embedding, 1) AS pos
+         |          FROM $asgCte)
+         |    GROUP BY cid, pos
+         |  ) GROUP BY cid
+         |),
+         |$outCte AS (
+         |  SELECT p.cid, coalesce(f.centroid, p.centroid) AS centroid
+         |  FROM $prevC p LEFT JOIN $freshCte f ON p.cid = f.cid
+         |)""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $SemK
        |),
-       |cents AS (
-       |  SELECT label AS c_label, list(c ORDER BY pos) AS centroid FROM cd GROUP BY label
-       |),
+       |${lloyd("c0", "a1", "f1", "c1")},
+       |${lloyd("c1", "a2", "f2", "c2")},
        |asg AS (
-       |  SELECT vec_id, embedding, c_label AS cluster
-       |  FROM (
-       |    SELECT e.vec_id, e.embedding, c.c_label,
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY $dist ASC, c.c_label ASC) AS rn
-       |    FROM embeddings e CROSS JOIN cents c
+       |        ORDER BY $dist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
        |  ) WHERE rn = 1
        |),
        |pruned AS (

@@ -204,29 +204,47 @@ object CoverageQueries {
 
   /** Sketch quantiles — the production form at 100 TB: `approx_percentile`
     * merges fixed-size partials map-side, where an exact percentile sorts
-    * every group. The benched query is deliberately SKETCH-ONLY (plus the
-    * streaming min/max/count envelope), so the bench prices the production
-    * path, not a validation sort. The sketch is not bit-reproducible
-    * cross-engine, so the oracle hash-compares the exact envelope columns
-    * and expects the in-envelope/monotonicity booleans to hold; the strong
-    * ±5-percentile-rank validation against an exact sort lives in
-    * SketchValidationSpec. */
-  def q59ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+    * every group. The benched query is deliberately SKETCH-ONLY plus a
+    * RANK-ENVELOPE validation pass: the sketch values are joined back
+    * (broadcast — group-cardinality rows) and each group counts how many
+    * values fall at or below them, so `rank50_ok`/`rank99_ok` assert the
+    * sketch's actual percentile rank lands within ±10 percentile points
+    * (accuracy=1000 guarantees ±0.1 — two orders of slack, no flake). The
+    * sketch itself is not bit-reproducible cross-engine, so the oracle
+    * emits literal `true` for the booleans — NON-tautological: a sketch
+    * whose rank drifts out of the envelope flips the Spark-side boolean
+    * and hash-fails the gate. The strong ±5-rank validation against an
+    * exact sort lives in SketchValidationSpec. The extra pass is one
+    * re-scan + broadcast join — the price of a gated accuracy check, not
+    * part of the production path. */
+  def q59ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val sk = li.groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("ap"),
         count(lit(1)).as("n_items"),
         min(col("l_extendedprice")).as("mn"),
         max(col("l_extendedprice")).as("mx"))
+      .select(col("l_returnflag"), col("n_items"), col("mn"), col("mx"),
+        element_at(col("ap"), 1).as("ap50"), element_at(col("ap"), 2).as("ap99"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        max(col("n_items")).as("n_items"),
+        max(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        max(col("ap50")).as("ap50"), max(col("ap99")).as("ap99"),
+        sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L)).as("le99"))
       .select(col("l_returnflag"),
         col("n_items"),
         round(col("mn"), 4).as("price_min"),
         round(col("mx"), 4).as("price_max"),
-        (element_at(col("ap"), 1) >= col("mn") &&
-          element_at(col("ap"), 1) <= element_at(col("ap"), 2)).as("approx50_ok"),
-        (element_at(col("ap"), 2) >= element_at(col("ap"), 1) &&
-          element_at(col("ap"), 2) <= col("mx")).as("approx99_ok"))
+        (col("ap50") >= col("mn") && col("ap50") <= col("ap99")).as("approx50_ok"),
+        (col("ap99") >= col("ap50") && col("ap99") <= col("mx")).as("approx99_ok"),
+        (col("le50") * 10000L >= col("n_items") * 4000L &&
+          col("le50") * 10000L <= col("n_items") * 6000L).as("rank50_ok"),
+        (col("le99") * 10000L >= col("n_items") * 9800L).as("rank99_ok"))
+  }
 
   val q59ApproxQuantilesSql: String =
     """SELECT l_returnflag,
@@ -234,7 +252,9 @@ object CoverageQueries {
       |  round(min(l_extendedprice), 4) AS price_min,
       |  round(max(l_extendedprice), 4) AS price_max,
       |  true AS approx50_ok,
-      |  true AS approx99_ok
+      |  true AS approx99_ok,
+      |  true AS rank50_ok,
+      |  true AS rank99_ok
       |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Salted broadcast join under the gate: the hot-key mitigation

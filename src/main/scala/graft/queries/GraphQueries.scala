@@ -134,8 +134,12 @@ object GraphQueries {
     * 100 TB: three edge-keyed shuffle joins (degree annotate, wedge
     * self-join bounded by orientation, closing equi-join) — no
     * all-pairs step anywhere. */
-  def q83Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.nearDupEdges(spark, dir)
+  def q83Triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(TextQueries.nearDupEdges(spark, dir))
+
+  /** The triangle/clustering engine over an undirected pair set
+    * (doc_a, doc_b) — shared by q83 and the scale-smoke spec. */
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
     // edge store read: recompute of und is a parquet scan, so only `e`
     // (consumed 3× by the wedge + closing joins) is worth keeping hot
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))

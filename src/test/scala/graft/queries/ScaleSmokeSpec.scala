@@ -156,6 +156,72 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("PageRank at 10x: replica ranks are bit-equal when scale tracks n") {
+    import spark.implicits._
+    // fixed-point arithmetic makes this EXACT: with the unit scaled by the
+    // replica factor, every per-node quantity satisfies
+    // floor(10S / 10n) = floor(S / n), so replica-0 ranks in the 10×
+    // graph equal the base-graph ranks bit-for-bit — the property that a
+    // 100 TB corpus re-shard cannot shift curation decisions
+    val pattern = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L))
+    val sym = pattern ++ pattern.map(_.swap)
+    val s = 1000000000000L
+    val base = graft.ml.PageRank.ranks(sym.toDF("src", "dst"), 5, s)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = (0 until 10)
+      .flatMap(r => sym.map { case (a, b) => (a + r * 1000L, b + r * 1000L) })
+      .toDF("src", "dst")
+    val bigRanks = graft.ml.PageRank.ranks(big, 5, 10 * s)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bigRanks.size == base.size * 10)
+    for (r <- 0 until 10; (node, v) <- base)
+      assert(bigRanks(node + r * 1000L) == v,
+        s"replica $r node $node rank must be bit-equal to base")
+  }
+
+  test("directed PageRank at 10x: dangling redistribution is replica-exact too") {
+    import spark.implicits._
+    // 1→2→3 plus 1→3: node 1 source-only, node 3 dangling — the dangling
+    // sum D scales ×10 with n, so floor(10D/10n) = floor(D/n) round by round
+    val pattern = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val s = 1000000000000L
+    val base = graft.ml.PageRank.ranksDirected(pattern.toDF("src", "dst"), 5, s)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val big = (0 until 10)
+      .flatMap(r => pattern.map { case (a, b) => (a + r * 1000L, b + r * 1000L) })
+      .toDF("src", "dst")
+    val bigRanks = graft.ml.PageRank.ranksDirected(big, 5, 10 * s)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (r <- 0 until 10; (node, v) <- base)
+      assert(bigRanks(node + r * 1000L) == v)
+  }
+
+  test("triangles at 10x: clustering coefficients replicate exactly, counts scale linearly") {
+    import spark.implicits._
+    // triangle + pendant (1-2-3 closed, 4 hangs off 1), plus a square
+    // (no triangles) — clustering is graph-local, so replicas are exact
+    val pattern = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L))
+    val base = GraphQueries.trianglesOf(pattern.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val big = (0 until 10)
+      .flatMap(r => pattern.map { case (a, b) => (a + r * 1000L, b + r * 1000L) })
+      .toDF("doc_a", "doc_b")
+    val out = GraphQueries.trianglesOf(big)
+    val bigRows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(bigRows.size == base.size * 10)
+    for (r <- 0 until 10; (node, v) <- base)
+      assert(bigRows(node + r * 1000L) == v,
+        s"replica $r node $node clustering must replicate exactly")
+    // total triangles scale linearly: 1 per replica
+    assert(bigRows.values.map(_._2).sum == base.values.map(_._2).sum * 10)
+    // plan: all joins stay keyed at scale
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"wedge joins must stay keyed:\n$p")
+  }
+
   test("top-k aggregate holds per-group state constant as groups scale 10x") {
     val e = bigEvents
     val agg = e.groupBy("user_id")

@@ -76,8 +76,28 @@ object ElectricityPipeline {
     * folded in interval order — bit-identical across engines and
     * partitionings, and within 1 ulp-per-term of the reference's value. */
   def fifteenMinuteUsage(deltaDf: DataFrame): DataFrame = {
-    val grid = deltaDf.select(
+    // per-interval rate denominators (total P/OP minutes of the interval)
+    // are computed HERE, at the deltas level (~1/1440th of the grid), as a
+    // per-row fold over the same minute sequence the grid explodes — the
+    // classification expression is peakCategory verbatim, so the counts
+    // are the exact integers the former post-agg window sum produced, for
+    // zero additional shuffles (r6 verdict item 7: the window over the
+    // 122k-row aggregated frame folds away entirely). Every minute is P
+    // or OP, so one struct-accumulator fold yields both.
+    val withTotals = deltaDf.withColumn("ivc", expr(
+      """aggregate(
+        |  sequence(UTC_DateTime + INTERVAL 1 MINUTE, Next_DateTime, INTERVAL 1 MINUTE),
+        |  named_struct('p', CAST(0 AS BIGINT), 'op', CAST(0 AS BIGINT)),
+        |  (acc, m) -> IF(pmod(unix_micros(m), 86400000000) > 23400000000
+        |                 AND pmod(unix_micros(m), 86400000000) <= 84600000000,
+        |              named_struct('p', acc.p + 1, 'op', acc.op),
+        |              named_struct('p', acc.p, 'op', acc.op + 1)))""".stripMargin))
+      .withColumn("pmins", col("ivc.p"))
+      .withColumn("opmins", col("ivc.op"))
+      .drop("ivc")
+    val grid = withTotals.select(
         col("UTC_DateTime"), col("Delta_P"), col("Delta_OP"),
+        col("pmins"), col("opmins"),
         explode(sequence(
           col("UTC_DateTime") + expr("INTERVAL 1 MINUTE"),
           col("Next_DateTime"),
@@ -85,12 +105,8 @@ object ElectricityPipeline {
       .withColumn("Category", TimeFns.peakCategory(col("MinuteGrid")))
     // aggregate the 1-minute grid down to (bucket, interval) FIRST — the
     // partial aggregation combines map-side, so the only full-grid shuffle
-    // carries ~15× fewer rows; the per-interval rate denominators are then
-    // window sums over the aggregated frame (interval peak minutes = the
-    // sum of its buckets' peak-minute counts — exact long arithmetic, so
-    // this is the same number the raw-grid running count produced, for a
-    // window over 1/15th the rows)
-    val wc = Window.partitionBy("UTC_DateTime")
+    // carries ~15× fewer rows, with the interval denominators riding along
+    // as constants (first())
     val perInterval = grid
       .withColumn("Bucket", TimeFns.timeBucket15EndLabeled(col("MinuteGrid")))
       .groupBy("Bucket", "UTC_DateTime")
@@ -100,9 +116,8 @@ object ElectricityPipeline {
         count(lit(1)).as("mins"),
         sum(when(col("Category") === "P", 1).otherwise(0)).as("cnt_p"),
         sum(when(col("Category") === "OP", 1).otherwise(0)).as("cnt_op"),
-        first("Delta_P").as("dp"), first("Delta_OP").as("dop"))
-      .withColumn("pmins", sum("cnt_p").over(wc))
-      .withColumn("opmins", sum("cnt_op").over(wc))
+        first("Delta_P").as("dp"), first("Delta_OP").as("dop"),
+        first("pmins").as("pmins"), first("opmins").as("opmins"))
       .withColumn("p_sub", when(col("cnt_p") > 0 && col("pmins") > 0,
         col("dp") * col("cnt_p").cast("double") / col("pmins").cast("double")))
       .withColumn("op_sub", when(col("cnt_op") > 0 && col("opmins") > 0,

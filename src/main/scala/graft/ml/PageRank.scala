@@ -84,15 +84,28 @@ object PageRank {
     *     and appears in the output.
     *   - Dangling mass: each round, D = Σ ranks of outdeg-0 nodes is
     *     redistributed uniformly — the standard virtual-sink-to-all-nodes
-    *     treatment, computed as a broadcast one-row aggregate instead of
+    *     treatment, computed as one scalar aggregate per round instead of
     *     n² virtual edges. In fixed-point: r' = base + (85·(s + D div n))
     *     div 100, with the division order part of the cross-engine
     *     contract (the DuckDB oracle mirrors it exactly).
     *
-    * Each round's rank frame (one row per node) is persisted: the next
-    * round references it twice (contributions + dangling sum), and
-    * without the cache the physical execution would double per round.
-    * The frames are |V|-row — trivially cheap to hold or recompute.
+    * Unlike [[ranks]] (a single statically-unrolled plan), each round here
+    * needs a SCALAR from the previous round's frame (the dangling sum), so
+    * the loop runs one small driver action per round over the persisted
+    * |V|-row rank frame — the standard Pregel/GraphX iteration shape, and
+    * exactly one job per round regardless of graph size. Expressing D as a
+    * broadcast one-row frame instead (the r6 first cut) serialized a chain
+    * of 5 broadcast-exchange builds and 15 crossJoins into the plan and
+    * benched 5.7× slower at sf0.1 for identical integers. n and the
+    * teleport base are scalars of the (fixed) node universe, computed once
+    * up front; all arithmetic is unchanged — non-negative Scala Long `/`
+    * is the same floor division as SQL `div`, so results stay bit-equal to
+    * the unrolled-CTE oracle.
+    *
+    * The dangling action doubles as each round's materialization barrier,
+    * which makes unpersist hygiene exact: once round k's frame is cached,
+    * round k−1's is dropped — at most two |V|-row frames (plus nodes and
+    * the annotated edges) are ever live, vs. `iterations` of them before.
     *
     * 100 TB shape: per round one src-keyed join + one dst-keyed agg (as
     * [[ranks]]) plus one node-keyed left join and a scalar aggregate —
@@ -107,15 +120,18 @@ object PageRank {
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .na.fill(0L, Seq("outdeg"))
       .persist()
-    val n1 = nodes.agg(count(lit(1)).as("n"))
     val ed = edges.join(deg, "src").persist()
-    val base = broadcast(n1.select(
-      expr(s"(15 * ($scale div greatest(n, 1))) div 100").as("base")))
-    val nn = broadcast(n1.select(expr("greatest(n, 1)").as("nn")))
-    val init = nodes.crossJoin(nn)
-      .select(col("node"), expr(s"$scale div nn").as("r"), col("outdeg"))
-      .persist()
-    val last = (1 to iterations).foldLeft(init) { (prev, _) =>
+    // node count and teleport base: one action, also warms the nodes cache
+    val n = math.max(nodes.count(), 1L)
+    val base = (15L * (scale / n)) / 100L
+    var prev = nodes.select(col("node"), lit(scale / n).as("r"), col("outdeg")).persist()
+    var older: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      // scalar dangling sum — this action materializes prev's cache, so the
+      // frame from the round before it is now safe to release
+      val dang = prev.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("r"), lit(0L))).first().getLong(0)
+      older.foreach(_.unpersist())
       // drop prev's outdeg before the join: ed carries the src's outdeg
       // (same value) and keeping both would make `r div outdeg` ambiguous
       val contrib = prev.filter(col("outdeg") > 0)
@@ -123,15 +139,14 @@ object PageRank {
         .join(ed, col("p_node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div outdeg")).as("s"))
-      val dang = broadcast(prev.filter(col("outdeg") === 0)
-        .agg(coalesce(sum("r"), lit(0L)).as("dmass")))
-      nodes.join(contrib, col("node") === col("dst"), "left")
-        .crossJoin(dang).crossJoin(nn).crossJoin(base)
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          expr("base + (85 * (coalesce(s, CAST(0 AS BIGINT)) + dmass div nn)) div 100").as("r"),
+          expr(s"$base + (85 * (coalesce(s, CAST(0 AS BIGINT)) + ${dang / n})) div 100").as("r"),
           col("outdeg"))
         .persist()
+      older = Some(prev)
+      prev = next
     }
-    last.select(col("node"), col("outdeg").as("degree"), col("r").as("rank_fp"))
+    prev.select(col("node"), col("outdeg").as("degree"), col("r").as("rank_fp"))
   }
 }

@@ -410,13 +410,88 @@ object EmbeddingQueries {
        |FROM asg s LEFT JOIN pruned p ON s.vec_id = p.vec_id""".stripMargin
   }
 
+  /** ANN RECALL EVALUATION — the quality gate every approximate index
+    * needs before it replaces the exact baseline in a pipeline: for a
+    * deterministic 10% probe sample (`vec_id % 10 = 3`), compute exact
+    * cosine top-3 ground truth and score q32's single-probe LSH answer
+    * set against it — per probe, hits and recall in exact basis points.
+    *
+    * Ground truth is necessarily O(|sample|·N) — that cost is the reason
+    * recall is measured on a sample, and the sample predicate is the
+    * knob. The exact side is a broadcast of the probe sample against one
+    * streaming pass of the corpus (no shuffle until the k-row-per-probe
+    * partial top-k aggregate); the approx side reuses q32's bucket
+    * equi-join verbatim. Hit counting is a (vec_id, neighbor_id)-keyed
+    * left join of two ≤3-rows-per-probe frames — integers only, so the
+    * cross-engine hash is exact. */
+  def q88AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      NativeVecFns.norm(spark, col("embedding")).as("nrm"))
+    val probes = e.filter(col("vec_id") % 10 === 3).select(
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val exact = e.select(
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      .join(broadcast(probes), col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id").as("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"))
+    val approx = q32AnnLsh(spark, dir)
+      .filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
+  }
+
+  val q88AnnRecallSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH exk AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.vec_id % 10 = 3 AND a.vec_id <> b.vec_id
+       |  ) WHERE rnk <= 3
+       |),
+       |e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |),
+       |ap AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
+       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  ) WHERE rnk <= 3 AND vec_id % 10 = 3
+       |)
+       |SELECT x.vec_id,
+       |  count(*)::BIGINT AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  (10000 * CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS recall_bp
+       |FROM exk x LEFT JOIN ap
+       |  ON x.vec_id = ap.vec_id AND x.neighbor_id = ap.neighbor_id
+       |GROUP BY x.vec_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
     "q33_ivf_centroid" -> (q33IvfCentroid _),
     "q53_embed_neardup" -> (q53EmbedNearDup _),
     "q71_ann_multiprobe" -> (q71AnnMultiProbe _),
-    "q74_semdedup" -> (q74SemDedup _)
+    "q74_semdedup" -> (q74SemDedup _),
+    "q88_ann_recall" -> (q88AnnRecall _)
   )
 
   def sql: Map[String, String] = Map(
@@ -425,6 +500,7 @@ object EmbeddingQueries {
     "q33_ivf_centroid" -> q33IvfCentroidSql,
     "q53_embed_neardup" -> q53EmbedNearDupSql,
     "q71_ann_multiprobe" -> q71AnnMultiProbeSql,
-    "q74_semdedup" -> q74SemDedupSql
+    "q74_semdedup" -> q74SemDedupSql,
+    "q88_ann_recall" -> q88AnnRecallSql
   )
 }

@@ -552,17 +552,56 @@ object TextQueries {
     * back into a per-row map stage; merge rounds are statically unrolled
     * like [[graft.ml.PageRank]]. */
   def q81BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    q87bpeVocab(spark, dir)
+      .select(col("word"), col("freq"),
+        size(split(col("seq"), " ")).cast("long").as("n_symbols"), col("seq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(50)
+  }
+
+  /** The corpus BPE vocabulary after two merge rounds: (word, freq, seq)
+    * for every distinct token — shared by q81 (training inspection) and
+    * q87 (corpus encoding). */
+  private[graft] def q87bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     val words = docs(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("seq", concat_ws(" ",
         transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1)))))
-    val merged = bpeMergeRound(bpeMergeRound(words))
-    merged
-      .select(col("word"), col("freq"),
-        size(split(col("seq"), " ")).cast("long").as("n_symbols"), col("seq"))
-      .orderBy(col("freq").desc, col("word").asc)
-      .limit(50)
+    bpeMergeRound(bpeMergeRound(words))
+  }
+
+  /** BPE ENCODING — applying the trained tokenizer (q81's merged vocab)
+    * back to the corpus, the other half of the tokenizer loop: per
+    * document, word count, character count, BPE token count, and the two
+    * metrics a packing/budgeting stage actually consumes — fertility
+    * (tokens per 100 words) and compression (tokens per 10k chars), both
+    * in exact integer arithmetic.
+    *
+    * BPE merges never cross word boundaries, so encoding a document is
+    * the concatenation of its words' encodings — token count per doc =
+    * Σ over its word stream of the word's post-merge symbol count. That
+    * turns "run the tokenizer over the corpus" into one word-keyed
+    * equi-join against the vocab table instead of a per-document
+    * re-execution of the merge loop.
+    *
+    * 100 TB: the vocab is corpus-bounded (tens of millions of rows at
+    * web scale — broadcastable, or a word-keyed shuffle join); the doc
+    * word stream is linear in corpus size and aggregates per doc_id with
+    * map-side combine. Documents with zero tokens vanish from the word
+    * stream in both engines identically. */
+  def q87BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = q87bpeVocab(spark, dir)
+      .select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    val dw = docs(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    dw.join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("fertility_pct", expr("(100 * n_bpe_tokens) div n_words"))
+      .withColumn("compression_bp", expr("(10000 * n_bpe_tokens) div n_chars"))
   }
 
   /** One BPE merge round over a (word, freq, seq) frame: count corpus-
@@ -606,7 +645,9 @@ object TextQueries {
       .drop("best_pair", "bp_l", "bp_r")
   }
 
-  val q81BpeMergesSql: String = {
+  /** The WITH-body CTE chain ending in `m2` = the two-round merged vocab
+    * (word, freq, seq) — shared by the q81 and q87 oracles. */
+  private val bpeVocabSqlCtes: String = {
     val toks = TextFns.ddbTokens("text")
     // the merge application is the same symbol-aligned fold as the Spark
     // side (see bpeMergeRound): list_reduce's implicit first-element init
@@ -632,7 +673,7 @@ object TextQueries {
          |           ELSE acc || ' ' || t END) AS seq
          |  FROM $in CROSS JOIN $bestCte
          |)""".stripMargin
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT word, count(*)::BIGINT AS freq FROM (
        |    SELECT unnest($toks) AS word FROM documents
        |  ) GROUP BY word
@@ -643,9 +684,32 @@ object TextQueries {
        |  FROM words
        |),
        |${round("seq0", "pairs1", "best1", "m1")},
-       |${round("m1", "pairs2", "best2", "m2")}
+       |${round("m1", "pairs2", "best2", "m2")}""".stripMargin
+  }
+
+  val q81BpeMergesSql: String =
+    s"""WITH $bpeVocabSqlCtes
        |SELECT word, freq, len(string_split(seq, ' '))::BIGINT AS n_symbols, seq
        |FROM m2 ORDER BY freq DESC, word ASC LIMIT 50""".stripMargin
+
+  val q87BpeEncodeSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    s"""WITH $bpeVocabSqlCtes,
+       |vocab AS (
+       |  SELECT word, len(string_split(seq, ' '))::BIGINT AS n_sym FROM m2
+       |),
+       |dw AS (
+       |  SELECT doc_id, unnest($toks) AS word FROM documents
+       |)
+       |SELECT d.doc_id,
+       |  count(*)::BIGINT AS n_words,
+       |  CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  (100 * CAST(sum(v.n_sym) AS BIGINT)) // count(*) AS fertility_pct,
+       |  (10000 * CAST(sum(v.n_sym) AS BIGINT))
+       |    // CAST(sum(length(d.word)) AS BIGINT) AS compression_bp
+       |FROM dw d JOIN vocab v USING (word)
+       |GROUP BY d.doc_id""".stripMargin
   }
 
   // ----------------------------------------------------------- registry
@@ -662,7 +726,8 @@ object TextQueries {
     "q48_dedup_components" -> (q48DedupComponents _),
     "q69_incremental_neardup" -> (q69IncrementalNearDup _),
     "q80_novelty_curve" -> (q80NoveltyCurve _),
-    "q81_bpe_merges" -> (q81BpeMerges _)
+    "q81_bpe_merges" -> (q81BpeMerges _),
+    "q87_bpe_encode" -> (q87BpeEncode _)
   )
 
   def sql: Map[String, String] = Map(
@@ -677,6 +742,7 @@ object TextQueries {
     "q48_dedup_components" -> q48DedupComponentsSql,
     "q69_incremental_neardup" -> q69IncrementalNearDupSql,
     "q80_novelty_curve" -> q80NoveltyCurveSql,
-    "q81_bpe_merges" -> q81BpeMergesSql
+    "q81_bpe_merges" -> q81BpeMergesSql,
+    "q87_bpe_encode" -> q87BpeEncodeSql
   )
 }

@@ -76,25 +76,39 @@ object ElectricityPipeline {
     * folded in interval order — bit-identical across engines and
     * partitionings, and within 1 ulp-per-term of the reference's value. */
   def fifteenMinuteUsage(deltaDf: DataFrame): DataFrame = {
-    // per-interval rate denominators (total P/OP minutes of the interval)
-    // are computed HERE, at the deltas level (~1/1440th of the grid), as a
-    // per-row fold over the same minute sequence the grid explodes — the
-    // classification expression is peakCategory verbatim, so the counts
-    // are the exact integers the former post-agg window sum produced, for
-    // zero additional shuffles (r6 verdict item 7: the window over the
-    // 122k-row aggregated frame folds away entirely). Every minute is P
-    // or OP, so one struct-accumulator fold yields both.
-    val withTotals = deltaDf.withColumn("ivc", expr(
-      """aggregate(
-        |  sequence(UTC_DateTime + INTERVAL 1 MINUTE, Next_DateTime, INTERVAL 1 MINUTE),
-        |  named_struct('p', CAST(0 AS BIGINT), 'op', CAST(0 AS BIGINT)),
-        |  (acc, m) -> IF(pmod(unix_micros(m), 86400000000) > 23400000000
-        |                 AND pmod(unix_micros(m), 86400000000) <= 84600000000,
-        |              named_struct('p', acc.p + 1, 'op', acc.op),
-        |              named_struct('p', acc.p, 'op', acc.op + 1)))""".stripMargin))
-      .withColumn("pmins", col("ivc.p"))
-      .withColumn("opmins", col("ivc.op"))
-      .drop("ivc")
+    // Per-interval rate denominators (total P/OP minutes of the interval)
+    // are computed HERE, at the deltas level (~1/1440th of the grid), in
+    // CLOSED FORM — O(1) integer arithmetic per interval, no fold over the
+    // minute sequence (a struct-accumulator `aggregate` re-walked all 1.8M
+    // minutes interpreted and benched slower than the window it replaced)
+    // and no post-agg window shuffle (r6 verdict item 7).
+    //
+    // Derivation: grid minutes are t0 + k·1min (k = 1..K, K = ⌊Δ/1min⌋),
+    // so their times-of-day sit on a 1-minute lattice with fixed
+    // sub-minute offset u = tod(t0) mod 1min and minute index
+    // m = (M0 + k) mod 1440. Peak is tod ∈ (06:30, 23:30] (peakCategory),
+    // i.e. m·1min + u ∈ (390, 1410] minutes ⟺ m ∈ [391−[u>0], 1410−[u>0]]
+    // — a width-1020 index window either way (the peak span is an exact
+    // multiple of the lattice step, so each full day contributes exactly
+    // 1020 regardless of offset). The ≤1-day remainder is a circular-
+    // interval intersection on Z₁₄₄₀. Verified against the oracle, which
+    // derives the same counts by grouping the exploded grid.
+    val withTotals = deltaDf
+      .withColumn("_k", expr(
+        "(unix_micros(Next_DateTime) - unix_micros(UTC_DateTime)) div 60000000"))
+      .withColumn("_tod0", expr("pmod(unix_micros(UTC_DateTime), 86400000000)"))
+      .withColumn("_u", expr("pmod(_tod0, 60000000)"))
+      .withColumn("_start", expr("pmod(_tod0 div 60000000 + 1, 1440)"))
+      .withColumn("_rm", expr("pmod(_k, 1440)"))
+      .withColumn("_mlo", expr("IF(_u > 0, 390L, 391L)"))
+      .withColumn("_mhix", expr("IF(_u > 0, 1410L, 1411L)")) // mHi + 1
+      .withColumn("pmins", expr(
+        """(_k div 1440) * 1020
+          | + greatest(0L, least(least(_start + _rm, 1440), _mhix) - greatest(_start, _mlo))
+          | + IF(_start + _rm > 1440,
+          |      greatest(0L, least(_start + _rm - 1440, _mhix) - _mlo), 0L)""".stripMargin))
+      .withColumn("opmins", expr("_k - pmins"))
+      .drop("_k", "_tod0", "_u", "_start", "_rm", "_mlo", "_mhix")
     val grid = withTotals.select(
         col("UTC_DateTime"), col("Delta_P"), col("Delta_OP"),
         col("pmins"), col("opmins"),

@@ -15,6 +15,9 @@ case class MediaMeta(width: Int, height: Int, sample_rate: Int, n_frames: Int)
 /** One media-lake row (top-level for encoder codegen). */
 case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
 
+/** A resized image row (top-level for encoder codegen). */
+case class ResizedImage(media_id: Long, width: Int, height: Int, png: Array[Byte])
+
 /** Multimodal columns for a training-data pipeline: image/audio/video as
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample plumbing. Image (PNG) and audio (WAV/PCM16) decode is
@@ -157,6 +160,41 @@ object MediaOps {
         }
       }
       .toDF()
+  }
+
+  /** REAL pixel-level image resize: PNG decode → nearest-neighbor
+    * resample to (w, h) → PNG re-encode, per executor batch (bytes never
+    * hit the driver; same `mapPartitions` batch shape as
+    * [[imageFeatures]]). Nearest-neighbor (src index = ⌊dst·src/dst⌋) is
+    * the standard thumbnail/tokenizer-grid resample and is exactly
+    * reproducible — no float kernel, so the output bytes are
+    * deterministic across engines and partitionings (spec: hand-computed
+    * pixel map + `javax.imageio` differential on the re-encoded PNG).
+    * Non-image rows are filtered out, not errored: a media lake always
+    * carries mixed kinds. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .repartition(col("media_id"))
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (sw, sh, px) = MediaCodec.pngDecodeGray(bytes)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val srcRow = (y.toLong * sh / h).toInt * sw
+          val dstRow = y * w
+          var x = 0
+          while (x < w) {
+            out(dstRow + x) = px(srcRow + (x.toLong * sw / w).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(id, w, h, MediaCodec.pngEncodeGray(w, h, out))
+      }).toDF()
   }
 
   /** Metadata-level resize: a pure column transform (no pixel work in the

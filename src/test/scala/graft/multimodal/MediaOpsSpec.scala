@@ -98,4 +98,42 @@ class MediaOpsSpec extends SparkSpec {
     val meta = m.select("meta.*").collect()
     assert(meta.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
   }
+
+  test("resizeImages: nearest-neighbor pixels match the hand-computed map") {
+    import spark.implicits._
+    // 2×2 source [[10,20],[30,40]] → 4×4: each source pixel becomes a
+    // 2×2 block (src index = floor(dst·2/4)); 4×4 → 2×2 picks the
+    // top-left of each block, recovering the original.
+    val src = Array[Byte](10, 20, 30, 40)
+    val media = Seq(MediaRow(1L, "image",
+      MediaCodec.pngEncodeGray(2, 2, src), MediaMeta(2, 2, 0, 0))).toDF()
+    val up = MediaOps.resizeImages(media, 4, 4).collect().head
+    val (uw, uh, upx) = MediaCodec.pngDecodeGray(up.getAs[Array[Byte]]("png"))
+    assert((uw, uh) == (4, 4))
+    assert(upx.toSeq == Seq[Byte](
+      10, 10, 20, 20,
+      10, 10, 20, 20,
+      30, 30, 40, 40,
+      30, 30, 40, 40))
+    val down = MediaOps.resizeImages(
+      Seq(MediaRow(2L, "image", MediaCodec.pngEncodeGray(4, 4,
+        upx), MediaMeta(4, 4, 0, 0))).toDF(), 2, 2).collect().head
+    assert(MediaCodec.pngDecodeGray(down.getAs[Array[Byte]]("png"))._3.toSeq == src.toSeq)
+  }
+
+  test("resizeImages: re-encoded PNGs are valid to javax.imageio; non-images drop") {
+    val media = MediaOps.syntheticMedia(spark, 30)
+    val nImages = media.filter(col("kind") === "image").count()
+    val out = MediaOps.resizeImages(media, 7, 5).collect()
+    assert(out.length == nImages, "exactly the image rows must survive")
+    out.foreach { r =>
+      val png = r.getAs[Array[Byte]]("png")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 7 && img.getHeight == 5)
+      // independent decoder sees the same pixels our decoder produces
+      val (_, _, px) = MediaCodec.pngDecodeGray(png)
+      for (y <- 0 until 5; x <- 0 until 7)
+        assert((img.getRaster.getSample(x, y, 0) & 0xff) == (px(y * 7 + x) & 0xff))
+    }
+  }
 }

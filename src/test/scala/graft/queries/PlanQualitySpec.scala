@@ -271,4 +271,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"probe join must remain keyed:\n$p")
   }
+
+  test("q87 BPE encode: vocab joins by word key, word stream aggregates map-side") {
+    val p = plan("q87_bpe_encode")
+    assert(!p.contains("CartesianProduct"),
+      s"the encode path must never cross-join:\n$p")
+    // the only nest-loop joins allowed are the 1-row argmax constants of
+    // the two merge rounds (same contract as q79's teleport constants)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc counts must combine map-side:\n$p")
+  }
+
+  test("q88 ANN recall: ground truth is the labeled broadcast pass, approx side stays keyed") {
+    val p = plan("q88_ann_recall")
+    // exact side: probe sample broadcasts against the corpus stream — a
+    // BroadcastNestedLoopJoin is the DOCUMENTED shape here (sample-bounded
+    // all-pairs is what ground truth costs); the approx side must remain
+    // q32's bucket equi-join, so exactly one nest-loop join may appear
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the ground-truth nest-loop join, got $nlj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
+  }
 }

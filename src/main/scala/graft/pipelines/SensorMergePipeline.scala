@@ -47,14 +47,69 @@ object SensorMergePipeline {
 
   private val TimestampFormats = Seq("yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd HH:mm:ss", "dd/MM/yyyy HH:mm:ss")
 
+  /** Split one CSV header line into column names: minimal RFC-4180
+    * (double-quote fields, `""` escapes) — enough for export headers,
+    * which never nest separators deeper than that. Kept private-but-
+    * testable: SensorMergePipelineSpec proves it byte-identical to what
+    * `spark.read.csv` derives on every real export header. */
+  private[pipelines] def splitCsvHeader(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '"' if inQ && i + 1 < line.length && line.charAt(i + 1) == '"' =>
+          cur.append('"'); i += 1
+        case '"' => inQ = !inQ
+        case ',' if !inQ => out += cur.result(); cur.clear()
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  /** First line of a file via the Hadoop FS API (any scheme), decoded
+    * UTF-8; `readLine` drops the `\r` of CRLF exports. The UTF-8 BOM is
+    * KEPT in the first name — matching `spark.read.csv`, whose header
+    * inference leaves it in place (the reason the timestamp-column find
+    * is a substring match). */
+  private def headerColumns(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val line = try reader.readLine() finally reader.close()
+    if (line == null) Seq.empty else splitCsvHeader(line)
+  }
+
   /** Normalize one export CSV (ref :52-85): find the timestamp column by
     * case-insensitive substring (BOM-safe), rename to `Timestamp`, parse,
     * drop null timestamps, dedupe duplicate timestamps keeping the last
     * input occurrence, best-effort-cast every other column to double
     * (errors→null, matching pd.to_numeric(errors='coerce')).
-    * Returns None when no timestamp-like column exists (file skipped). */
+    * Returns None when no timestamp-like column exists (file skipped).
+    *
+    * The header is read ON THE DRIVER and handed to the reader as an
+    * explicit all-string schema: `spark.read.csv` with header inference
+    * launches a scan job per file just to learn the names, and at ~7
+    * files per sensor those jobs dominated p2's construction time
+    * (~1 s/run measured at sf0.1 — pure fixed cost, none of it data).
+    * One driver-side first-line read per file replaces them; the data
+    * scan still happens distributed, once, when the fold executes.
+    * Duplicate header names fall back to the inference path (Spark
+    * uniquifies them there; an explicit schema cannot). */
   def readNormalized(spark: SparkSession, path: String): Option[DataFrame] = {
-    val raw = spark.read.option("header", "true").csv(path)
+    val names = headerColumns(spark, path)
+    val raw =
+      if (names.nonEmpty && names.distinct.size == names.size)
+        spark.read.option("header", "true")
+          .schema(org.apache.spark.sql.types.StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+          .csv(path)
+      else spark.read.option("header", "true").csv(path)
     raw.columns.find(_.toLowerCase.contains("timestamp")).map { tsCol =>
       val renamed = raw.withColumnRenamed(tsCol, "Timestamp")
         .withColumn("_seq", monotonically_increasing_id())
@@ -126,8 +181,17 @@ object SensorMergePipeline {
 
   /** Final projection (ref :203-221): drop all-null columns (one agg
     * pass), order as Timestamp, regular columns, sorted conflict
-    * columns; rows sorted by Timestamp. */
-  def finalize(df: DataFrame): DataFrame = {
+    * columns; rows sorted by Timestamp.
+    *
+    * The fold is PERSISTED before the count action: finalize needs two
+    * passes by construction (the column-drop decision is an aggregate of
+    * the very frame being projected), and without the cache the second
+    * pass would re-read and re-join every export file — the whole
+    * pipeline, twice (measured ~2× on p2). The merged wide series is the
+    * thing a caller is about to consume anyway; the cache is dropped by
+    * the session's normal cache hygiene (clearCache between queries). */
+  def finalize(df0: DataFrame): DataFrame = {
+    val df = df0.persist()
     val dataCols = df.columns.toSeq.filterNot(_ == "Timestamp")
     val nonNullCounts: Map[String, Long] =
       if (dataCols.isEmpty) Map.empty

@@ -173,6 +173,30 @@ class SensorMergePipelineSpec extends SparkSpec {
     }
   }
 
+  test("driver-side header parse is byte-identical to spark.read's on every sensor's headers") {
+    // one file per sensor covers every header shape in the corpus (BOM,
+    // NBSP names, leading-space name, CRLF); equality here is what makes
+    // the explicit-schema fast path safe
+    val firsts = SensorMergePipeline.discover("/root/reference/data").values.map(_.head)
+    assert(firsts.nonEmpty)
+    firsts.foreach { path =>
+      val inferred = spark.read.option("header", "true").csv(path).columns.toSeq
+      val manual = SensorMergePipeline.readNormalized(spark, path).get.columns.toSeq
+      // readNormalized renames the ts-matching column in place; apply the
+      // same rename to the inferred names and compare byte-for-byte
+      val expected = inferred.map(c =>
+        if (c.toLowerCase.contains("timestamp")) "Timestamp" else c)
+      assert(manual == expected, s"header mismatch for $path")
+    }
+  }
+
+  test("splitCsvHeader: quoted fields, escaped quotes, embedded separators") {
+    assert(SensorMergePipeline.splitCsvHeader("a,b,c") == Seq("a", "b", "c"))
+    assert(SensorMergePipeline.splitCsvHeader("\"a,x\",b") == Seq("a,x", "b"))
+    assert(SensorMergePipeline.splitCsvHeader("\"a\"\"q\",b") == Seq("a\"q", "b"))
+    assert(SensorMergePipeline.splitCsvHeader("a,,c") == Seq("a", "", "c"))
+  }
+
   test("smoke: one real reference sensor merges green with plausible shape") {
     val groups = SensorMergePipeline.discover("/root/reference/data")
     assert(groups.nonEmpty)

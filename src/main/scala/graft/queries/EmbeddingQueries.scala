@@ -356,11 +356,13 @@ object EmbeddingQueries {
         coalesce(col("is_pruned"), lit(false)).as("is_pruned"))
   }
 
-  val q74SemDedupSql: String = {
+  /** WITH-body CTE chain replaying [[trainedCentroids]]'s full k-means
+    * training in DuckDB — deterministic init (`c0` = the [[SemK]]
+    * lowest-id vectors) + [[SemKIters]] unrolled Lloyd rounds — ending in
+    * `c2` = the trained centroid table. Shared by the q74 and q89
+    * oracles. */
+  private val kmeansTrainSqlCtes: String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
-    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
-    val na = VecFns.ddbNorm("a.embedding", Dim)
-    val nb = VecFns.ddbNorm("b.embedding", Dim)
     // one Lloyd round: nearest-centroid assignment (deterministic (dist,
     // cid) tiebreak, mirroring KMeans.assign), per-(cid, pos) mean,
     // empty clusters keep the previous centroid (KMeans.update)
@@ -386,13 +388,21 @@ object EmbeddingQueries {
          |  SELECT p.cid, coalesce(f.centroid, p.centroid) AS centroid
          |  FROM $prevC p LEFT JOIN $freshCte f ON p.cid = f.cid
          |)""".stripMargin
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
        |    list_transform(embedding, x -> x::DOUBLE) AS centroid
        |  FROM embeddings ORDER BY vec_id LIMIT $SemK
        |),
        |${lloyd("c0", "a1", "f1", "c1")},
-       |${lloyd("c1", "a2", "f2", "c2")},
+       |${lloyd("c1", "a2", "f2", "c2")}""".stripMargin
+  }
+
+  val q74SemDedupSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH $kmeansTrainSqlCtes,
        |asg AS (
        |  SELECT vec_id, embedding, cid AS cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
@@ -408,6 +418,81 @@ object EmbeddingQueries {
        |)
        |SELECT s.vec_id, s.cluster, p.vec_id IS NOT NULL AS is_pruned
        |FROM asg s LEFT JOIN pruned p ON s.vec_id = p.vec_id""".stripMargin
+  }
+
+  /** TRAINED-QUANTIZER IVF ANN with an nprobe knob — the scale-path
+    * upgrade of q33 (whose per-label centroids make cluster count an
+    * accident of the schema, not a parameter): coarse-quantize every
+    * vector to its nearest TRAINED k-means centroid
+    * ([[trainedCentroids]], k = [[SemK]] = 32 — the same write-once
+    * store q74 reads), then each query probes its `nprobe` = 2 nearest
+    * cells and exact-cosine reranks only their members to a top-3. One
+    * ranked centroid-distance frame serves both roles: rn = 1 is the
+    * inverted-list assignment (build side), rn ≤ 2 the probe list —
+    * cells are disjoint, so no candidate dedup is needed.
+    *
+    * 100 TB: centroids broadcast (k×dim); the search is a cid equi-join
+    * (candidate cost |corpus|·nprobe/k), never corpus×corpus; k and
+    * nprobe are the published IVF recall/cost knobs. Oracle: the full
+    * k-means training replayed in DuckDB (shared CTEs with q74) + the
+    * identical probe/rerank. Cross-engine safety: the rn ≤ 2 cut adds a
+    * probe-boundary margin on top of q74's assignment margin — the
+    * 2nd-vs-3rd centroid-distance gap, measured ≥ 1.1e-4 at sf0.01
+    * (9 orders above summation wobble). */
+  def q89IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = broadcast(trainedCentroids(spark, dir))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
+    val ranked = e.select(col("vec_id"), col("embedding"),
+        NativeVecFns.norm(spark, col("embedding")).as("nrm"))
+      .crossJoin(cents)
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("rn"))
+      .persist()
+    val build = ranked.filter(col("rn") === 1).select(col("cid"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val probes = ranked.select(col("cid"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    probes.join(build, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("cosine_sim"))
+  }
+
+  val q89IvfAnnSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH $kmeansTrainSqlCtes,
+       |rk AS (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nb) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
   }
 
   /** ANN RECALL EVALUATION — the quality gate every approximate index
@@ -491,7 +576,8 @@ object EmbeddingQueries {
     "q53_embed_neardup" -> (q53EmbedNearDup _),
     "q71_ann_multiprobe" -> (q71AnnMultiProbe _),
     "q74_semdedup" -> (q74SemDedup _),
-    "q88_ann_recall" -> (q88AnnRecall _)
+    "q88_ann_recall" -> (q88AnnRecall _),
+    "q89_ivf_ann" -> (q89IvfAnn _)
   )
 
   def sql: Map[String, String] = Map(
@@ -501,6 +587,7 @@ object EmbeddingQueries {
     "q53_embed_neardup" -> q53EmbedNearDupSql,
     "q71_ann_multiprobe" -> q71AnnMultiProbeSql,
     "q74_semdedup" -> q74SemDedupSql,
-    "q88_ann_recall" -> q88AnnRecallSql
+    "q88_ann_recall" -> q88AnnRecallSql,
+    "q89_ivf_ann" -> q89IvfAnnSql
   )
 }

@@ -282,6 +282,22 @@ class PlanQualitySpec extends SparkSpec {
       s"per-doc counts must combine map-side:\n$p")
   }
 
+  test("q89 trained-IVF ANN: centroids broadcast, search is a cid equi-join") {
+    val p = plan("q89_ivf_ann")
+    assert(!p.contains("CartesianProduct"), s"IVF search must never cross-join:\n$p")
+    // the only nest-loop join is the k×dim centroid broadcast (k=32 rows,
+    // inside the cached ranked frame)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid table must broadcast:\n$p")
+    // the rerank join itself must be keyed by cid (vec_l2_dist_sq lives
+    // below the InMemoryRelation cut and may not print)
+    assert(p.contains("vec_dot"),
+      s"native cosine kernel must survive into the physical plan:\n$p")
+    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid")
+      || p.contains("BroadcastHashJoin [cid"),
+      s"IVF search must join on the cell key:\n$p")
+  }
+
   test("q88 ANN recall: ground truth is the labeled broadcast pass, approx side stays keyed") {
     val p = plan("q88_ann_recall")
     // exact side: probe sample broadcasts against the corpus stream — a

@@ -12,17 +12,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-    * a timestamp. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]); the
-    * long nanos are floored to µs here so `ts` is a real TimestampType —
-    * matching DuckDB's ns→µs truncation for oracle parity.
+  /** `events.ts` normalization to a real TimestampType (instant), whatever
+    * the parquet generation produced:
+    *  - TIMESTAMP(NANOS) → Spark 4 can only read it as Long (Sessions sets
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`); floor ns→µs here,
+    *    matching DuckDB's truncation for oracle parity.
+    *  - naive µs under a session that still infers TIMESTAMP_NTZ (ours
+    *    disables the inference at the scan — see [[Sessions]] — but the
+    *    driver may hand us a foreign session): cast NTZ→instant, exact
+    *    walltime-preserving under the UTC session TZ.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -15,12 +15,17 @@ object Tables {
   /** `events.ts` normalization to a real TimestampType (instant), whatever
     * the parquet generation produced:
     *  - TIMESTAMP(NANOS) → Spark 4 can only read it as Long (Sessions sets
-    *    `spark.sql.legacy.parquet.nanosAsLong=true`); floor ns→µs here,
-    *    matching DuckDB's truncation for oracle parity.
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`); `div 1000` truncates
+    *    ns→µs TOWARD ZERO — for pre-epoch (negative) nanos that differs
+    *    from floor, but the testdata timestamps are all post-epoch, where
+    *    the two agree (and agree with DuckDB's truncation).
     *  - naive µs under a session that still infers TIMESTAMP_NTZ (ours
     *    disables the inference at the scan — see [[Sessions]] — but the
-    *    driver may hand us a foreign session): cast NTZ→instant, exact
-    *    walltime-preserving under the UTC session TZ.
+    *    driver may hand us a foreign session): cast NTZ→instant. The cast
+    *    is walltime-preserving ONLY under a UTC session TZ, so that
+    *    precondition is enforced here rather than assumed — a foreign
+    *    session that skipped Sessions.builder likely skipped the TZ conf
+    *    too, which would silently shift every ts.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
@@ -28,6 +33,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -55,20 +55,44 @@ object KMeans {
         graft.functions.VecFns.toDouble(col("embedding")).as("centroid"))
 
   /** Train: `iters` Lloyd rounds; returns (centroids, inertia-per-iter).
-    * Inertia is the monitored invariant — it must never increase. */
-  def fit(vectors: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
-    var cents = init(vectors, k).cache()
-    val inertia = scala.collection.mutable.ListBuffer.empty[Double]
-    (0 until iters).foreach { _ =>
-      val assigned = assign(vectors, cents).cache()
-      inertia += assigned.agg(sum("dist_sq")).collect()(0).getDouble(0)
-      val next = update(assigned, cents).cache()
-      next.count()
-      assigned.unpersist()
-      cents.unpersist()
-      cents = next
+    *
+    * Default path (`trackInertia = false`) is COLLECT-FREE: each round's
+    * k-row centroid table is a lazily-persisted plan fragment referencing
+    * the previous round's, and ONE `count()` at the end evaluates the
+    * whole chain (the cache manager materializes every round exactly once
+    * — each fragment appears multiple times in the nested plan, but all
+    * references resolve to the same InMemoryRelation). No per-round
+    * driver action, so iters is a plan knob, not a latency multiplier.
+    *
+    * `trackInertia = true` adds one scalar `collect` per round (Σ dist²
+    * of the round's assignment — the monitored invariant, which must
+    * never increase); use it for convergence monitoring, not production
+    * training. */
+  def fit(vectors: DataFrame, k: Int, iters: Int,
+          trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
+    if (!trackInertia) {
+      val steps = scala.collection.mutable.ListBuffer(init(vectors, k).persist())
+      (0 until iters).foreach { _ =>
+        steps += update(assign(vectors, steps.last), steps.last).persist()
+      }
+      val out = steps.last
+      out.count() // the single materialization of the whole training chain
+      steps.init.foreach(_.unpersist())
+      (out, Seq.empty)
+    } else {
+      var cents = init(vectors, k).cache()
+      val inertia = scala.collection.mutable.ListBuffer.empty[Double]
+      (0 until iters).foreach { _ =>
+        val assigned = assign(vectors, cents).cache()
+        inertia += assigned.agg(sum("dist_sq")).collect()(0).getDouble(0)
+        val next = update(assigned, cents).cache()
+        next.count()
+        assigned.unpersist()
+        cents.unpersist()
+        cents = next
+      }
+      (cents, inertia.toSeq)
     }
-    (cents, inertia.toSeq)
   }
 
   /** IVF search: restrict the exact search to the `nProbe` centroids

@@ -100,16 +100,29 @@ object SensorMergePipeline {
     * One driver-side first-line read per file replaces them; the data
     * scan still happens distributed, once, when the fold executes.
     * Duplicate header names fall back to the inference path (Spark
-    * uniquifies them there; an explicit schema cannot). */
+    * uniquifies them there; an explicit schema cannot).
+    *
+    * The explicit schema carries BOM-STRIPPED names: Spark's CSV header
+    * validation compares the schema against the BOM-stripped file header,
+    * so a BOM-kept schema name logs a spurious per-file mismatch `ERROR`
+    * on every run (pure noise — enforceSchema applies the schema anyway).
+    * The BOM is restored by a post-read rename so the resulting frame
+    * stays byte-identical to what header inference produces (inference
+    * keeps the BOM — the reason the timestamp find is a substring match). */
   def readNormalized(spark: SparkSession, path: String): Option[DataFrame] = {
     val names = headerColumns(spark, path)
+    val deBom = names match {
+      case h +: t => h.stripPrefix("\uFEFF") +: t
+      case _ => names
+    }
     val raw =
-      if (names.nonEmpty && names.distinct.size == names.size)
-        spark.read.option("header", "true")
-          .schema(org.apache.spark.sql.types.StructType(names.map(n =>
+      if (names.nonEmpty && deBom.distinct.size == deBom.size) {
+        val read = spark.read.option("header", "true")
+          .schema(org.apache.spark.sql.types.StructType(deBom.map(n =>
             org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
           .csv(path)
-      else spark.read.option("header", "true").csv(path)
+        if (deBom.head != names.head) read.withColumnRenamed(deBom.head, names.head) else read
+      } else spark.read.option("header", "true").csv(path)
     raw.columns.find(_.toLowerCase.contains("timestamp")).map { tsCol =>
       val renamed = raw.withColumnRenamed(tsCol, "Timestamp")
         .withColumn("_seq", monotonically_increasing_id())

@@ -59,11 +59,26 @@ object RefPipelineQueries {
       |  round(average_weight - lead(average_weight) OVER (ORDER BY period_end DESC), 1) AS weight_change
       |FROM weekly""".stripMargin
 
-  /** P2: one real sensor's exports folded into the merged wide series. */
+  /** P2: one real sensor's exports merged into the wide series.
+    *
+    * Default path is the single-shuffle [[SensorMergePipeline.mergeAllUnioned]]
+    * (the 100 TB shape — one union + one hash-aggregate instead of
+    * `files−1` sequential full-outer shuffle joins; the fold was the
+    * slowest, most eviction-sensitive line in the r7 sweep at 7.3 s
+    * median / 11.4 s spread vs 1.7 s for this plan). The sequential fold
+    * remains the semantics baseline: select it with
+    * `-Dgraft.p2.path=fold`, and the fold≡union property spec in
+    * SensorMergePipelineSpec proves the two equal column-for-column
+    * including conflict materialization. */
   def p2SensorMerge(spark: SparkSession, dir: String): DataFrame = {
     val groups = SensorMergePipeline.discover("/root/reference/data")
     val (_, paths) = groups.minBy(_._1)
-    SensorMergePipeline.finalize(SensorMergePipeline.mergeSensor(spark, paths).get)
+    if (sys.props.get("graft.p2.path").contains("fold"))
+      SensorMergePipeline.finalize(SensorMergePipeline.mergeSensor(spark, paths).get)
+    else {
+      val frames = paths.flatMap(p => SensorMergePipeline.readNormalized(spark, p))
+      SensorMergePipeline.finalize(SensorMergePipeline.mergeAllUnioned(frames))
+    }
   }
 
   /** DuckDB twin of p2, generated from the same `discover` listing so the

@@ -8,14 +8,26 @@ class KMeansSpec extends SparkSpec {
 
   private def vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
 
-  test("Lloyd inertia is monotonically non-increasing") {
-    val (cents, inertia) = KMeans.fit(vecs, k = 8, iters = 4)
+  test("Lloyd inertia is monotonically non-increasing (opt-in tracking)") {
+    val (cents, inertia) = KMeans.fit(vecs, k = 8, iters = 4, trackInertia = true)
     info(s"inertia: ${inertia.map(x => f"$x%.1f").mkString(" → ")}")
     assert(inertia.size == 4)
     inertia.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-6) }
     assert(cents.count() == 8)
     // centroids have the right dimensionality
     assert(cents.select(size(col("centroid"))).distinct().collect()(0).getInt(0) == 64)
+  }
+
+  test("default (collect-free) fit trains the same centroids as the tracked path") {
+    val (lazyCents, lazyInertia) = KMeans.fit(vecs, k = 6, iters = 2)
+    assert(lazyInertia.isEmpty, "default path must not compute inertia")
+    def quantized(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), transform(col("centroid"), x => round(x, 6)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val (tracked, _) = KMeans.fit(vecs, k = 6, iters = 2, trackInertia = true)
+    assert(quantized(lazyCents) == quantized(tracked),
+      "lazy-chain training must produce the tracked path's centroids")
+    lazyCents.unpersist(); tracked.unpersist()
   }
 
   test("assignment covers every vector exactly once") {

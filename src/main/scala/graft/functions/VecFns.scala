@@ -62,6 +62,30 @@ object VecFns {
     (((j * dim + i) * lit(1103515245L) + lit(12345L)) % lit(2147483648L) - lit(1073741824L))
       .cast("double")
 
+  /** Corpus-sized hyperplane count for RHP-LSH bucketing.
+    *
+    * A FIXED bit width is a scale bug: 2^8 = 256 cells means candidate
+    * pairs grow as N²/256 — invisible at sf0.1, a shuffle bomb at 100 TB.
+    * The expected bucket occupancy is N/2^bits, so the width that holds
+    * occupancy at `targetBucketSize` is bits = ⌈log₂(N / target)⌉ —
+    * bucket count scales LINEARLY with the corpus and per-bucket
+    * candidate work stays O(target²) regardless of N. Clamped to
+    * [minBits, maxBits]: the floor keeps tiny corpora from degenerating
+    * to a near-cross-join, the ceiling bounds signature cost (bits×dim
+    * multiplies the per-row hashing work; 62 is the Long-signature hard
+    * limit, 30 is already 10⁹ cells). The oracle queries pin bits = 8 so
+    * the DuckDB twin stays byte-stable; production entry points should
+    * derive bits from a corpus count. */
+  def lshBitsFor(corpusCount: Long, targetBucketSize: Long = 64,
+                 minBits: Int = 8, maxBits: Int = 30): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    require(minBits >= 1 && maxBits <= 62 && minBits <= maxBits,
+      "bit bounds must satisfy 1 <= minBits <= maxBits <= 62")
+    val ratio = math.max(1.0, corpusCount.toDouble / targetBucketSize.toDouble)
+    val needed = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle twins (same index-order folds).
 

@@ -108,7 +108,16 @@ object ConnectedComponents {
     * shallow near-dup graphs. Fixed point is detected by an observed
     * (count, hash-sum) signature of the edge set riding the checkpoint
     * action. */
-  def componentsStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def componentsStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame =
+    componentsStarCounted(vertices, edges, maxIter)._1
+
+  /** [[componentsStar]] plus the number of rounds it took to reach the
+    * fixed point — the observable a regression gate pins: round count is
+    * the cost driver (two keyed shuffles per round), grows ~log² in
+    * component size, and a converge-detection bug would otherwise hide
+    * as bench noise (the r6 lesson). */
+  def componentsStarCounted(vertices: DataFrame, edges: DataFrame,
+                            maxIter: Int = 30): (DataFrame, Int) = {
     var e = canonical(edges, "src", "dst").localCheckpoint(true)
     val untouched = vertices
       .join(e.select(col("hi").as("id")).unionByName(e.select(col("lo").as("id"))).distinct(),
@@ -157,6 +166,6 @@ object ConnectedComponents {
     val roots = e.select(col("lo").as("id")).distinct()
       .join(e.select(col("hi").as("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
-    members.unionByName(roots).unionByName(untouched)
+    (members.unionByName(roots).unionByName(untouched), i)
   }
 }

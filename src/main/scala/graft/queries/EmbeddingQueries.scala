@@ -57,25 +57,36 @@ object EmbeddingQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
-  /** LSH-bucketed ANN: 8 random-hyperplane bits → bucket; exact cosine
-    * rerank *within* each bucket, top-3. The bucket equi-join replaces
-    * q31's cross join — this is the plan shape that survives 100 TB. */
-  def q32AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
+  /** LSH-bucketed ANN, parameterized on the plane count: `nbits`
+    * random-hyperplane bits → bucket; exact cosine rerank *within* each
+    * bucket, top-k. The bucket equi-join replaces q31's cross join —
+    * this is the plan shape that survives 100 TB, PROVIDED nbits scales
+    * with the corpus: a fixed width is N²/2^bits candidate growth, so
+    * production callers derive it via [[VecFns.lshBitsFor]] (bucket
+    * count linear in N, per-bucket work O(target²)); the oracle pins
+    * nbits = 8 for a byte-stable DuckDB twin. Bit-width invariance of
+    * the plan shape and the per-bucket candidate bound are spec-asserted
+    * (EmbeddingQueriesSpec). */
+  def annLshBucketed(df: DataFrame, nbits: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val e = df.select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val sims = a.join(b, Seq("bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
     sims.groupBy("a_id", "bucket")
-      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
       .select(col("a_id"), col("bucket"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("a_id").as("vec_id"), col("bucket"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("cosine_sim"))
   }
+
+  def q32AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshBucketed(Tables.embeddings(spark, dir), nbits = 8, k = 3)
 
   val q32AnnLshSql: String = {
     val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
@@ -187,18 +198,26 @@ object EmbeddingQueries {
     * (measured) — cross-engine classify-flip safe.
     * Oracle: identical blocking in DuckDB + recursive-CTE closure
     * (components are unique, so the closure engine cannot show). */
-  def q53EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
+  /** LSH-blocked above-threshold candidate pairs (src < dst), the edge
+    * builder behind q53's closure. `nbits` is the corpus-size knob (see
+    * [[annLshBucketed]]'s scale note / [[VecFns.lshBitsFor]]). */
+  def embedNearDupPairs(df: DataFrame, nbits: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val e = df.select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    val pairs = a.join(b, Seq("bucket"))
+    a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-      .filter(col("sim") > 0.28)
+      .filter(col("sim") > threshold)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
+  }
+
+  def q53EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNearDupPairs(Tables.embeddings(spark, dir), nbits = 8, threshold = 0.28)
     val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
     graft.ml.ConnectedComponents.componentsStar(verts, pairs)
       .select(col("id").as("vec_id"), col("component").as("canonical_id"),

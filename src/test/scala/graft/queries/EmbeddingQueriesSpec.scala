@@ -58,4 +58,50 @@ class EmbeddingQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mp.subsetOf(pairs), "probes=0 must only use same-bucket candidates")
   }
+
+  test("lshBitsFor: holds expected occupancy at the target, scales with the corpus, clamps") {
+    import graft.functions.VecFns.lshBitsFor
+    for (n <- Seq(100000L, 10000000L, 10000000000L); t <- Seq(16L, 64L, 256L)) {
+      val bits = lshBitsFor(n, t, minBits = 1, maxBits = 62)
+      val occupancy = n.toDouble / math.pow(2, bits)
+      assert(occupancy <= t, s"N=$n target=$t bits=$bits occupancy=$occupancy")
+      // ceil means we never over-provision by more than one bit
+      assert(occupancy > t / 2.0, s"N=$n target=$t bits=$bits wastes >1 bit")
+    }
+    // 100× corpus → ceil(log2(100)) = 7 more bits: cells scale linearly with N
+    assert(lshBitsFor(100000000L, 64, 1, 62) == lshBitsFor(1000000L, 64, 1, 62) + 7)
+    // clamps: tiny corpus floors at the oracle-pinned default, huge corpus
+    // respects the signature-cost ceiling
+    assert(lshBitsFor(100, 64) == 8)
+    assert(lshBitsFor(Long.MaxValue / 4, 1, 1, 30) == 30)
+    assertThrows[IllegalArgumentException](lshBitsFor(100, 0))
+    assertThrows[IllegalArgumentException](lshBitsFor(100, 64, minBits = 0))
+    assertThrows[IllegalArgumentException](lshBitsFor(100, 64, minBits = 4, maxBits = 63))
+  }
+
+  test("corpus-derived bits bound per-bucket candidate work on real embeddings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecFns.lshBitsFor
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val target = 16L
+    val bits = lshBitsFor(n, target, minBits = 1, maxBits = 62)
+    val occ = e.select(graft.expr.NativeVecFns
+        .rhpBucket(spark, col("embedding"), bits).as("bucket"))
+      .groupBy("bucket").count()
+    val stats = occ.agg(avg("count").as("avg"), max("count").as("max"),
+      sum(col("count") * (col("count") - 1)).as("cand")).collect()(0)
+    val (avgOcc, maxOcc, cand) = (stats.getDouble(0), stats.getLong(1), stats.getLong(2))
+    info(f"N=$n bits=$bits avg=$avgOcc%.1f max=$maxOcc candidates=$cand (N²=${n * n})")
+    // expected occupancy ≤ target by construction; real (correlated) data
+    // skews, but the derived width must keep the average within a small
+    // constant of the target and total candidates far below N²
+    assert(avgOcc <= 4.0 * target, f"avg occupancy $avgOcc%.1f vs target $target")
+    assert(cand <= 8L * n * target, s"candidate pairs $cand exceed O(N·target) bound")
+    assert(cand < n * (n - 1) / 4, "LSH blocking must beat the cross join by 4× even at toy scale")
+    // the parameterized path with the oracle-pinned width is exactly q32
+    val viaDefault = EmbeddingQueries.annLshBucketed(e, nbits = 8, k = 3)
+    val q32 = EmbeddingQueries.q32AnnLsh(spark, sfDir)
+    assert(viaDefault.exceptAll(q32).isEmpty && q32.exceptAll(viaDefault).isEmpty)
+  }
 }

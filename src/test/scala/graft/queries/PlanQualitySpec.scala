@@ -68,6 +68,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "band join must hash-partition on the key")
   }
 
+  test("q53 blocking is a bucket equi-join; star-closure rounds gated on the sf0.1 graph") {
+    val sf01 = "/root/testdata/sf0.1"
+    val emb = graft.core.Tables.embeddings(spark, sf01)
+    val pairs = EmbeddingQueries.embedNearDupPairs(emb, nbits = 8, threshold = 0.28)
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairs must come from the bucket equi-join only:\n$pp")
+    assert(pp.contains("vec_rhp_bucket"), "blocking must use the native bucket kernel")
+    // Round gate: the sf0.1 similarity graph is chain-like (diameter 11,
+    // the reason q53 runs star rather than propagation); star's O(log²)
+    // bound lands it in a handful of rounds. A convergence-detection or
+    // contraction regression would multiply q53's cost yet hide inside
+    // sweep noise — this pin makes it a hard failure instead.
+    import org.apache.spark.sql.functions.col
+    val verts = emb.select(col("vec_id").as("id"))
+    val (comp, rounds) =
+      graft.ml.ConnectedComponents.componentsStarCounted(verts, pairs)
+    info(s"star closure rounds on the sf0.1 graph: $rounds")
+    assert(rounds <= 7, s"star closure took $rounds rounds (expected ≤7 — regression?)")
+    assert(comp.count() == verts.count(), "closure must label every vertex exactly once")
+  }
+
   test("q51 unioned sensor merge aggregates in a single shuffle (no join chain)") {
     val df = graft.SparkEntry.queries("q51_sensor_merge_unioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -127,6 +127,42 @@ case class FloatVecL2Sq(left: Expression, right: Expression) extends VecFoldExpr
     copy(left = l, right = r)
 }
 
+/** l1(a, b) = Σ |a_i − b_i| (double accumulation, index order) — the
+  * natural metric for histogram features (multimodal near-dup, where
+  * cosine saturates on near-uniform histograms). */
+case class FloatVecL1(left: Expression, right: Expression) extends VecFoldExpression {
+
+  override def prettyName: String = "vec_l1"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += math.abs(getLeft(a, i) - getRight(b, i)); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += java.lang.Math.abs(${genGet(a, i, leftIsFloat)} - ${genGet(b, i, rightIsFloat)});
+         |}
+         |${ev.value} = $sum;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** rhp_bucket(v, nPlanes) — random-hyperplane LSH signature as an integer
   * bucket in [0, 2^nPlanes): bit j set iff Σ_i v_i·w(j,i) > 0, with the
   * same deterministic LCG plane weights as [[graft.functions.VecFns
@@ -215,6 +251,7 @@ object NativeVecFns {
   def register(spark: SparkSession): Unit = {
     reg(spark, "vec_dot", { case Seq(a, b) => FloatVecDot(a, b) })
     reg(spark, "vec_l2_sq", { case Seq(a, b) => FloatVecL2Sq(a, b) })
+    reg(spark, "vec_l1", { case Seq(a, b) => FloatVecL1(a, b) })
     reg(spark, "vec_rhp_bucket", { case Seq(v, n) => RhpBucket(v, n) })
   }
 
@@ -229,6 +266,10 @@ object NativeVecFns {
 
   def l2DistSq(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("vec_l2_sq", a, b)
+  }
+
+  def l1Dist(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("vec_l1", a, b)
   }
 
   def rhpBucket(spark: SparkSession, v: Column, nPlanes: Int): Column = {

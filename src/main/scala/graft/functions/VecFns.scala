@@ -94,6 +94,9 @@ object VecFns {
 
   def ddbNorm(v: String, dim: Int): String = s"sqrt(${ddbDot(v, v, dim)})"
 
+  def ddbL1(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($dim), i -> abs($a[i+1]::DOUBLE - $b[i+1]::DOUBLE))), (x, y) -> x + y)"
+
   def ddbL2DistSq(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($dim), i -> ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE) * ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE))), (x, y) -> x + y)"
 

@@ -211,4 +211,40 @@ object MediaOps {
   def featureBuckets(features: DataFrame, nPlanes: Int = 8): DataFrame =
     features.withColumn("bucket",
       graft.expr.NativeVecFns.rhpBucket(features.sparkSession, col("features"), nPlanes))
+
+  /** Media near-dup DEDUP — the image/audio analogue of the q53 embedding
+    * closure, and a first-class curation op (image dedup is standard
+    * training-data practice): LSH-bucketed candidate pairs whose feature
+    * histograms sit within `l1Threshold` form a graph; the star closure
+    * labels every component with its minimum media id as canonical.
+    *
+    * L1 (not cosine) is the metric: decode histograms are near-uniform,
+    * so cosine saturates ≥0.95 across the whole lake (measured) while L1
+    * separates exact/near re-encodes (0 for pixel-identical content, a
+    * measured ≥0.017 floor for distinct images) — same reasoning as
+    * published image-dedup pipelines that threshold on histogram/pHash
+    * distance, with [[graft.expr.FloatVecL1]] folding index-ordered so
+    * the DuckDB twin is bit-identical.
+    *
+    * 100 TB shape: pairs come only from the bucket equi-join (nPlanes is
+    * the [[graft.functions.VecFns.lshBitsFor]] corpus-size knob), the L1
+    * kernel is native codegen, and the closure is the O(log²)-round star
+    * engine — no cross join anywhere (plan-asserted in PlanQualitySpec). */
+  def nearDupComponents(features: DataFrame, nPlanes: Int = 8,
+                        l1Threshold: Double = 0.004): DataFrame = {
+    val spark = features.sparkSession
+    val b = featureBuckets(features, nPlanes)
+    val lhs = b.select(col("bucket"), col("media_id").as("a_id"), col("features").as("a_f"))
+    val rhs = b.select(col("bucket"), col("media_id").as("b_id"), col("features").as("b_f"))
+    val pairs = lhs.join(rhs, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.expr.NativeVecFns.l1Dist(spark, col("a_f"), col("b_f")) < l1Threshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val verts = features.select(col("media_id").as("id"))
+    graft.ml.ConnectedComponents.componentsStar(verts, pairs)
+      .select(col("id").as("media_id"), col("component").as("canonical_id"),
+        (col("id") =!= col("component")).as("is_duplicate"))
+      .join(features.select(col("media_id"), col("kind")), Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("canonical_id"), col("is_duplicate"))
+  }
 }

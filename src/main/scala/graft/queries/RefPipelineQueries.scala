@@ -292,6 +292,60 @@ object RefPipelineQueries {
 
   private val P5Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/p5_features"
 
+  /** q90: multimodal near-dup dedup — closes p5's feature→bucket loop
+    * into a full dedup operator ([[graft.multimodal.MediaOps
+    * .nearDupComponents]]): bucket equi-join → L1-threshold pairs → star
+    * closure, the image/audio analogue of q53. Stages its own features
+    * (the deterministic synthetic lake — q90 must not depend on p5
+    * having run first; map iteration order is unspecified) and oracles
+    * the full relational tail including the closure.
+    *
+    * Threshold 0.004 sits mid-gap in the measured pair-distance
+    * distribution (largest same-kind L1 gap: 0.00222 → 0.00573, and the
+    * image floor for distinct content is 0.0176) — and because both
+    * engines fold L1 in index order over float→double-exact values, the
+    * comparison is bit-identical regardless of margin. */
+  def q90MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Q90Stage
+    graft.multimodal.MediaOps.imageFeatures(
+      graft.multimodal.MediaOps.syntheticMedia(spark, 2000))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    graft.multimodal.MediaOps.nearDupComponents(
+      spark.read.parquet(stage), nPlanes = 8, l1Threshold = 0.004)
+  }
+
+  private val Q90Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/q90_features"
+
+  val q90MediaNearDupSql: String = {
+    val dim = graft.multimodal.MediaOps.FeatureDim
+    val bucket = graft.functions.VecFns.ddbRhpBucket("features", dim, 8)
+    val l1 = graft.functions.VecFns.ddbL1("a.features", "b.features", dim)
+    s"""WITH RECURSIVE f AS (
+       |  SELECT media_id, kind, features, $bucket AS bucket
+       |  FROM read_parquet('$Q90Stage/*.parquet')
+       |),
+       |cand AS (
+       |  SELECT a.media_id AS va, b.media_id AS vb
+       |  FROM f a JOIN f b ON a.bucket = b.bucket AND a.media_id < b.media_id
+       |  WHERE $l1 < 0.004
+       |),
+       |bi AS (
+       |  SELECT va AS s, vb AS t FROM cand
+       |  UNION
+       |  SELECT vb AS s, va AS t FROM cand
+       |),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM bi
+       |  UNION
+       |  SELECT r.s, bi.t FROM reach r JOIN bi ON r.t = bi.s
+       |)
+       |SELECT v.media_id, v.kind,
+       |  least(v.media_id, coalesce(min(r.t), v.media_id)) AS canonical_id,
+       |  v.media_id <> least(v.media_id, coalesce(min(r.t), v.media_id)) AS is_duplicate
+       |FROM f v LEFT JOIN reach r ON r.s = v.media_id
+       |GROUP BY v.media_id, v.kind""".stripMargin
+  }
+
   val p5MediaFeaturesSql: String = {
     val bucket = graft.functions.VecFns.ddbRhpBucket("features",
       graft.multimodal.MediaOps.FeatureDim, 8)
@@ -308,7 +362,8 @@ object RefPipelineQueries {
     "p3_electricity_15min" -> (p3Electricity _),
     "p4_job_report" -> (p4JobReport _),
     "p5_media_features" -> (p5MediaFeatures _),
-    "q51_sensor_merge_unioned" -> (q51SensorMergeUnioned _)
+    "q51_sensor_merge_unioned" -> (q51SensorMergeUnioned _),
+    "q90_media_neardup" -> (q90MediaNearDup _)
   )
 
   /** DuckDB oracles for every pipeline. p1 stages its EAV rows as VALUES;
@@ -331,6 +386,7 @@ object RefPipelineQueries {
       entry("p3_electricity_15min", p3ElectricitySql) ++
       entry("p4_job_report", p4JobReportSql) ++
       entry("p5_media_features", p5MediaFeaturesSql) ++
-      entry("q51_sensor_merge_unioned", p2SensorMergeSql)).toMap
+      entry("q51_sensor_merge_unioned", p2SensorMergeSql) ++
+      entry("q90_media_neardup", q90MediaNearDupSql)).toMap
   }
 }

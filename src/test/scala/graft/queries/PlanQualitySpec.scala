@@ -90,6 +90,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(comp.count() == verts.count(), "closure must label every vertex exactly once")
   }
 
+  test("q90 media near-dup: candidate pairs are bucket-keyed only, L1 kernel native") {
+    val feats = graft.multimodal.MediaOps.imageFeatures(
+      graft.multimodal.MediaOps.syntheticMedia(spark, 200))
+    val b = graft.multimodal.MediaOps.featureBuckets(feats, 8)
+    import org.apache.spark.sql.functions.col
+    val pairs = b.select(col("bucket"), col("media_id").as("a_id"), col("features").as("a_f"))
+      .join(b.select(col("bucket"), col("media_id").as("b_id"), col("features").as("b_f")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.expr.NativeVecFns.l1Dist(spark, col("a_f"), col("b_f")) < 0.004)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"media near-dup pairs must be bucket-keyed:\n$p")
+    assert(p.contains("vec_l1") && p.contains("vec_rhp_bucket"),
+      "blocking and metric must use the native kernels")
+  }
+
   test("q51 unioned sensor merge aggregates in a single shuffle (no join chain)") {
     val df = graft.SparkEntry.queries("q51_sensor_merge_unioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

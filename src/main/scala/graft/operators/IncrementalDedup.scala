@@ -100,6 +100,64 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Default edge threshold — q30's jaccard ≥ 0.5 near-dup contract,
+    * matching the write-once [[graft.queries.TextQueries.nearDupEdges]]
+    * snapshot store. */
+  private val EdgeThreshold = 0.5
+
+  /** Seed the maintained EDGE table (the incremental twin of the
+    * write-once `nearDupEdges` snapshot store): [[writeStore]] plus the
+    * base state's ≥ threshold pairs under `root/edges/ingest_batch=-1`.
+    *
+    * The invariant that makes incremental edge maintenance EXACT (not an
+    * approximation): a document's MinHash signature is a pure function
+    * of its text, so state–state pairs can never appear, disappear, or
+    * change when a delta arrives — `edges(state ∪ delta)` is precisely
+    * `edges(state) ∪ {≥ threshold pairs involving delta}`, and the
+    * delta-involving side is exactly what [[dedupeDelta]] computes
+    * (equivalence spec-proven in IncrementalDedupSpec, and q69 proves
+    * dedupeDelta itself under the DuckDB oracle). With this, the whole
+    * graph tier — q48 components, q79/q86 PageRank, q83 triangles —
+    * refreshes per ingest without re-minhashing the corpus: the real
+    * 100 TB operating mode. */
+  def writeEdgeStore(spark: SparkSession, state: DataFrame, root: String,
+                     threshold: Double = EdgeThreshold): Unit = {
+    writeStore(spark, state, root)
+    val sigs = TextQueries.minHashSignatures(spark, state).persist()
+    try TextQueries.lshRerankedPairs(sigs)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+      .withColumn("ingest_batch", lit(-1L))
+      // the edge set is orders of magnitude smaller than the corpus
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/edges")
+    finally { sigs.unpersist(); () }
+  }
+
+  /** [[ingestBatch]] + edge maintenance: after the batch's pairs land in
+    * `pairsOut`, its ≥ threshold pairs are appended under
+    * `root/edges/ingest_batch=<id>` — read back from the just-written
+    * pairs partition (no recompute) and overwritten dynamically, so an
+    * at-least-once replay refreshes exactly its own edge partition. */
+  def ingestBatchWithEdges(spark: SparkSession, root: String, pairsOut: String,
+                           batch: DataFrame, batchId: Long,
+                           threshold: Double = EdgeThreshold): Unit = {
+    ingestBatch(spark, root, pairsOut, batch, batchId)
+    spark.read.parquet(pairsOut).filter(col("batch_id") === batchId)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("ingest_batch", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/edges")
+    ()
+  }
+
+  /** The maintained similarity-graph edge set (doc_a < doc_b), the union
+    * of the base partition and every ingested batch's partition. */
+  def edges(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/edges").select("doc_a", "doc_b")
+
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving
     * the delta: delta×state via the store (broadcast delta bands + DPP on
     * the store scan) plus delta×delta via a self-join of the delta's own

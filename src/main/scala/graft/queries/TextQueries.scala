@@ -290,7 +290,7 @@ object TextQueries {
   /** LSH band-join candidates + exact-Jaccard rerank over an (ideally
     * persisted) signature frame — the shared body of q30 and the
     * near-dup edge store build. */
-  private def lshRerankedPairs(sigs: DataFrame): DataFrame = {
+  private[graft] def lshRerankedPairs(sigs: DataFrame): DataFrame = {
     val bands = bandRows(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),

@@ -95,6 +95,49 @@ class IncrementalDedupSpec extends SparkSpec {
       "replayed batch must not duplicate pair rows")
   }
 
+  test("maintained edge store over two ingests ≡ full-corpus edge recompute, and replay-safe") {
+    val all = graft.core.Tables.documents(spark, sfDir)
+    val state = all.filter(col("doc_id") % 10 < 7)
+    val d1 = all.filter(col("doc_id") % 10 === 7)
+    val d2 = all.filter(col("doc_id") % 10 > 7)
+    val root = tmpRoot("edges")
+    val pairsOut = tmpRoot("edges_pairs")
+    Seq(root, pairsOut).foreach { p =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    IncrementalDedup.writeEdgeStore(spark, state, root)
+    IncrementalDedup.ingestBatchWithEdges(spark, root, pairsOut, d1, batchId = 1L)
+    IncrementalDedup.ingestBatchWithEdges(spark, root, pairsOut, d2, batchId = 2L)
+    def edgeSet = IncrementalDedup.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maintained = edgeSet
+    // recompute: the snapshot edge build over the whole corpus
+    val recomputed = graft.queries.TextQueries.q30MinHashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == recomputed,
+      s"edges(state ∪ d1 ∪ d2) must equal recompute: only-maintained=" +
+        s"${maintained -- recomputed}, only-recomputed=${recomputed -- maintained}")
+    // at-least-once replay of batch 2 must overwrite its own edge
+    // partition, not append a second copy
+    val rowsBefore = IncrementalDedup.edges(spark, root).count()
+    IncrementalDedup.ingestBatchWithEdges(spark, root, pairsOut, d2, batchId = 2L)
+    assert(IncrementalDedup.edges(spark, root).count() == rowsBefore)
+    assert(edgeSet == recomputed)
+    // downstream graph-tier parity: components over the maintained edges
+    // equal components over the recomputed edges
+    val verts = all.select(col("doc_id").as("id"))
+    def comps(e: Set[(Long, Long)]) = {
+      import spark.implicits._
+      graft.ml.ConnectedComponents.components(
+          verts, e.toSeq.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(comps(maintained) == comps(recomputed))
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

@@ -458,18 +458,24 @@ object EmbeddingQueries {
     * probe-boundary margin on top of q74's assignment margin — the
     * 2nd-vs-3rd centroid-distance gap, measured ≥ 1.1e-4 at sf0.01
     * (9 orders above summation wobble). */
-  def q89IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val cents = broadcast(trainedCentroids(spark, dir))
+  /** Ranked probe cells for IVF search: each vector's `nprobe` nearest
+    * centroids (rn = 1 is the inverted-list assignment, rn ≤ nprobe the
+    * probe list). Shared by q89 and the replica-invariance smoke. */
+  private[graft] def ivfRanked(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val spark = vecs.sparkSession
     val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
-    val ranked = e.select(col("vec_id"), col("embedding"),
+    vecs.select(col("vec_id"), col("embedding"),
         NativeVecFns.norm(spark, col("embedding")).as("nrm"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("rn"))
-      .persist()
+  }
+
+  def q89IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ranked = ivfRanked(e, trainedCentroids(spark, dir), nprobe = 2).persist()
     val build = ranked.filter(col("rn") === 1).select(col("cid"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val probes = ranked.select(col("cid"),
@@ -586,6 +592,52 @@ object EmbeddingQueries {
        |FROM exk x LEFT JOIN ap
        |  ON x.vec_id = ap.vec_id AND x.neighbor_id = ap.neighbor_id
        |GROUP BY x.vec_id""".stripMargin
+  }
+
+  /** Sharded ANN recall evaluation — q88's computation keyed by a `shard`
+    * column at EVERY stage: ground truth, LSH bucketing, and hit
+    * counting never cross a shard boundary (probe side restricted to the
+    * `vec_id % 10 = 3` sample like q88; the exact side broadcasts the
+    * per-shard probe sample; the approx side joins on (shard, bucket)).
+    *
+    * This is the per-source / per-language recall report a production
+    * index ships with, and the ANN tier's replica-invariance probe: 10
+    * identical shards must reproduce the single-shard recall exactly per
+    * shard (ScaleSmokeSpec) — the property that re-sharding a 100 TB
+    * corpus cannot shift the eval. Input: (shard, vec_id, embedding). */
+  def annRecallSharded(df: DataFrame, nbits: Int = 8, k: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val e = df.select(col("shard"), col("vec_id"), col("embedding"),
+      NativeVecFns.norm(spark, col("embedding")).as("nrm"),
+      NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
+    def sim = NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    val probes = e.filter(col("vec_id") % 10 === 3).select(
+      col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val exact = e.select(col("shard"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      .join(broadcast(probes), Seq("shard"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", sim)
+      .groupBy("shard", "a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
+      .select(col("shard"), col("a_id").as("vec_id"), explode(col("top")).as("t"))
+      .select(col("shard"), col("vec_id"), col("t.id").as("neighbor_id"))
+    val aSide = e.filter(col("vec_id") % 10 === 3).select(col("shard"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val bSide = e.select(col("shard"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val approx = aSide.join(bSide, Seq("shard", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", sim)
+      .groupBy("shard", "a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
+      .select(col("shard"), col("a_id").as("vec_id"), explode(col("top")).as("t"))
+      .select(col("shard"), col("vec_id"), col("t.id").as("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("shard", "vec_id", "neighbor_id"), "left")
+      .groupBy("shard", "vec_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -222,6 +222,62 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"wedge joins must stay keyed:\n$p")
   }
 
+  test("trained-IVF probe assignments are replica-exact at 10x") {
+    // 10 copies of the embedding set under disjoint id ranges: the
+    // quantizer trains on the union (k lowest ids = replica 0's seeds,
+    // so init is identical; cluster means over 10 identical copies equal
+    // the base means up to summation wobble, 9 orders below the measured
+    // assignment margins) — every replica's probe cells must equal the
+    // base run's. This is the q89 property that re-sharding the corpus
+    // cannot move vectors across inverted lists.
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val off = 1000000000L
+    val big = (0 until 10)
+      .map(r => base.withColumn("vec_id", col("vec_id") + lit(r * off)))
+      .reduce(_ unionByName _)
+    def probeCells(vecs: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Seq[Int]] = {
+      val (cents, _) = graft.ml.KMeans.fit(vecs, k, 2)
+      val out = EmbeddingQueries.ivfRanked(vecs, cents, nprobe = 2)
+        .select("vec_id", "cid", "rn").collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.sortBy(_.getInt(2)).map(_.getInt(1)).toSeq }
+      cents.unpersist()
+      out
+    }
+    val baseCells = probeCells(base, 8)
+    val bigCells = probeCells(big, 8)
+    assert(bigCells.size == baseCells.size * 10)
+    for (r <- 0 until 10; (id, cells) <- baseCells)
+      assert(bigCells(id + r * off) == cells,
+        s"replica $r vector $id probe cells ${bigCells(id + r * off)} != base $cells")
+  }
+
+  test("sharded ANN recall is replica-exact at 10x") {
+    // the eval-harness twin of the probe-cell property: 10 identical
+    // shards, recall keyed by shard end-to-end — every shard must
+    // reproduce the single-shard recall report bit-for-bit (integer
+    // counts; the shard key keeps ground truth and candidates from
+    // crossing shard boundaries)
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val one = base.select(lit(0).as("shard"), col("vec_id"), col("embedding"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "vec_id", "n_exact", "n_hit", "recall_bp").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val baseOut = collectMap(EmbeddingQueries.annRecallSharded(one))
+    val big = (0 until 10)
+      .map(r => base.select(lit(r).as("shard"), col("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val bigDf = EmbeddingQueries.annRecallSharded(big)
+    val bigOut = collectMap(bigDf)
+    assert(bigOut.size == baseOut.size * 10)
+    for (r <- 0 until 10; ((_, id), v) <- baseOut)
+      assert(bigOut((r, id)) == v, s"shard $r vector $id recall must equal base")
+    // scale shape: candidates stay (shard, bucket)-keyed — no cartesian
+    val p = bigDf.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"sharded recall must stay keyed:\n$p")
+  }
+
   test("top-k aggregate holds per-group state constant as groups scale 10x") {
     val e = bigEvents
     val agg = e.groupBy("user_id")

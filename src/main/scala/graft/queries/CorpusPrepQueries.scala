@@ -69,7 +69,10 @@ object CorpusPrepQueries {
       .withColumn("canonical_id", min("doc_id").over(w))
       .filter(col("doc_id") === col("canonical_id"))
     deduped
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(100L)))
+      // pre-mod before the multiply: a raw id ≥ 2^33 overflows Long under
+      // ANSI (caught by the sf1 scaling sweep); identical for ids < 1e9+7
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(100L)))
       .filter(col("h") < when(col("pred_lang") === "en", 20L).otherwise(50L))
       .select(col("doc_id"), col("pred_lang"),
         col("n").cast("int").as("n_tokens"), col("quality_score"))
@@ -108,7 +111,7 @@ object CorpusPrepQueries {
        |)
        |SELECT doc_id, pred_lang, n::INT AS n_tokens, quality_score
        |FROM deduped
-       |WHERE (doc_id * 2654435761) % 100 <
+       |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
        |  CASE WHEN pred_lang = 'en' THEN 20 ELSE 50 END""".stripMargin
   }
 

@@ -163,10 +163,17 @@ object CoverageQueries {
     * X% per stratum" op, keyed on an arithmetic hash (Knuth
     * multiplicative) so the sample is reproducible at any parallelism
     * and identical in the oracle (engine-builtin hashes differ). ~20%
-    * per language stratum. */
+    * per language stratum.
+    *
+    * doc_id is pre-modded by the prime 1000000007 before the multiply
+    * (same guard as q66): (M−1)·2654435761 ≈ 2.7e18 stays inside Long,
+    * while a raw id ≥ 2^33 would overflow under ANSI — the sf1 scaling
+    * sweep caught exactly that (100 TB ids don't fit 33 bits). Identical
+    * results for ids < M, so the sf0.01 oracle sample is unchanged. */
   def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("h", pmod(col("doc_id") * 2654435761L, lit(100L)))
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(100L)))
       .withColumn("sampled", col("h") < 20)
       .groupBy("lang")
       .agg(
@@ -177,8 +184,8 @@ object CoverageQueries {
   val q49StratifiedSampleSql: String =
     """SELECT lang,
       |  count(*) AS n_total,
-      |  sum(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
-      |  min(CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN doc_id END) AS first_sampled_id
+      |  sum(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 20 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+      |  min(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 20 THEN doc_id END) AS first_sampled_id
       |FROM documents
       |GROUP BY 1""".stripMargin
 

@@ -190,7 +190,8 @@ class PlanQualitySpec extends SparkSpec {
       "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
       Seq("q28_fingerprint", "q29_simhash", "q30_minhash_lsh", "q32_ann_lsh",
         "q33_ivf_centroid", "q56_bloom_pruned_join", "q61_decontamination",
-        "q72_bigram_lm", "q53_embed_neardup", "p5_media_features")
+        "q72_bigram_lm", "q53_embed_neardup", "p5_media_features",
+        "q90_media_neardup") // FloatVecL1
         .foreach { name =>
           val rows = graft.SparkEntry.queries(name)(spark, sfDir).collect()
           assert(rows.nonEmpty, s"$name returned no rows under CODEGEN_ONLY")

@@ -23,9 +23,13 @@ object Tables {
     *    disables the inference at the scan — see [[Sessions]] — but the
     *    driver may hand us a foreign session): cast NTZ→instant. The cast
     *    is walltime-preserving ONLY under a UTC session TZ, so that
-    *    precondition is enforced here rather than assumed — a foreign
+    *    precondition FAILS FAST here instead of being assumed — a foreign
     *    session that skipped Sessions.builder likely skipped the TZ conf
-    *    too, which would silently shift every ts.
+    *    too, which would silently shift every ts. (Not forced with
+    *    conf.set: mutating the session TZ as a read side effect would
+    *    silently re-time every other timestamp expression the caller's
+    *    session evaluates — and the cast is lazy, so a set-then-restore
+    *    cannot scope it either.)
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
@@ -33,7 +37,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ under a non-UTC session timezone; the " +
+            "walltime-preserving normalization requires spark.sql.session.timeZone=UTC " +
+            "(use graft.core.Sessions.builder)")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -54,6 +54,14 @@ object KMeans {
         (row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         graft.functions.VecFns.toDouble(col("embedding")).as("centroid"))
 
+  /** Lazy-chain depth bound: each round references the previous round's
+    * plan ~3× (assign + update's two sides), and cache substitution only
+    * happens at PHYSICAL planning — Catalyst analyzes the full logical
+    * tree first, so analysis work grows ~3^iters. ≤6 rounds is a few
+    * hundred nodes (negligible); past that the per-round eager path's
+    * k-row count() actions are far cheaper than exponential analysis. */
+  private val MaxLazyIters = 6
+
   /** Train: `iters` Lloyd rounds; returns (centroids, inertia-per-iter).
     *
     * Default path (`trackInertia = false`) is COLLECT-FREE: each round's
@@ -62,7 +70,9 @@ object KMeans {
     * whole chain (the cache manager materializes every round exactly once
     * — each fragment appears multiple times in the nested plan, but all
     * references resolve to the same InMemoryRelation). No per-round
-    * driver action, so iters is a plan knob, not a latency multiplier.
+    * driver action for iters ≤ [[MaxLazyIters]]; deeper trainings switch
+    * to one k-row count() per round (still collect-free — no DATA reaches
+    * the driver) to keep logical-plan analysis linear in iters.
     *
     * `trackInertia = true` adds one scalar `collect` per round (Σ dist²
     * of the round's assignment — the monitored invariant, which must
@@ -70,7 +80,7 @@ object KMeans {
     * training. */
   def fit(vectors: DataFrame, k: Int, iters: Int,
           trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
-    if (!trackInertia) {
+    if (!trackInertia && iters <= MaxLazyIters) {
       val steps = scala.collection.mutable.ListBuffer(init(vectors, k).persist())
       (0 until iters).foreach { _ =>
         steps += update(assign(vectors, steps.last), steps.last).persist()
@@ -79,6 +89,18 @@ object KMeans {
       out.count() // the single materialization of the whole training chain
       steps.init.foreach(_.unpersist())
       (out, Seq.empty)
+    } else if (!trackInertia) {
+      // localCheckpoint (not cache+count): caching leaves the LOGICAL plan
+      // intact — analysis would still traverse the whole chain every round
+      // — while the eager checkpoint truncates lineage to a LogicalRDD,
+      // keeping per-round plan size O(1) (same pattern as
+      // ConnectedComponents' iteration). k rows per round, no data to the
+      // driver.
+      var cents = init(vectors, k).localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        cents = update(assign(vectors, cents), cents).localCheckpoint(true)
+      }
+      (cents, Seq.empty)
     } else {
       var cents = init(vectors, k).cache()
       val inertia = scala.collection.mutable.ListBuffer.empty[Double]

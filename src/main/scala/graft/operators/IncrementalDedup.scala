@@ -49,12 +49,19 @@ object IncrementalDedup {
     * level. */
   def writeStore(spark: SparkSession, state: DataFrame, root: String): Unit = {
     val sigs = TextQueries.minHashSignatures(spark, state).persist()
+    try writeStoreFrom(sigs, root)
+    finally { sigs.unpersist(); () }
+  }
+
+  /** Band/set writes from an already-computed (ideally persisted)
+    * signature frame — shared by [[writeStore]] and [[writeEdgeStore]]
+    * so the edge-store seed MinHashes the corpus exactly once. */
+  private def writeStoreFrom(sigs: DataFrame, root: String): Unit = {
     withBucket(TextQueries.bandRows(sigs)).withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch", "band_bucket")
       .parquet(s"$root/bands")
     sigs.select("doc_id", "sh_set").withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/sets")
-    sigs.unpersist()
     ()
   }
 
@@ -122,16 +129,20 @@ object IncrementalDedup {
     * 100 TB operating mode. */
   def writeEdgeStore(spark: SparkSession, state: DataFrame, root: String,
                      threshold: Double = EdgeThreshold): Unit = {
-    writeStore(spark, state, root)
+    // ONE signature pass feeds the band/set store AND the edge seed —
+    // MinHash is the expensive step of the seed, never run twice
     val sigs = TextQueries.minHashSignatures(spark, state).persist()
-    try TextQueries.lshRerankedPairs(sigs)
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b")
-      .withColumn("ingest_batch", lit(-1L))
-      // the edge set is orders of magnitude smaller than the corpus
-      .coalesce(1)
-      .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/edges")
-    finally { sigs.unpersist(); () }
+    try {
+      writeStoreFrom(sigs, root)
+      TextQueries.lshRerankedPairs(sigs)
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .withColumn("ingest_batch", lit(-1L))
+        // the edge set is orders of magnitude smaller than the corpus
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/edges")
+      ()
+    } finally { sigs.unpersist(); () }
   }
 
   /** [[ingestBatch]] + edge maintenance: after the batch's pairs land in

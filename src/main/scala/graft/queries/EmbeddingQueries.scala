@@ -230,8 +230,7 @@ object EmbeddingQueries {
 
   private[graft] def embedNearDupEdges(spark: SparkSession, dir: String): DataFrame = {
     val root = embedEdgeStoreRoots.computeIfAbsent(dir, { d =>
-      val r = s"${System.getProperty("java.io.tmpdir")}/graft_embededges_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      val r = graft.core.StorePaths.root("embededges", d)
       embedNearDupPairs(Tables.embeddings(spark, d), nbits = 8, threshold = 0.28)
         .coalesce(1).write.mode("overwrite").parquet(r)
       r
@@ -341,8 +340,7 @@ object EmbeddingQueries {
 
   private[graft] def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
     val root = centroidStoreRoots.computeIfAbsent(dir, { d =>
-      val r = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      val r = graft.core.StorePaths.root("kmeans", d)
       val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding")
       val (cents, _) = graft.ml.KMeans.fit(vecs, SemK, SemKIters)
       cents.coalesce(1).write.mode("overwrite").parquet(r)
@@ -627,7 +625,13 @@ object EmbeddingQueries {
     * index ships with, and the ANN tier's replica-invariance probe: 10
     * identical shards must reproduce the single-shard recall exactly per
     * shard (ScaleSmokeSpec) — the property that re-sharding a 100 TB
-    * corpus cannot shift the eval. Input: (shard, vec_id, embedding). */
+    * corpus cannot shift the eval. Input: (shard, vec_id, embedding).
+    *
+    * Cost honesty (same contract as q88): the exact side broadcasts the
+    * probe sample WITH embeddings, so the sample predicate is not a
+    * knob you may ignore — it must keep the probe set broadcast-sized
+    * (thousands of probes, not a corpus fraction). At real scale you
+    * tighten the predicate (e.g. `% 10_000`), not the mechanism. */
   def annRecallSharded(df: DataFrame, nbits: Int = 8, k: Int = 3): DataFrame = {
     val spark = df.sparkSession
     val e = df.select(col("shard"), col("vec_id"), col("embedding"),

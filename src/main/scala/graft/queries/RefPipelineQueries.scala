@@ -248,10 +248,16 @@ object RefPipelineQueries {
     * (reference fixtures / the deterministic synthetic lake), so one
     * write per process serves every later run — bench reps and the
     * multiple consumers read the tiny parquet instead of re-decoding.
-    * Same snapshot-store discipline as the edge/centroid stores. */
-  private val stagedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def stageOnce(path: String)(write: => Unit): Unit =
-    if (stagedOnce.add(path)) write
+    * Same snapshot-store discipline as the edge/centroid stores.
+    * `computeIfAbsent` (not a Set.add guard) for the same reasons those
+    * stores use it: a failed first write does NOT record the key (the
+    * next caller retries instead of reading a missing/partial stage),
+    * and concurrent callers block until the in-flight write finishes. */
+  private val stagedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageOnce(path: String)(write: => Unit): Unit = {
+    stagedOnce.computeIfAbsent(path, { _ => write; path })
+    ()
+  }
 
   /** DuckDB twin of p4's relational tail over the staged blocks. The
     * snapshot sort is (block_date, file_label, status, lines) DESC —
@@ -289,13 +295,7 @@ object RefPipelineQueries {
     * (round(x·10⁴) — float→double is exact, IEEE multiply + half-away
     * rounding agree cross-engine; raw float formatting would not). */
   def p5MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val stage = P5Stage
-    stageOnce(stage) {
-      graft.multimodal.MediaOps.imageFeatures(
-        graft.multimodal.MediaOps.syntheticMedia(spark, 2000))
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-    }
-    val feats = spark.read.parquet(stage)
+    val feats = spark.read.parquet(stagedMediaFeatures(spark))
     graft.multimodal.MediaOps.featureBuckets(feats)
       .select(col("media_id"), col("kind"), col("n_bytes"), col("bucket"),
         array_join(
@@ -306,31 +306,34 @@ object RefPipelineQueries {
 
   private val P5Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/p5_features"
 
+  /** The shared media-feature stage: deterministic synthetic lake →
+    * decode → features, written once per process ([[stageOnce]] makes
+    * the write order-independent, so p5 and q90 share one stage instead
+    * of each decoding its own identical copy). */
+  private def stagedMediaFeatures(spark: SparkSession): String = {
+    stageOnce(P5Stage) {
+      graft.multimodal.MediaOps.imageFeatures(
+        graft.multimodal.MediaOps.syntheticMedia(spark, 2000))
+        .coalesce(1).write.mode("overwrite").parquet(P5Stage)
+    }
+    P5Stage
+  }
+
   /** q90: multimodal near-dup dedup — closes p5's feature→bucket loop
     * into a full dedup operator ([[graft.multimodal.MediaOps
     * .nearDupComponents]]): bucket equi-join → L1-threshold pairs → star
-    * closure, the image/audio analogue of q53. Stages its own features
-    * (the deterministic synthetic lake — q90 must not depend on p5
-    * having run first; map iteration order is unspecified) and oracles
-    * the full relational tail including the closure.
+    * closure, the image/audio analogue of q53. Reads the shared
+    * [[stagedMediaFeatures]] stage and oracles the full relational tail
+    * including the closure.
     *
     * Threshold 0.004 sits mid-gap in the measured pair-distance
     * distribution (largest same-kind L1 gap: 0.00222 → 0.00573, and the
     * image floor for distinct content is 0.0176) — and because both
     * engines fold L1 in index order over float→double-exact values, the
     * comparison is bit-identical regardless of margin. */
-  def q90MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Q90Stage
-    stageOnce(stage) {
-      graft.multimodal.MediaOps.imageFeatures(
-        graft.multimodal.MediaOps.syntheticMedia(spark, 2000))
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-    }
+  def q90MediaNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaOps.nearDupComponents(
-      spark.read.parquet(stage), nPlanes = 8, l1Threshold = 0.004)
-  }
-
-  private val Q90Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/q90_features"
+      spark.read.parquet(stagedMediaFeatures(spark)), nPlanes = 8, l1Threshold = 0.004)
 
   val q90MediaNearDupSql: String = {
     val dim = graft.multimodal.MediaOps.FeatureDim
@@ -338,7 +341,7 @@ object RefPipelineQueries {
     val l1 = graft.functions.VecFns.ddbL1("a.features", "b.features", dim)
     s"""WITH RECURSIVE f AS (
        |  SELECT media_id, kind, features, $bucket AS bucket
-       |  FROM read_parquet('$Q90Stage/*.parquet')
+       |  FROM read_parquet('$P5Stage/*.parquet')
        |),
        |cand AS (
        |  SELECT a.media_id AS va, b.media_id AS vb

@@ -346,8 +346,7 @@ object TextQueries {
 
   private[graft] def nearDupEdges(spark: SparkSession, dir: String): DataFrame = {
     val root = edgeStoreRoots.computeIfAbsent(dir, { d =>
-      val r = s"${System.getProperty("java.io.tmpdir")}/graft_neardup_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      val r = graft.core.StorePaths.root("neardup", d)
       val sigs = minHashSignatures(spark, docs(spark, d)).persist()
       try
         lshRerankedPairs(sigs)

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding`: per-(replica, dim) deterministic ±1 sign
   *    flips (replica 0 all +1). Signs cancel within a replica
   *    (s_i²=1 ⇒ all within-replica inner products are EXACTLY the base
-  *    ones) while cross-replica cosines pick up random signs and
-  *    collapse toward 0 — replicas live in isolated similarity
-  *    universes, like the id-offset graph replicas.
+  *    ones) while cross-replica sims pick up random signs and collapse
+  *    to ordinary unrelated-pair levels (measured |cos| ≤ ~0.53 tail,
+  *    centered near 0 — no exact-copy artifacts), like the id-offset
+  *    graph replicas.
   *  - dimensions (`nation`, `region`) copy once — at any real scale the
   *    dimension tables stay broadcast-sized.
   */
@@ -37,10 +38,31 @@ object ScaleUp {
   /** Offset for replica r on a key column (1e9 clears every base key). */
   private def off(c: String, r: Int): Column = col(c) + lit(r * 1000000000L)
 
+  /** splitmix64 finalizer — the sign-vector source. An LCG parity here is
+    * a trap twice over: the low bit of ((r·64+i)·odd + odd) is independent
+    * of r (r·64 is even), and even LCG HIGH bits of sequential seeds
+    * correlate (measured 62/64 sign agreement between some replica
+    * pairs). The splitmix mix keeps worst cross-replica sign agreement
+    * ≤ 0.19 at factor 10 (measured), so cross-replica cosines stay far
+    * under every similarity threshold in the suite. JVM Long multiply
+    * wraps (unlike ANSI Column arithmetic), so signs are computed
+    * driver-side per replica and shipped as a 64-int literal. */
+  private def mix(x0: Long): Long = {
+    var x = x0 * 0x9E3779B97F4A7C15L
+    x ^= (x >>> 29); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 32); x
+  }
+
+  private[tools] def signVector(r: Int, dim: Int): Array[Int] =
+    Array.tabulate(dim)(i => if (((mix(r.toLong * dim + i) >>> 17) & 1L) == 1L) 1 else -1)
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // factor ≤ 10 keeps the per-token replica suffix a single digit, so
+    // the word map stays injective across replicas (token "x1" + "1" and
+    // token "x" + "11" would collide at factor ≥ 12)
+    require(factor >= 1 && factor <= 10, "factor must be in [1, 10]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -88,11 +110,9 @@ object ScaleUp {
       val flipped =
         if (r == 0) d
         else d.withColumn("embedding",
-          // ±1 from the LCG parity of (replica, dim) — deterministic,
-          // engine-independent, and exact on floats
-          transform(col("embedding"), (x, i) =>
-            (x * (lit(1) - lit(2) * pmod((lit(r.toLong) * 64L + i) * 1103515245L + 12345L, lit(2L)))
-              ).cast("float")))
+          // ±1 per (replica, dim) from [[signVector]] — exact on floats
+          zip_with(col("embedding"), lit(signVector(r, 64)),
+            (x, s) => (x * s).cast("float")))
       flipped.withColumn("vec_id", off("vec_id", r))
         .withColumn("label", col("label") + lit(r * 100))
     })

@@ -169,6 +169,25 @@ object IncrementalDedup {
   def edges(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/edges").select("doc_a", "doc_b")
 
+  /** [[dedupeStream]] with edge maintenance: every micro-batch also
+    * appends its ≥ threshold pairs to the maintained edge table (the
+    * foreachBatch body is [[ingestBatchWithEdges]], so replays stay
+    * idempotent via the batch-keyed dynamic overwrites). With this, the
+    * similarity graph the batch tier consumes (q48/q79/q83/q86, q91's
+    * oracle-proven path) stays current under a live document stream —
+    * the complete streaming operating mode. Seed the store with
+    * [[writeEdgeStore]] first. */
+  def dedupeStreamWithEdges(docsStream: DataFrame, root: String, pairsOut: String,
+                            checkpoint: String,
+                            threshold: Double = EdgeThreshold): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ingestBatchWithEdges(batch.sparkSession, root, pairsOut, batch, batchId, threshold)
+      }
+      .start()
+
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving
     * the delta: delta×state via the store (broadcast delta bands + DPP on
     * the store scan) plus delta×delta via a self-join of the delta's own

@@ -209,15 +209,51 @@ object GraphQueries {
        |  ELSE 0 END AS clustering
        |FROM deg d LEFT JOIN pn USING (node)""".stripMargin
 
+  /** q91: the INCREMENTAL OPERATING MODE under the oracle gate — the
+    * end-to-end path a 100 TB deployment actually runs: seed the
+    * signature + edge store from 90% of the corpus
+    * ([[graft.operators.IncrementalDedup.writeEdgeStore]]), ingest the
+    * remaining 10% as a delta batch (`ingestBatchWithEdges` — broadcast
+    * delta bands, DPP-pruned store scan, edges appended from the batch's
+    * pairs), then run q79's PageRank over the MAINTAINED edge table.
+    *
+    * The DuckDB oracle is q79's full-corpus recompute, so the driver
+    * hash-proves `edges(state ∪ delta) ≡ recompute` THROUGH a graph
+    * consumer — cell-exact fixed-point ranks, not just the ScalaTest
+    * equivalence. Store built once per (process, dir), like every
+    * snapshot store. */
+  def q91IncrementalPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val root = incStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incpr", d)
+      val all = graft.core.Tables.documents(spark, d)
+      graft.operators.IncrementalDedup.writeEdgeStore(
+        spark, all.filter(col("doc_id") % 10 =!= 7), r)
+      graft.operators.IncrementalDedup.ingestBatchWithEdges(
+        spark, r, s"${r}_pairs", all.filter(col("doc_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    val pairs = graft.operators.IncrementalDedup.edges(spark, root)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.ml.PageRank.ranks(edges, iterations = 5)
+      .select(col("node").as("doc_id"), col("degree"), col("rank_fp"))
+  }
+
+  private val incStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pagerank" -> (q79PageRank _),
     "q83_triangles" -> (q83Triangles _),
-    "q86_pagerank_directed" -> (q86PageRankDirected _)
+    "q86_pagerank_directed" -> (q86PageRankDirected _),
+    "q91_incremental_pagerank" -> (q91IncrementalPageRank _)
   )
 
   def sql: Map[String, String] = Map(
     "q79_pagerank" -> q79PageRankSql,
     "q83_triangles" -> q83TrianglesSql,
-    "q86_pagerank_directed" -> q86PageRankDirectedSql
+    "q86_pagerank_directed" -> q86PageRankDirectedSql,
+    // the oracle IS the full-corpus recompute: matching it proves the
+    // incremental path end-to-end
+    "q91_incremental_pagerank" -> q79PageRankSql
   )
 }

@@ -138,6 +138,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(comps(maintained) == comps(recomputed))
   }
 
+  test("dedupeStreamWithEdges: the maintained edge table tracks the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpRoot("streamedges")
+    val pairsOut = tmpRoot("streamedges_pairs")
+    val ckpt = tmpRoot("streamedges_ckpt")
+    Seq(root, pairsOut, ckpt).foreach { p =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    IncrementalDedup.writeEdgeStore(spark, Seq((1L, text)).toDF("doc_id", "text"), root)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.dedupeStreamWithEdges(
+      in.toDF().toDF("doc_id", "text"), root, pairsOut, ckpt)
+    try {
+      in.addData((2L, text)); q.processAllAvailable()
+      in.addData((3L, text)); q.processAllAvailable()
+    } finally q.stop()
+    val edges = IncrementalDedup.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"edge table must contain every exact-dup pair across stream batches: $edges")
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

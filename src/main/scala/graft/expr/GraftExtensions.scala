@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("vec_dot", { case Seq(a, b) => FloatVecDot(a, b) }))
     ext.injectFunction(fn("vec_l2_sq", { case Seq(a, b) => FloatVecL2Sq(a, b) }))
+    ext.injectFunction(fn("vec_l1", { case Seq(a, b) => FloatVecL1(a, b) }))
     ext.injectFunction(fn("vec_rhp_bucket", { case Seq(v, n) => RhpBucket(v, n) }))
     ext.injectFunction(fn("poly_hash", { case Seq(c) => PolyHash(c) }))
     ext.injectFunction(fn("token_hashes", { case Seq(c) => TokenHashes(c) }))

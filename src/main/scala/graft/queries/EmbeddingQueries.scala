@@ -667,6 +667,52 @@ object EmbeddingQueries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
   }
 
+  /** q92: [[annRecallSharded]] under the oracle gate — shards derived as
+    * `vec_id % 3` (standing in for source/language partitions), so the
+    * per-shard recall report machinery (per-shard ground truth, (shard,
+    * bucket) candidate join, per-shard hit counts) is driver-proven
+    * cell-exact, not just replica-invariance-spec'd. */
+  def q92AnnRecallSharded(spark: SparkSession, dir: String): DataFrame =
+    annRecallSharded(Tables.embeddings(spark, dir).select(
+      (col("vec_id") % 3).cast("int").as("shard"), col("vec_id"), col("embedding")))
+
+  val q92AnnRecallShardedSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH exk AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.vec_id % 10 = 3 AND a.vec_id <> b.vec_id
+       |        AND a.vec_id % 3 = b.vec_id % 3
+       |  ) WHERE rnk <= 3
+       |),
+       |e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |),
+       |ap AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
+       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |      AND a.vec_id % 3 = b.vec_id % 3
+       |  ) WHERE rnk <= 3 AND vec_id % 10 = 3
+       |)
+       |SELECT (x.vec_id % 3)::INT AS shard, x.vec_id,
+       |  count(*)::BIGINT AS n_exact,
+       |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  (10000 * CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS recall_bp
+       |FROM exk x LEFT JOIN ap
+       |  ON x.vec_id = ap.vec_id AND x.neighbor_id = ap.neighbor_id
+       |GROUP BY x.vec_id""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
@@ -675,7 +721,8 @@ object EmbeddingQueries {
     "q71_ann_multiprobe" -> (q71AnnMultiProbe _),
     "q74_semdedup" -> (q74SemDedup _),
     "q88_ann_recall" -> (q88AnnRecall _),
-    "q89_ivf_ann" -> (q89IvfAnn _)
+    "q89_ivf_ann" -> (q89IvfAnn _),
+    "q92_ann_recall_sharded" -> (q92AnnRecallSharded _)
   )
 
   def sql: Map[String, String] = Map(
@@ -686,6 +733,7 @@ object EmbeddingQueries {
     "q71_ann_multiprobe" -> q71AnnMultiProbeSql,
     "q74_semdedup" -> q74SemDedupSql,
     "q88_ann_recall" -> q88AnnRecallSql,
-    "q89_ivf_ann" -> q89IvfAnnSql
+    "q89_ivf_ann" -> q89IvfAnnSql,
+    "q92_ann_recall_sharded" -> q92AnnRecallShardedSql
   )
 }

@@ -100,10 +100,20 @@ object IncrementalDedup {
     * shared with batch ingests. */
   def dedupeStream(docsStream: DataFrame, root: String, pairsOut: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamIngest(docsStream, checkpoint) { (batch, batchId) =>
+      ingestBatch(batch.sparkSession, root, pairsOut, batch, batchId)
+    }
+
+  /** Shared streaming scaffolding: checkpointed foreachBatch over the
+    * document stream, skipping empty batches, with the per-batch ingest
+    * pluggable — [[dedupeStream]] and [[dedupeStreamWithEdges]] differ
+    * only in that body, so trigger/checkpoint policy cannot fork. */
+  private def streamIngest(docsStream: DataFrame, checkpoint: String)(
+      body: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) ingestBatch(batch.sparkSession, root, pairsOut, batch, batchId)
+        if (!batch.isEmpty) body(batch, batchId)
       }
       .start()
 
@@ -145,6 +155,24 @@ object IncrementalDedup {
     } finally { sigs.unpersist(); () }
   }
 
+  // Explicit read schemas for the two tables that can legitimately be
+  // EMPTY: a partitioned parquet write of zero rows creates no data
+  // files (only _SUCCESS), and a schema-inferring read of such a
+  // directory throws "Unable to infer schema" — so a duplicate-free
+  // seed corpus or a zero-pair micro-batch would wedge the pipeline.
+  // With the schema supplied, an empty directory reads as an empty
+  // frame, which is the correct answer.
+  private val PairsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_common", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+  private val EdgesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ingest_batch", org.apache.spark.sql.types.LongType)))
+
   /** [[ingestBatch]] + edge maintenance: after the batch's pairs land in
     * `pairsOut`, its ≥ threshold pairs are appended under
     * `root/edges/ingest_batch=<id>` — read back from the just-written
@@ -154,7 +182,8 @@ object IncrementalDedup {
                            batch: DataFrame, batchId: Long,
                            threshold: Double = EdgeThreshold): Unit = {
     ingestBatch(spark, root, pairsOut, batch, batchId)
-    spark.read.parquet(pairsOut).filter(col("batch_id") === batchId)
+    spark.read.schema(PairsSchema).parquet(pairsOut)
+      .filter(col("batch_id") === batchId)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .withColumn("ingest_batch", lit(batchId))
@@ -165,9 +194,11 @@ object IncrementalDedup {
   }
 
   /** The maintained similarity-graph edge set (doc_a < doc_b), the union
-    * of the base partition and every ingested batch's partition. */
+    * of the base partition and every ingested batch's partition. Reads
+    * with an explicit schema so an edge-free store (duplicate-free
+    * corpus) is an empty frame, not a read error. */
   def edges(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/edges").select("doc_a", "doc_b")
+    spark.read.schema(EdgesSchema).parquet(s"$root/edges").select("doc_a", "doc_b")
 
   /** [[dedupeStream]] with edge maintenance: every micro-batch also
     * appends its ≥ threshold pairs to the maintained edge table (the
@@ -180,13 +211,9 @@ object IncrementalDedup {
   def dedupeStreamWithEdges(docsStream: DataFrame, root: String, pairsOut: String,
                             checkpoint: String,
                             threshold: Double = EdgeThreshold): org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          ingestBatchWithEdges(batch.sparkSession, root, pairsOut, batch, batchId, threshold)
-      }
-      .start()
+    streamIngest(docsStream, checkpoint) { (batch, batchId) =>
+      ingestBatchWithEdges(batch.sparkSession, root, pairsOut, batch, batchId, threshold)
+    }
 
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving
     * the delta: delta×state via the store (broadcast delta bands + DPP on

@@ -24,8 +24,14 @@ object GraphQueries {
     * re-minhashed per query); each of the 5 rounds is one src-keyed join
     * + one dst-keyed agg. No persist needed here: re-deriving the edge
     * list is a parquet scan of a tiny file. */
-  def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.nearDupEdges(spark, dir)
+  def q79PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOf(TextQueries.nearDupEdges(spark, dir))
+
+  /** The symmetric-PageRank tail over an undirected pair set
+    * (doc_a, doc_b) — shared by q79 and q91 so their oracle pairing
+    * (both against [[q79PageRankSql]]) cannot silently diverge; mirrors
+    * [[trianglesOf]]. */
+  private[graft] def pageRankOf(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     graft.ml.PageRank.ranks(edges, iterations = 5)
@@ -232,11 +238,7 @@ object GraphQueries {
         spark, r, s"${r}_pairs", all.filter(col("doc_id") % 10 === 7), batchId = 1L)
       r
     })
-    val pairs = graft.operators.IncrementalDedup.edges(spark, root)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    graft.ml.PageRank.ranks(edges, iterations = 5)
-      .select(col("node").as("doc_id"), col("degree"), col("rank_fp"))
+    pageRankOf(graft.operators.IncrementalDedup.edges(spark, root))
   }
 
   private val incStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -453,8 +453,7 @@ object TextQueries {
 
   private def ensureSigStore(spark: SparkSession, dir: String): String =
     sigStoreRoots.computeIfAbsent(dir, { d =>
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_" +
-        s"${ProcessHandle.current().pid()}_${math.abs(d.hashCode)}"
+      val root = graft.core.StorePaths.root("sigstore", d)
       val state = docs(spark, d).filter(col("doc_id") % 10 =!= 7)
       graft.operators.IncrementalDedup.writeStore(spark, state, root)
       root

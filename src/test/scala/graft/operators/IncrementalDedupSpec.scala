@@ -149,11 +149,19 @@ class IncrementalDedupSpec extends SparkSpec {
         .delete(new org.apache.hadoop.fs.Path(p), true)
     }
     val text = "the quick brown fox jumps over the lazy dog again and again and again"
+    val novel = "completely unrelated content about distributed query engines and parquet"
     IncrementalDedup.writeEdgeStore(spark, Seq((1L, text)).toDF("doc_id", "text"), root)
+    // single-doc seed → the edge table starts EMPTY; reading it must give
+    // an empty frame, not a schema-inference error
+    assert(IncrementalDedup.edges(spark, root).count() == 0)
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = IncrementalDedup.dedupeStreamWithEdges(
       in.toDF().toDF("doc_id", "text"), root, pairsOut, ckpt)
     try {
+      // batch 0 is all-novel: ZERO pairs — the write-then-read-back of an
+      // empty pairs partition must not wedge the stream
+      in.addData((9L, novel)); q.processAllAvailable()
+      assert(q.isActive, "a zero-pair batch must not crash the stream")
       in.addData((2L, text)); q.processAllAvailable()
       in.addData((3L, text)); q.processAllAvailable()
     } finally q.stop()

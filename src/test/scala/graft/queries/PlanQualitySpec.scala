@@ -106,6 +106,20 @@ class PlanQualitySpec extends SparkSpec {
       "blocking and metric must use the native kernels")
   }
 
+  test("q91/q92: new-query plans stay keyed (no cartesian anywhere)") {
+    // q91: PageRank over the maintained edge store — statically unrolled
+    // keyed rounds, edge scan from parquet
+    val p91 = plan("q91_incremental_pagerank")
+    assert(!p91.contains("CartesianProduct"), s"q91 must stay keyed:\n$p91")
+    // q92: sharded recall — ground truth broadcasts the probe sample,
+    // LSH candidates join on (shard, bucket)
+    val df92 = graft.SparkEntry.queries("q92_ann_recall_sharded")(spark, sfDir)
+    val p92 = df92.queryExecution.executedPlan.toString
+    assert(!p92.contains("CartesianProduct"), s"q92 must stay keyed:\n$p92")
+    assert(p92.contains("BroadcastHashJoin") || p92.contains("BroadcastNestedLoopJoin"),
+      "q92 exact side must broadcast the probe sample")
+  }
+
   test("q51 unioned sensor merge aggregates in a single shuffle (no join chain)") {
     val df = graft.SparkEntry.queries("q51_sensor_merge_unioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

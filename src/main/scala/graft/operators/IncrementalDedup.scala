@@ -148,8 +148,14 @@ object IncrementalDedup {
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
         .withColumn("ingest_batch", lit(-1L))
-        // the edge set is orders of magnitude smaller than the corpus
-        .coalesce(1)
+        // the base seed's edge set is corpus-sized on a duplicate-heavy
+        // crawl (billions of rows at 100 TB) — it must NOT funnel through
+        // one write task. Range-partition on doc_a with an EXPLICIT
+        // partition count (AQE leaves user-specified counts alone, so the
+        // write parallelism is guaranteed, not advisory); the range
+        // layout also gives downstream graph reads doc_a locality.
+        .repartitionByRange(
+          sigs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_a"))
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/edges")
       ()
     } finally { sigs.unpersist(); () }
@@ -187,7 +193,9 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .withColumn("ingest_batch", lit(batchId))
-      .coalesce(1)
+      // no coalesce: the write inherits the just-written pairs partition's
+      // file parallelism — one task for a small micro-batch, many for a
+      // bulk backfill batch, with no single-task funnel either way
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(s"$root/edges")
     ()

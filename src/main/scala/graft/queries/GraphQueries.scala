@@ -243,11 +243,54 @@ object GraphQueries {
 
   private val incStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q93: the STREAMING operating mode under the oracle gate — q91's
+    * delta path driven through a LIVE Structured Streaming query instead
+    * of a direct batch call. Seed the signature + edge store from 80% of
+    * the corpus, then feed the remaining 20% as two micro-batches of a
+    * document stream through
+    * [[graft.operators.IncrementalDedup.dedupeStreamWithEdges]] (the
+    * checkpointed foreachBatch whose body is `ingestBatchWithEdges`),
+    * and run q79's PageRank over the maintained edge table the stream
+    * left behind. The DuckDB oracle is q79's full-corpus recompute, so
+    * the driver hash-proves stream ≡ batch ≡ recompute through a graph
+    * consumer — cell-exact fixed-point ranks.
+    *
+    * The `collect` feeding MemoryStream is harness wiring, not engine
+    * shape: MemoryStream is driver-fed by design. A production stream
+    * (file source, Kafka) runs the IDENTICAL per-batch plan — the
+    * foreachBatch body does not know its source. Store built once per
+    * (process, dir), like every snapshot store. */
+  def q93StreamingPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strpr", d)
+      val all = graft.core.Tables.documents(spark, d)
+      graft.operators.IncrementalDedup.writeEdgeStore(
+        spark, all.filter(col("doc_id") % 10 < 8), r)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.operators.IncrementalDedup.dedupeStreamWithEdges(
+        in.toDF().toDF("doc_id", "text"), r, s"${r}_pairs", s"${r}_ckpt")
+      try {
+        def batchOf(slot: Int): Seq[(Long, String)] = all
+          .filter(col("doc_id") % 10 === slot).select("doc_id", "text")
+          .as[(Long, String)].collect().toSeq
+        in.addData(batchOf(8)); q.processAllAvailable()
+        in.addData(batchOf(9)); q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    pageRankOf(graft.operators.IncrementalDedup.edges(spark, root))
+  }
+
+  private val streamStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pagerank" -> (q79PageRank _),
     "q83_triangles" -> (q83Triangles _),
     "q86_pagerank_directed" -> (q86PageRankDirected _),
-    "q91_incremental_pagerank" -> (q91IncrementalPageRank _)
+    "q91_incremental_pagerank" -> (q91IncrementalPageRank _),
+    "q93_streaming_pagerank" -> (q93StreamingPageRank _)
   )
 
   def sql: Map[String, String] = Map(
@@ -256,6 +299,8 @@ object GraphQueries {
     "q86_pagerank_directed" -> q86PageRankDirectedSql,
     // the oracle IS the full-corpus recompute: matching it proves the
     // incremental path end-to-end
-    "q91_incremental_pagerank" -> q79PageRankSql
+    "q91_incremental_pagerank" -> q79PageRankSql,
+    // likewise for the streaming path: stream ≡ batch ≡ recompute
+    "q93_streaming_pagerank" -> q79PageRankSql
   )
 }

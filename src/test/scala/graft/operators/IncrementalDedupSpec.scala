@@ -171,6 +171,35 @@ class IncrementalDedupSpec extends SparkSpec {
       s"edge table must contain every exact-dup pair across stream batches: $edges")
   }
 
+  test("edge-store seed write spreads across >1 task on 10x data (no single-file funnel)") {
+    // 10 shifted-id replicas of the corpus: identical texts across
+    // replicas make every dup cluster 10× larger, so the seed edge set
+    // grows ~100× — the regime where a coalesce(1) write would funnel a
+    // corpus-sized table through one task. The seed's range repartition
+    // carries an EXPLICIT partition count, so the parallelism must
+    // survive AQE and show up as multiple data files.
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val big = (0 until 10)
+      .map(r => d.withColumn("doc_id", col("doc_id") + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val root = tmpRoot("seedpar")
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    IncrementalDedup.writeEdgeStore(spark, big, root)
+    val seedDir = new java.io.File(s"$root/edges/ingest_batch=-1")
+    val parts = Option(seedDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts > 1, s"seed edge write must run with >1 task at 10x, got $parts file(s)")
+    // and the maintained edge set still equals the snapshot recompute
+    val maintained = IncrementalDedup.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = graft.queries.TextQueries.minHashSignatures(spark, big)
+    val recomputed = graft.queries.TextQueries.lshRerankedPairs(sigs)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == recomputed)
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

@@ -71,18 +71,33 @@ object TemporalOps {
 
   /** Scalar band range join: all (left, right) pairs with
     * |left.leftVal − right.rightVal| ≤ radius. A direct theta-join plans
-    * as a nested-loop cartesian in Spark; decomposing into radius-width
-    * bands turns it into an equi-join on the band key + residual filter
-    * (each probe row explodes into 3 adjacent bands — a superset of the
-    * true range, so band-edge fp behavior cannot affect membership).
+    * as a nested-loop cartesian in Spark; decomposing into width-`w`
+    * bands turns it into an equi-join on the band key + residual filter.
+    * Each probe row explodes into every band overlapping
+    * [v − radius, v + radius] (computed with the SAME fp expressions the
+    * residual filter evaluates, and correctly-rounded division is
+    * monotone — so the band cover is a superset of the true range and
+    * band-edge fp behavior cannot affect membership).
+    *
+    * `bandWidth` defaults to `radius` (3 bands per probe — the original,
+    * oracle-pinned decomposition). The RESULT is invariant to the width;
+    * only the candidate volume changes. On a dense value domain pass
+    * [[bandWidthFor]]'s data-derived width instead: radius-width bands
+    * on a domain holding millions of rows per radius would make every
+    * band a quadratic hot spot, the same candidate bomb a fixed LSH
+    * band count creates (see `VecFns.lshBitsFor`).
     * Column names of the two sides must be disjoint. */
   def bandRangeJoin(left: DataFrame, right: DataFrame,
-                    leftVal: String, rightVal: String, radius: Double): DataFrame = {
+                    leftVal: String, rightVal: String, radius: Double,
+                    bandWidth: Double = Double.NaN): DataFrame = {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "band range join requires disjoint column names")
-    val b: Column = floor(col(s"`$leftVal`") / radius)
-    val probe = left.withColumn("_band", explode(array(b - 1, b, b + 1)))
-    val build = right.withColumn("_band", floor(col(s"`$rightVal`") / radius))
+    val w = if (bandWidth.isNaN) radius else bandWidth
+    require(w > 0, s"band width must be positive, got $w")
+    val lo: Column = floor((col(s"`$leftVal`") - radius) / w)
+    val hi: Column = floor((col(s"`$leftVal`") + radius) / w)
+    val probe = left.withColumn("_band", explode(sequence(lo, hi)))
+    val build = right.withColumn("_band", floor(col(s"`$rightVal`") / w))
     // residual kept in two-sided form (not abs(a−b) ≤ r): a±r is exact
     // fp arithmetic on the probe constant, matching how a range engine
     // (and the DuckDB IEJoin oracle) evaluates BETWEEN — an abs()
@@ -91,6 +106,37 @@ object TemporalOps {
       .filter(col(s"`$rightVal`") >= col(s"`$leftVal`") - radius
         && col(s"`$rightVal`") <= col(s"`$leftVal`") + radius)
       .drop("_band")
+  }
+
+  /** Data-derived band width for [[bandRangeJoin]] — the range-join twin
+    * of `VecFns.lshBitsFor`: pick the width from the BUILD side's value
+    * density so per-band row count stays ≈ `targetPerBand` as the corpus
+    * grows, instead of letting a fixed radius-width band hold
+    * density × radius rows (quadratic candidates on a dense domain).
+    *
+    * width = span · targetPerBand / n (uniform-density estimate),
+    * floored at 2·radius / (maxBandsPerProbe − 2) so the probe explode
+    * factor stays bounded — the two knobs trade candidate volume against
+    * probe duplication exactly like LSH bucket size vs band count.
+    * One cheap (count, min, max) scan of the build side; run it once and
+    * reuse the width across queries against the same snapshot. */
+  def bandWidthFor(build: DataFrame, valueCol: String, radius: Double,
+                   targetPerBand: Long = 1024, maxBandsPerProbe: Int = 64): Double = {
+    require(radius > 0 && targetPerBand > 0 && maxBandsPerProbe > 2,
+      "need radius > 0, targetPerBand > 0, maxBandsPerProbe > 2")
+    val r = build.agg(count(lit(1)), min(col(s"`$valueCol`").cast("double")),
+      max(col(s"`$valueCol`").cast("double"))).head()
+    val n = r.getLong(0)
+    if (n == 0 || r.isNullAt(1)) radius
+    else {
+      val span = r.getDouble(2) - r.getDouble(1)
+      if (span <= 0) radius // single-point domain: any width works
+      else {
+        val dense = span * targetPerBand.toDouble / n.toDouble
+        val explodeFloor = 2.0 * radius / (maxBandsPerProbe - 2).toDouble
+        math.max(dense, explodeFloor)
+      }
+    }
   }
 
   private val WeekRule = "W-(SUN|MON|TUE|WED|THU|FRI|SAT)".r

@@ -397,11 +397,13 @@ object EmbeddingQueries {
   }
 
   /** WITH-body CTE chain replaying [[trainedCentroids]]'s full k-means
-    * training in DuckDB — deterministic init (`c0` = the [[SemK]]
-    * lowest-id vectors) + [[SemKIters]] unrolled Lloyd rounds — ending in
-    * `c2` = the trained centroid table. Shared by the q74 and q89
-    * oracles. */
-  private val kmeansTrainSqlCtes: String = {
+    * training in DuckDB over source relation `src` — deterministic init
+    * (`c0` = the [[SemK]] lowest-id vectors) + [[SemKIters]] unrolled
+    * Lloyd rounds — ending in `c2` = the trained centroid table. Shared
+    * by the q74 and q89 oracles (src = the full `embeddings` view) and
+    * the q94 oracle (src = the seed subset the incremental store trained
+    * on). */
+  private def kmeansTrainSqlCtesOver(src: String): String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     // one Lloyd round: nearest-centroid assignment (deterministic (dist,
     // cid) tiebreak, mirroring KMeans.assign), per-(cid, pos) mean,
@@ -412,7 +414,7 @@ object EmbeddingQueries {
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY $dist ASC, c.cid ASC) AS rn
-         |    FROM embeddings e CROSS JOIN $prevC c
+         |    FROM $src e CROSS JOIN $prevC c
          |  ) WHERE rn = 1
          |),
          |$freshCte AS (
@@ -431,11 +433,13 @@ object EmbeddingQueries {
     s"""c0 AS (
        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
        |    list_transform(embedding, x -> x::DOUBLE) AS centroid
-       |  FROM embeddings ORDER BY vec_id LIMIT $SemK
+       |  FROM $src ORDER BY vec_id LIMIT $SemK
        |),
        |${lloyd("c0", "a1", "f1", "c1")},
        |${lloyd("c1", "a2", "f2", "c2")}""".stripMargin
   }
+
+  private val kmeansTrainSqlCtes: String = kmeansTrainSqlCtesOver("embeddings")
 
   val q74SemDedupSql: String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
@@ -518,6 +522,70 @@ object EmbeddingQueries {
     val np = VecFns.ddbNorm("p.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
     s"""WITH $kmeansTrainSqlCtes,
+       |rk AS (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nb) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** q94: INCREMENTAL IVF-INDEX MAINTENANCE under the oracle gate — the
+    * ANN twin of q91's maintained edge store, and the operating mode an
+    * IVF deployment actually runs at 100 TB: train the coarse quantizer
+    * ONCE on the 90% seed corpus
+    * ([[graft.operators.IncrementalIvf.writeIndex]]), ingest the
+    * remaining 10% as a delta batch with the quantizer FROZEN
+    * (`ingestBatch` — assign to existing cells, append to the
+    * cell-partitioned index; no retrain, no index rewrite), then search
+    * the MAINTAINED index (nprobe = 2, top-3).
+    *
+    * The DuckDB oracle replays the seed-only training (the q89 CTE
+    * pattern over the 90% subset) and searches a from-scratch assignment
+    * of the FULL corpus — so the driver hash-proves
+    * `search(index(state ∪ delta)) ≡ search(rebuild)` cell-exact.
+    * Store built once per (process, dir), like every snapshot store. */
+  def q94IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivf", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvf.writeIndex(
+        spark, e.filter(col("vec_id") % 10 =!= 7), r, SemK, SemKIters)
+      graft.operators.IncrementalIvf.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    graft.operators.IncrementalIvf.search(spark, root,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  private val ivfStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q94IncrementalIvfSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    // q89's probe/rerank tail verbatim, but c2 trains on the SEED subset
+    // only — the rebuild the maintained index must equal
+    s"""WITH emb_seed AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+       |${kmeansTrainSqlCtesOver("emb_seed")},
        |rk AS (
        |  SELECT vec_id, embedding, cid, rn FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
@@ -722,7 +790,8 @@ object EmbeddingQueries {
     "q74_semdedup" -> (q74SemDedup _),
     "q88_ann_recall" -> (q88AnnRecall _),
     "q89_ivf_ann" -> (q89IvfAnn _),
-    "q92_ann_recall_sharded" -> (q92AnnRecallSharded _)
+    "q92_ann_recall_sharded" -> (q92AnnRecallSharded _),
+    "q94_incremental_ivf" -> (q94IncrementalIvf _)
   )
 
   def sql: Map[String, String] = Map(
@@ -734,6 +803,7 @@ object EmbeddingQueries {
     "q74_semdedup" -> q74SemDedupSql,
     "q88_ann_recall" -> q88AnnRecallSql,
     "q89_ivf_ann" -> q89IvfAnnSql,
-    "q92_ann_recall_sharded" -> q92AnnRecallShardedSql
+    "q92_ann_recall_sharded" -> q92AnnRecallShardedSql,
+    "q94_incremental_ivf" -> q94IncrementalIvfSql
   )
 }

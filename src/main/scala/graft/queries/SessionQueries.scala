@@ -102,8 +102,13 @@ object SessionQueries {
   def q40RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
     val b = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+    // band width derived from the build side's value density (the result
+    // is width-invariant, so the oracle pins semantics, not the knob):
+    // at 10× the corpus over the same price domain, bands shrink 10× and
+    // per-band candidates stay ~targetPerBand instead of growing linearly
+    val w = graft.operators.TemporalOps.bandWidthFor(b, "b_price", radius = 1.0)
     graft.operators.TemporalOps
-      .bandRangeJoin(p, b, "p_retailprice", "b_price", radius = 1.0)
+      .bandRangeJoin(p, b, "p_retailprice", "b_price", radius = 1.0, bandWidth = w)
       .filter(col("b_key") =!= col("p_partkey"))
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("n_close"), min("b_key").as("min_neighbor"))

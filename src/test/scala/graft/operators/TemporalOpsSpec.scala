@@ -64,6 +64,52 @@ class TemporalOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (1L, 11L), (2L, 13L))) // 11.5 is outside
   }
 
+  test("bandRangeJoin: result is band-width invariant (narrow, default, wide)") {
+    // the decomposition contract: any positive width yields the same pair
+    // set; only candidate volume moves. Fractional values + exact-boundary
+    // pairs probe the fp band-edge handling at every width.
+    val l = (1 to 200).map(i => (i.toLong, i * 0.37)).toDF("lid", "lv")
+    val r = (1 to 200).map(i => (i.toLong, i * 0.41 - 3.0)).toDF("rid", "rv")
+    def pairs(w: Double) =
+      TemporalOps.bandRangeJoin(l, r, "lv", "rv", radius = 1.7, bandWidth = w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val default = TemporalOps.bandRangeJoin(l, r, "lv", "rv", radius = 1.7)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(default.nonEmpty)
+    for (w <- Seq(0.1, 0.63, 1.7, 5.0, 100.0))
+      assert(pairs(w) == default, s"width $w changed the pair set")
+  }
+
+  test("bandWidthFor: per-band build rows stay near target as density grows 10x") {
+    // 10× the rows over the SAME value domain: a fixed radius-width band
+    // would hold 10× the rows; the derived width shrinks instead and the
+    // per-band occupancy bound survives the scale-up (uniform data → a
+    // small constant skew factor over the target)
+    def uniform(n: Int) = (1 to n).map(i => (i.toLong, i * (1000.0 / n))).toDF("rid", "rv")
+    for (n <- Seq(2000, 20000)) {
+      val build = uniform(n)
+      val w = TemporalOps.bandWidthFor(build, "rv", radius = 50.0, targetPerBand = 128)
+      val perBand = build.withColumn("_band", floor(col("rv") / w))
+        .groupBy("_band").count().agg(max("count")).head().getLong(0)
+      assert(perBand <= 4 * 128, s"n=$n: $perBand rows in the hottest band (width $w)")
+      // and the probe explode factor stays bounded by the cap
+      val bandsPerProbe = math.floor((0.0 + 50.0) / w) - math.floor((0.0 - 50.0) / w) + 1
+      assert(bandsPerProbe <= 64, s"n=$n: $bandsPerProbe bands per probe")
+    }
+  }
+
+  test("bandWidthFor: explode-factor floor engages on ultra-dense domains") {
+    // 100k rows on a span of 1.0 with radius 10: the density term alone
+    // would ask for ~1e-2-width bands → thousands of bands per probe; the
+    // floor caps it at 2r/(cap−2)
+    val build = (1 to 100000).map(i => (i.toLong, i / 100000.0)).toDF("rid", "rv")
+    val w = TemporalOps.bandWidthFor(build, "rv", radius = 10.0,
+      targetPerBand = 16, maxBandsPerProbe = 64)
+    assert(w >= 2.0 * 10.0 / 62.0 - 1e-12, s"floor must engage, got $w")
+    val bandsPerProbe = 2.0 * 10.0 / w + 2
+    assert(bandsPerProbe <= 64 + 1e-9)
+  }
+
   test("dedupeKeepLast keeps the max-order row per key") {
     val df = Seq((1L, 1L, "a"), (1L, 3L, "b"), (1L, 2L, "c"), (2L, 1L, "d"))
       .toDF("k", "seq", "v")

@@ -66,6 +66,10 @@ object Bench {
     //     headline (slow) query survives at the tail;
     //  3. per-query spreads (diagnostic, bulky) move out of the line entirely —
     //     the full payload is written to BENCH_FULL.json in the CWD.
+    //     BENCH_FULL.json is SCRATCH output of the most recent Bench
+    //     invocation (a chunked/filtered run overwrites it with just its
+    //     chunk) — canonical full-sweep artifacts are the committed
+    //     BENCH_sf01_r*.json / BENCH_sf1.json snapshots.
     val byTime = results.sortBy { case (_, v, _) => v.getOrElse(Double.MaxValue) }
     val qs = byTime.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null")

@@ -77,7 +77,14 @@ object KMeans {
     * `trackInertia = true` adds one scalar `collect` per round (Σ dist²
     * of the round's assignment — the monitored invariant, which must
     * never increase); use it for convergence monitoring, not production
-    * training. */
+    * training.
+    *
+    * OWNERSHIP: the returned centroid frame is persisted (k rows);
+    * the CALLER unpersists it once consumed — e.g. the snapshot-store
+    * builders (`EmbeddingQueries.trainedCentroids`,
+    * `IncrementalIvf.writeIndex`) write it to parquet and unpersist
+    * immediately. A long-lived caller that drops the reference without
+    * unpersisting leaks one k-row cache entry per (process, dir). */
   def fit(vectors: DataFrame, k: Int, iters: Int,
           trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
     if (!trackInertia && iters <= MaxLazyIters) {

@@ -241,7 +241,10 @@ object RefPipelineQueries {
           "\u001e").as("snapshots"))
   }
 
-  private val P4Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/p4_blocks"
+  // pid-isolated like every other snapshot store (StorePaths): a second
+  // concurrent JVM must not overwrite the stage while this process's
+  // oracle SQL (which interpolates the path) is mid-read
+  private val P4Stage = graft.core.StorePaths.root("stage", "p4_blocks")
 
   /** Write-once guard for the decode-output stages (p4 blocks, p5/q90
     * features): the staged bytes are pure functions of fixed inputs
@@ -304,7 +307,7 @@ object RefPipelineQueries {
           ",").as("feat_q"))
   }
 
-  private val P5Stage = s"${sys.props("java.io.tmpdir")}/graft_stage/p5_features"
+  private val P5Stage = graft.core.StorePaths.root("stage", "p5_features")
 
   /** The shared media-feature stage: deterministic synthetic lake →
     * decode → features, written once per process ([[stageOnce]] makes

@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * Replica isolation is deliberate per table family:
   *  - TPC-H keys (`custkey/suppkey/partkey/orderkey`) offset by replica —
   *    joins stay within replica, fan-outs replicate.
-  *  - `documents.text`: every token gets a replica-suffix digit (replica
-  *    0 keeps the original) — an injective per-word map, so each
-  *    replica's internal shingle/similarity structure is byte-equivalent
-  *    to the base corpus while cross-replica shingle sets are disjoint
-  *    (without this, every doc would be a 10-way cross-replica duplicate
-  *    and the dedup-tier graphs would measure an artifact, not scale).
+  *  - `documents.text`: every token gets a replica suffix `§r` (replica
+  *    0 keeps the original; '§' never occurs in the ASCII base corpus,
+  *    so the map is injective across ALL replicas INCLUDING replica 0 —
+  *    a bare digit suffix would let a base token ending in a digit
+  *    collide with a salted one). Each replica's internal
+  *    shingle/similarity structure stays byte-equivalent to the base
+  *    corpus while cross-replica shingle sets are disjoint (without
+  *    this, every doc would be a 10-way cross-replica duplicate and the
+  *    dedup-tier graphs would measure an artifact, not scale).
   *  - `embeddings.embedding`: per-(replica, dim) deterministic ±1 sign
   *    flips (replica 0 all +1). Signs cancel within a replica
   *    (s_i²=1 ⇒ all within-replica inner products are EXACTLY the base
@@ -59,10 +62,10 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    // factor ≤ 10 keeps the per-token replica suffix a single digit, so
-    // the word map stays injective across replicas (token "x1" + "1" and
-    // token "x" + "11" would collide at factor ≥ 12)
-    require(factor >= 1 && factor <= 10, "factor must be in [1, 10]")
+    // the '§' token-salt separator makes the word map injective for any
+    // factor; the cap guards the 1e9 id-offset stride (replica keys must
+    // stay below the next replica's range) and keeps runs tractable
+    require(factor >= 1 && factor <= 100, "factor must be in [1, 100]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -102,7 +105,7 @@ object ScaleUp {
     write("documents", replicate(read("documents"), factor) { (d, r) =>
       val salted =
         if (r == 0) d
-        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + r.toString))
+        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1§" + r.toString))
       salted.withColumn("doc_id", off("doc_id", r))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })

@@ -63,8 +63,20 @@ object MediaOps {
           val px = Array.tabulate(w * h)(i => ((id * 31 + i * 7 + (i / w) * 13) & 0xff).toByte)
           MediaRow(id, "image", MediaCodec.pngEncodeGray(w, h, px), MediaMeta(w, h, 0, 0))
         case 1 =>
-          val ns = 200 + (id % 128).toInt
-          val samples = Array.tabulate(ns)(i => (((id * 31 + i * 7919) % 65536) - 32768).toShort)
+          // ~3% of audio rows (id % 30 == 4) are near-RETAKES of the
+          // audio row three ids back: same source signal with 3 samples
+          // dithered +64 — a sub-audible re-encode perturbation, the
+          // fixture's genuine audio near-dup pairs (measured windowed-
+          // energy L1 ≤ 6.7e-4 vs ≥ 1.46e-3 for distinct audio)
+          val srcId = if (id % 30 == 4) id - 3 else id
+          val ns = 200 + (srcId % 128).toInt
+          val samples = Array.tabulate(ns)(i => (((srcId * 31 + i * 7919) % 65536) - 32768).toShort)
+          if (id % 30 == 4) {
+            var j = 0
+            while (j < 3) {
+              samples(j * 7) = math.min(32767, samples(j * 7) + 64).toShort; j += 1
+            }
+          }
           MediaRow(id, "audio", MediaCodec.wavEncodePcm16(16000, samples), MediaMeta(0, 0, 16000, 0))
         case _ =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -78,10 +90,12 @@ object MediaOps {
 
   /** Decode → fixed-dim float features, REAL for the formats the lake
     * carries: PNG rows inflate to actual pixels (16-bin intensity
-    * histogram), WAV rows to actual PCM samples (16-bin amplitude
-    * histogram). Only codec-less payloads (video) fall back to the
-    * byte-histogram — the documented stub tier, same contract (pure
-    * function of bytes, fixed-dim output). */
+    * histogram), WAV rows to actual PCM samples (16-window RMS-energy
+    * envelope — time-structured, unlike a position-blind amplitude
+    * histogram, so two different signals with the same sample
+    * DISTRIBUTION still separate). Only codec-less payloads (video)
+    * fall back to the byte-histogram — the documented stub tier, same
+    * contract (pure function of bytes, fixed-dim output). */
   def decodeToFeatures(kind: String, bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return new Array[Float](FeatureDim)
     kind match {
@@ -90,10 +104,34 @@ object MediaOps {
         histogram(px.length)(i => (px(i) & 0xff) / FeatureDim)
       case "audio" =>
         val (_, samples) = MediaCodec.wavDecodePcm16(bytes)
-        histogram(samples.length)(i => (samples(i) + 32768) / 4096)
+        audioEnergy(samples)
       case _ =>
         histogram(bytes.length)(i => (bytes(i) & 0xff) / FeatureDim)
     }
+  }
+
+  /** Windowed RMS-energy envelope: FeatureDim equal time windows
+    * (window w covers sample range [w·n/D, (w+1)·n/D)), each mapped to
+    * √(mean((s/32768)²)) ∈ [0, 1]. The standard cheap audio
+    * fingerprint: amplitude-scale aware AND time-structured, robust to
+    * a few dithered samples (each window averages ~n/16 samples). */
+  private def audioEnergy(samples: Array[Short]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    val n = samples.length
+    if (n == 0) return out
+    var w = 0
+    while (w < FeatureDim) {
+      val a = w * n / FeatureDim
+      val b = (w + 1) * n / FeatureDim
+      if (b > a) {
+        var acc = 0.0
+        var i = a
+        while (i < b) { val x = samples(i) / 32768.0; acc += x * x; i += 1 }
+        out(w) = math.sqrt(acc / (b - a)).toFloat
+      }
+      w += 1
+    }
+    out
   }
 
   private def histogram(n: Int)(bin: Int => Int): Array[Float] = {
@@ -226,19 +264,32 @@ object MediaOps {
     * distance, with [[graft.expr.FloatVecL1]] folding index-ordered so
     * the DuckDB twin is bit-identical.
     *
-    * 100 TB shape: pairs come only from the bucket equi-join (nPlanes is
-    * the [[graft.functions.VecFns.lshBitsFor]] corpus-size knob), the L1
-    * kernel is native codegen, and the closure is the O(log²)-round star
-    * engine — no cross join anywhere (plan-asserted in PlanQualitySpec). */
+    * Pairs are SAME-KIND only (the kind joins alongside the bucket): a
+    * "near-dup" between an image histogram and an audio envelope is
+    * metric noise, and per-kind feature spaces carry per-kind
+    * thresholds — image/video histograms use `l1Threshold`, audio
+    * energy envelopes `kindThresholds("audio")` (0.001 sits mid-gap in
+    * the measured audio pair distribution: retake pairs ≤ 6.7e-4,
+    * distinct-signal floor 1.46e-3).
+    *
+    * 100 TB shape: pairs come only from the (bucket, kind) equi-join
+    * (nPlanes is the [[graft.functions.VecFns.lshBitsFor]] corpus-size
+    * knob), the L1 kernel is native codegen, and the closure is the
+    * O(log²)-round star engine — no cross join anywhere (plan-asserted
+    * in PlanQualitySpec). */
   def nearDupComponents(features: DataFrame, nPlanes: Int = 8,
-                        l1Threshold: Double = 0.004): DataFrame = {
+                        l1Threshold: Double = 0.004,
+                        kindThresholds: Map[String, Double] = Map("audio" -> 0.001)): DataFrame = {
     val spark = features.sparkSession
     val b = featureBuckets(features, nPlanes)
-    val lhs = b.select(col("bucket"), col("media_id").as("a_id"), col("features").as("a_f"))
-    val rhs = b.select(col("bucket"), col("media_id").as("b_id"), col("features").as("b_f"))
-    val pairs = lhs.join(rhs, Seq("bucket"))
+    val thr = kindThresholds.foldLeft(lit(l1Threshold): org.apache.spark.sql.Column) {
+      case (acc, (k, t)) => when(col("kind") === k, lit(t)).otherwise(acc)
+    }
+    val lhs = b.select(col("bucket"), col("kind"), col("media_id").as("a_id"), col("features").as("a_f"))
+    val rhs = b.select(col("bucket"), col("kind"), col("media_id").as("b_id"), col("features").as("b_f"))
+    val pairs = lhs.join(rhs, Seq("bucket", "kind"))
       .filter(col("a_id") < col("b_id"))
-      .filter(graft.expr.NativeVecFns.l1Dist(spark, col("a_f"), col("b_f")) < l1Threshold)
+      .filter(graft.expr.NativeVecFns.l1Dist(spark, col("a_f"), col("b_f")) < thr)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val verts = features.select(col("media_id").as("id"))
     graft.ml.ConnectedComponents.componentsStar(verts, pairs)

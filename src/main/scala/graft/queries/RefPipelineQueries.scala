@@ -329,11 +329,14 @@ object RefPipelineQueries {
     * [[stagedMediaFeatures]] stage and oracles the full relational tail
     * including the closure.
     *
-    * Threshold 0.004 sits mid-gap in the measured pair-distance
-    * distribution (largest same-kind L1 gap: 0.00222 → 0.00573, and the
-    * image floor for distinct content is 0.0176) — and because both
-    * engines fold L1 in index order over float→double-exact values, the
-    * comparison is bit-identical regardless of margin. */
+    * Pairs are same-kind with per-kind thresholds: image/video
+    * histograms at 0.004 (mid-gap: largest same-kind L1 gap 0.00222 →
+    * 0.00573, image floor for distinct content 0.0176), audio RMS-energy
+    * envelopes at 0.001 (retake pairs measured ≤ 6.7e-4, distinct-signal
+    * floor 1.46e-3 — the fixture lake carries genuine audio retake
+    * pairs, see [[graft.multimodal.MediaOps.syntheticMedia]]). Both
+    * engines fold L1 in index order over float→double-exact values, so
+    * the comparison is bit-identical regardless of margin. */
   def q90MediaNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaOps.nearDupComponents(
       spark.read.parquet(stagedMediaFeatures(spark)), nPlanes = 8, l1Threshold = 0.004)
@@ -348,8 +351,9 @@ object RefPipelineQueries {
        |),
        |cand AS (
        |  SELECT a.media_id AS va, b.media_id AS vb
-       |  FROM f a JOIN f b ON a.bucket = b.bucket AND a.media_id < b.media_id
-       |  WHERE $l1 < 0.004
+       |  FROM f a JOIN f b
+       |    ON a.bucket = b.bucket AND a.kind = b.kind AND a.media_id < b.media_id
+       |  WHERE $l1 < CASE WHEN a.kind = 'audio' THEN 0.001 ELSE 0.004 END
        |),
        |bi AS (
        |  SELECT va AS s, vb AS t FROM cand

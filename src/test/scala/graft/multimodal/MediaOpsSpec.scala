@@ -37,7 +37,12 @@ class MediaOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val v = r.getAs[scala.collection.Seq[Float]]("features")
       assert(v.length == MediaOps.FeatureDim)
-      assert(math.abs(v.sum - 1.0f) < 1e-4, "histogram must be normalized")
+      r.getAs[String]("kind") match {
+        // image/video features are normalized histograms; audio features
+        // are per-window RMS energies (each in [0,1], not summing to 1)
+        case "audio" => assert(v.forall(x => x >= 0f && x <= 1f) && v.sum > 0f)
+        case _ => assert(math.abs(v.sum - 1.0f) < 1e-4, "histogram must be normalized")
+      }
     }
     // deterministic across runs
     val again = MediaOps.imageFeatures(media).orderBy("media_id").collect()
@@ -91,6 +96,39 @@ class MediaOpsSpec extends SparkSpec {
     val b = MediaOps.featureBuckets(f)
     val buckets = b.select("bucket").collect().map(_.getLong(0))
     assert(buckets.forall(x => x >= 0 && x < 256))
+  }
+
+  test("audio retake pairs dedup under the energy envelope; distinct audio stays distinct") {
+    // the fixture lake's audio near-dups: id % 30 == 4 is a 3-sample
+    // dithered retake of id-3 — nearDupComponents must merge exactly
+    // those pairs on the audio side, at the audio threshold, same-kind
+    val media = MediaOps.syntheticMedia(spark, 300)
+    val out = MediaOps.nearDupComponents(MediaOps.imageFeatures(media))
+      .filter(col("kind") === "audio").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val retakes = (0L until 300L).filter(id => id % 3 == 1 && id % 30 == 4)
+    assert(retakes.nonEmpty)
+    for (id <- retakes) {
+      assert(out(id) == (id - 3, true), s"retake $id must dedup to ${id - 3}: ${out(id)}")
+      assert(out(id - 3) == (id - 3, false), s"base ${id - 3} must stay canonical")
+    }
+    // every non-retake audio row keeps itself as canonical
+    for ((id, (canon, dup)) <- out if !retakes.contains(id) && !retakes.contains(id + 3))
+      assert(canon == id && !dup, s"distinct audio $id must not merge: ($canon, $dup)")
+  }
+
+  test("windowed energy separates same-distribution signals a position-blind histogram cannot") {
+    // a signal and its reverse share the amplitude DISTRIBUTION exactly;
+    // the energy envelope must still tell them apart when their power is
+    // time-localized (front-loaded burst vs back-loaded burst)
+    val n = 320
+    val burst = Array.tabulate(n)(i => if (i < n / 4) 20000 else 100).map(_.toShort)
+    val wavA = MediaCodec.wavEncodePcm16(16000, burst)
+    val wavB = MediaCodec.wavEncodePcm16(16000, burst.reverse)
+    val fa = MediaOps.decodeToFeatures("audio", wavA)
+    val fb = MediaOps.decodeToFeatures("audio", wavB)
+    val l1 = fa.zip(fb).map { case (x, y) => math.abs(x - y) }.sum
+    assert(l1 > 0.5, s"time-reversed burst must be far in envelope space, L1=$l1")
   }
 
   test("resizeMeta: metadata transform preserves other fields") {

@@ -41,7 +41,7 @@ def cells_equal(a, b):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
-def main(sf_dir, out_dir, name_re=None):
+def main(sf_dir, out_dir, name_re=None, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -49,6 +49,12 @@ def main(sf_dir, out_dir, name_re=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # driver-format record per query (rows/schema/hash tri-check)
+    results = {}
+    def record(name, rows_m, schema_m, hash_m, sr=None, orr=None, err=None):
+        results[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                         "hash_match": hash_m, "spark_rows": sr,
+                         "oracle_rows": orr, "err": err}
     import re
     for name in sorted(oracles):
         if name_re and not re.search(name_re, name):
@@ -57,6 +63,7 @@ def main(sf_dir, out_dir, name_re=None):
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output at {spark_dir}")
+            record(name, False, False, False, err="no spark output")
             n_fail += 1
             continue
         try:
@@ -64,14 +71,17 @@ def main(sf_dir, out_dir, name_re=None):
             exp = norm(con.execute(oracles[name]).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
+            record(name, False, False, False, err=str(e)[:500])
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            record(name, len(got) == len(exp), False, False, len(got), len(exp))
             n_fail += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            record(name, False, True, False, len(got), len(exp))
             n_fail += 1
             continue
         # Driver's hash is type-sensitive (int64 30 != float64 30.0, e.g.
@@ -83,6 +93,7 @@ def main(sf_dir, out_dir, name_re=None):
             print(f"FAIL {name}: dtype mismatch (spark vs oracle):")
             for c, g, e in bad_types[:5]:
                 print(f"   col={c} spark={g} oracle={e}")
+            record(name, True, False, False, len(got), len(exp))
             n_fail += 1
             continue
         mismatches = []
@@ -99,12 +110,19 @@ def main(sf_dir, out_dir, name_re=None):
             print(f"FAIL {name}: {len(mismatches)}+ cell mismatches, e.g.:")
             for c, i, a, b in mismatches[:5]:
                 print(f"   col={c} row={i} spark={a!r} oracle={b!r}")
+            record(name, True, True, False, len(got), len(exp))
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+            record(name, True, True, True, len(got), len(exp))
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  sys.argv[4] if len(sys.argv) > 4 else None))

@@ -167,12 +167,77 @@ object SessionQueries {
       |WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  /** q96: streaming WINDOWED AGGREGATION under the oracle gate — the
+    * watermarked 15-minute tumbling usage aggregation (the shape of
+    * [[graft.streaming.StreamingOps.bucketUsage]], cents-exact here)
+    * driven through a LIVE Structured Streaming query over the events
+    * table, emitted append-mode into a parquet file sink as each window
+    * finalizes past the watermark, read back, and hash-proved against
+    * the DuckDB batch recompute — stream ≡ batch, exact (integer counts
+    * and cent sums, no fp drift).
+    *
+    * Events replay as two ts-ordered micro-batches; the watermark is
+    * then flushed the streaming-correct way, with punctuation rows past
+    * max(ts)+2h (no forced `complete` mode, no unbounded result state —
+    * sentinel rows filter out by `user_id < 0`). At scale state is one
+    * counter per (open window, user), purged as the watermark passes;
+    * the `collect` feeding MemoryStream is harness wiring (q93
+    * precedent) — the per-batch plan is source-agnostic. */
+  def q96StreamingBucketUsage(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamWinRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strwin", d)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = Tables.events(spark, d).select("ts", "user_id", "value")
+        .as[(java.sql.Timestamp, Long, Double)]
+        .collect().sortBy(_._1.getTime)
+      val midMs = rows(rows.length / 2)._1.getTime
+      val maxMs = rows.last._1.getTime
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val agg = in.toDF().toDF("ts", "user_id", "value")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(graft.functions.ExactDecimal.cents(col("value"))).as("value_cents"))
+        .select(col("w.start").as("bucket_start"), col("user_id"),
+          col("n"), col("value_cents"))
+      val q = agg.writeStream.outputMode("append").format("parquet")
+        .option("path", r).option("checkpointLocation", s"${r}_ckpt").start()
+      try {
+        val (b1, b2) = rows.partition(_._1.getTime <= midMs)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        // punctuation advances the watermark past every real window end;
+        // the second one forces the micro-batch in which they all emit
+        in.addData(Seq((new java.sql.Timestamp(maxMs + 2L * 3600 * 1000), -1L, 0.0)))
+        q.processAllAvailable()
+        in.addData(Seq((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), -1L, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    spark.read.parquet(root).filter(col("user_id") >= 0)
+  }
+
+  private val streamWinRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q96StreamingBucketUsageSql: String =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts)::TIMESTAMP AS bucket_start,
+      |  user_id,
+      |  count(*)::BIGINT AS n,
+      |  sum(round(value * 100))::BIGINT AS value_cents
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_asof_join" -> (q38AsofJoin _),
     "q39_sessionize" -> (q39Sessionize _),
     "q40_range_join" -> (q40RangeJoin _),
     "q47_funnel" -> (q47Funnel _),
-    "q78_interval_merge" -> (q78IntervalMerge _)
+    "q78_interval_merge" -> (q78IntervalMerge _),
+    "q96_streaming_bucket_usage" -> (q96StreamingBucketUsage _)
   )
 
   /** Interval coalescing — the interval-union sibling of q39's gap
@@ -242,6 +307,7 @@ object SessionQueries {
     "q39_sessionize" -> q39SessionizeSql,
     "q40_range_join" -> q40RangeJoinSql,
     "q47_funnel" -> q47FunnelSql,
-    "q78_interval_merge" -> q78IntervalMergeSql
+    "q78_interval_merge" -> q78IntervalMergeSql,
+    "q96_streaming_bucket_usage" -> q96StreamingBucketUsageSql
   )
 }

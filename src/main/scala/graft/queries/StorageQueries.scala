@@ -183,6 +183,43 @@ object StorageQueries {
       |SELECT k, price, prio, 'inserted' FROM ch
       |WHERE op = 'I' AND k NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
 
+  /** q95: incremental JOIN-view maintenance under the oracle gate — the
+    * join sibling of q58's partial-aggregate merge. The materialized view
+    * is `orders ⋈ lineitem`; a delta batch arrives on BOTH sides (new
+    * orders past a date cut, late-arriving high line numbers), and the
+    * view refreshes via [[graft.operators.IncrementalJoinView]]'s exact
+    * four-term decomposition: stored view ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, each
+    * delta term a broadcast hash join. The DuckDB oracle is the BLIND
+    * full-join recompute, so the driver hash-proves `refresh(state, Δ) ≡
+    * recompute` — per refresh at 100 TB history is read once as the
+    * stored view (append-only), and the base tables are probed once each
+    * under a broadcast, shuffling nothing. */
+  def q95IncrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_linenumber")
+    val (o0, dO) = (o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut))
+    val (l0, dL) = (l.filter(col("l_linenumber") <= 4), l.filter(col("l_linenumber") > 4))
+    val cond = col("o_orderkey") === col("l_orderkey")
+    val stored = o0.join(l0, cond) // stands in for the stored MV read
+    graft.operators.IncrementalJoinView.refresh(stored, o0, dO, l0, dL, cond)
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        sum(ExactDecimal.cents(col("l_quantity"))).as("qty_cents"))
+  }
+
+  val q95IncrementalJoinViewSql: String =
+    s"""SELECT o_orderpriority, l_returnflag,
+       |  count(*)::BIGINT AS n_items,
+       |  count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+       |  sum(${ExactDecimal.ddbCents("l_quantity")})::BIGINT AS qty_cents
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1, 2""".stripMargin
+
   // written-once-per-process roots for the format round-trip queries
   // (bench reps then price the steady-state READ path, and concurrent
   // processes cannot race each other's files — the q69 ensureStore recipe)
@@ -258,6 +295,7 @@ object StorageQueries {
     "q57_zorder" -> (q57ZOrder _),
     "q58_incremental_agg" -> (q58IncrementalAgg _),
     "q75_merge_into" -> (q75MergeInto _),
+    "q95_incremental_join_view" -> (q95IncrementalJoinView _),
     "q76_orc_roundtrip" -> (q76OrcRoundtrip _),
     "q77_jsonl_roundtrip" -> (q77JsonlRoundtrip _)
   )
@@ -268,6 +306,7 @@ object StorageQueries {
     "q57_zorder" -> q57ZOrderSql,
     "q58_incremental_agg" -> q58IncrementalAggSql,
     "q75_merge_into" -> q75MergeIntoSql,
+    "q95_incremental_join_view" -> q95IncrementalJoinViewSql,
     "q76_orc_roundtrip" -> q76OrcRoundtripSql,
     "q77_jsonl_roundtrip" -> q77JsonlRoundtripSql
   )

@@ -781,6 +781,126 @@ object EmbeddingQueries {
        |GROUP BY x.vec_id""".stripMargin
   }
 
+  /** SQ8 SCALAR-QUANTIZED ANN — the index-compression tier (the
+    * FAISS-style `SQ8` codec): store each vector as 64 one-byte codes
+    * instead of 64 floats (4× smaller index — at 100 TB of vectors the
+    * difference between an index that fits executor memory and one that
+    * doesn't), search with ASYMMETRIC distance: the query keeps its full
+    * float precision, only the database side is reconstructed from
+    * codes (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", IEEE TPAMI 2011 — the symmetric/asymmetric distinction;
+    * SQ8 is the M = dim, 8-bit special case).
+    *
+    * Codec: per-dimension corpus min/max (ONE aggregation pass → a
+    * 1-row frame that broadcasts) define a uniform 256-level grid;
+    * `code_i = floor((x_i − mn_i)/step_i + 0.5)` — floor(+0.5) instead
+    * of round() so both engines run the identical IEEE double op chain
+    * (no rounding-mode reconciliation), `least(255, ·)` guards the
+    * x = max edge; reconstruction is `mn_i + code_i·step_i`. A
+    * constant dimension (mx = mn) codes to 0 and reconstructs to mn.
+    *
+    * Search reuses q32's bucket plan verbatim: RHP-LSH on the ORIGINAL
+    * floats (bucketing happens at index-build time, before the codes
+    * replace the floats), candidate pairs via the bucket equi-join,
+    * rerank by asymmetric cosine sim(query_float, recon(codes)). The
+    * oracle replays codec + search end-to-end, so the driver hash
+    * proves the quantizer itself (grid, clamping, reconstruction), not
+    * just the plan. Max per-dim reconstruction error ≤ step/2 and the
+    * [0,255] code range are spec-asserted (Sq8AnnSpec), along with the
+    * no-cartesian plan gate.
+    *
+    * 100 TB shape: stats = one corpus pass collapsing to 128 doubles;
+    * codec = per-row codegen; search = q32's bucket-keyed shuffle with
+    * a 4×-smaller build side. */
+  /** The SQ8 codec half of [[q97Sq8Ann]]: per-dim min/max grid from one
+    * aggregation pass, codes folded straight into their reconstruction
+    * (`mn_i + code_i·step_i` — the byte codes themselves never need to
+    * exist as a column; a real index sink would store
+    * `(x − mn)/step` bytes and reconstruct at read). Returns
+    * (vec_id, embedding, recon). */
+  private[graft] def sq8Recon(df: DataFrame, dim: Int): DataFrame = {
+    val stats = df.agg(
+      array((0 until dim).map(i =>
+        min(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mins"),
+      array((0 until dim).map(i =>
+        max(element_at(col("embedding"), i + 1).cast("double"))): _*).as("maxs"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("recon", transform(sequence(lit(0), lit(dim - 1)), i => {
+        val x = element_at(col("embedding"), i + lit(1)).cast("double")
+        val mn = element_at(col("mins"), i + lit(1))
+        val mx = element_at(col("maxs"), i + lit(1))
+        val step = (mx - mn) / lit(255.0)
+        val code = least(lit(255.0), floor((x - mn) / step + lit(0.5)))
+        when(mx === mn, mn).otherwise(mn + code * step)
+      }))
+      .select(col("vec_id"), col("embedding"), col("recon"))
+  }
+
+  def q97Sq8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val coded = sq8Recon(e, Dim)
+      .select(col("vec_id"), col("recon"),
+        NativeVecFns.norm(spark, col("recon")).as("r_nrm"),
+        NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
+    val probes = e.select(
+      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      NativeVecFns.norm(spark, col("embedding")).as("a_nrm"))
+    probes.join(coded, Seq("bucket"))
+      .filter(col("a_id") =!= col("vec_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("recon")) / (col("a_nrm") * col("r_nrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("vec_id"), 3).as("top"))
+      .select(col("a_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("a_id").as("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("qsim"))
+  }
+
+  val q97Sq8AnnSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.recon", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.recon", Dim)
+    s"""WITH stats AS (
+       |  SELECT t.i AS i,
+       |    min(e.embedding[t.i + 1]::DOUBLE) AS mn,
+       |    max(e.embedding[t.i + 1]::DOUBLE) AS mx
+       |  FROM embeddings e, range(${Dim}) t(i)
+       |  GROUP BY t.i
+       |),
+       |s AS (
+       |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM stats
+       |),
+       |coded AS (
+       |  SELECT vec_id,
+       |    list_transform(range(${Dim}), i ->
+       |      CASE WHEN s.maxs[i+1] = s.mins[i+1] THEN s.mins[i+1]
+       |      ELSE s.mins[i+1]
+       |        + least(255.0::DOUBLE,
+       |            floor((embedding[i+1]::DOUBLE - s.mins[i+1])
+       |                  / ((s.maxs[i+1] - s.mins[i+1]) / 255.0) + 0.5))
+       |          * ((s.maxs[i+1] - s.mins[i+1]) / 255.0)
+       |      END) AS recon,
+       |    $bucket AS bucket
+       |  FROM embeddings, s
+       |),
+       |sims AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM embeddings a
+       |  JOIN coded b
+       |    ON $bucket = b.bucket AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS qsim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
@@ -789,6 +909,7 @@ object EmbeddingQueries {
     "q71_ann_multiprobe" -> (q71AnnMultiProbe _),
     "q74_semdedup" -> (q74SemDedup _),
     "q88_ann_recall" -> (q88AnnRecall _),
+    "q97_sq8_ann" -> (q97Sq8Ann _),
     "q89_ivf_ann" -> (q89IvfAnn _),
     "q92_ann_recall_sharded" -> (q92AnnRecallSharded _),
     "q94_incremental_ivf" -> (q94IncrementalIvf _)
@@ -804,6 +925,7 @@ object EmbeddingQueries {
     "q88_ann_recall" -> q88AnnRecallSql,
     "q89_ivf_ann" -> q89IvfAnnSql,
     "q92_ann_recall_sharded" -> q92AnnRecallShardedSql,
-    "q94_incremental_ivf" -> q94IncrementalIvfSql
+    "q94_incremental_ivf" -> q94IncrementalIvfSql,
+    "q97_sq8_ann" -> q97Sq8AnnSql
   )
 }

@@ -124,11 +124,14 @@ object RetrievalQueries {
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"), col("score"))
   }
 
-  val q85Bm25MultiProbeSql: String = {
+  /** The multi-probe BM25 CTE chain up to `per_query` — shared verbatim
+    * by the q85 and q98 oracles (one source of truth for the scoring
+    * arithmetic both queries hash against). */
+  private lazy val bm25PerQueryCtes: String = {
     val toks = TextFns.ddbTokens("text")
     val termList = Bm25Probes.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
     val probeRows = Bm25Probes.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-    s"""WITH dl AS (
+    s"""dl AS (
        |  SELECT doc_id, len($toks)::BIGINT AS dl FROM documents
        |),
        |tot AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS t_tokens FROM dl),
@@ -163,7 +166,11 @@ object RetrievalQueries {
        |    count(*)::BIGINT AS n_terms, sum(s.contrib)::BIGINT AS score
        |  FROM scored s JOIN probes p ON s.term = p.term
        |  GROUP BY p.query_id, s.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  val q85Bm25MultiProbeSql: String =
+    s"""WITH $bm25PerQueryCtes
        |SELECT query_id, rank, doc_id, n_terms, score
        |FROM (
        |  SELECT query_id, doc_id, n_terms, score,
@@ -171,7 +178,91 @@ object RetrievalQueries {
        |      ORDER BY score DESC, doc_id ASC) AS rank
        |  FROM per_query
        |) WHERE rank <= 5""".stripMargin
+
+  /** HARD-NEGATIVE MINING — the contrastive-training data miner (DPR /
+    * sentence-transformers recipe: BM25 top-ranked non-positives make
+    * the hardest, most informative negatives — Karpukhin et al., "Dense
+    * Passage Retrieval", EMNLP 2020 §4.2): for each probe query, the
+    * BM25 rank-1 document is the pseudo-positive ("gold"), ranks 2–8
+    * are candidates, and candidates that are NEAR-DUPLICATES of the
+    * gold (connected in the jaccard ≥ 0.5 edge graph — the same edge
+    * set q48/q79 consume) are false negatives and get filtered out.
+    * Survivors re-rank to the top-5 hard negatives per query.
+    *
+    * 100 TB shape: scoring inherits q85 (postings shuffle, probes
+    * broadcast); the candidate frame is queries×8 rows, so the
+    * near-dup check BROADCASTS the candidate pairs onto ONE streaming
+    * pass of the edge table (never the reverse — an anti join that
+    * builds on the edge table would broadcast a corpus-scale relation),
+    * then anti-joins the tiny hit set back. Rank windows partition by
+    * query_id — no global sort anywhere. */
+  def q98HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Bm25Probes.toDF("query_id", "term")
+    val scored = bm25Contribs(spark, dir, Bm25Probes.map(_._2).distinct)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    val ranked = scored.join(broadcast(probes), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score"))
+      .withColumn("bm25_rank", row_number().over(w))
+      .filter(col("bm25_rank") <= 8)
+    val gold = ranked.filter(col("bm25_rank") === 1)
+      .select(col("query_id"), col("doc_id").as("gold_doc"))
+    val cands = ranked.filter(col("bm25_rank") > 1)
+      .join(broadcast(gold), Seq("query_id"))
+    // undirected near-dup adjacency, probed by the broadcast candidates
+    val edges = TextQueries.nearDupEdges(spark, dir)
+    val posPairs = edges.select(col("doc_a"), col("doc_b"))
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val hits = posPairs.join(
+        broadcast(cands.select(col("gold_doc").as("doc_a"), col("doc_id").as("doc_b"))),
+        Seq("doc_a", "doc_b"))
+      .select(col("doc_a").as("gold_doc"), col("doc_b").as("doc_id"))
+      .distinct()
+    cands.join(broadcast(hits), Seq("gold_doc", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 5)
+      .select(col("query_id"), col("gold_doc"), col("doc_id").as("neg_doc"),
+        col("neg_rank"), col("n_terms"), col("score"))
   }
+
+  val q98HardNegativesSql: String =
+    s"""WITH $bm25PerQueryCtes,
+       |ranked AS (
+       |  SELECT query_id, doc_id, n_terms, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS bm25_rank
+       |  FROM per_query
+       |),
+       |r8 AS (SELECT * FROM ranked WHERE bm25_rank <= 8),
+       |gold AS (SELECT query_id, doc_id AS gold_doc FROM r8 WHERE bm25_rank = 1),
+       |cand AS (
+       |  SELECT r.query_id, g.gold_doc, r.doc_id, r.n_terms, r.score
+       |  FROM r8 r JOIN gold g ON r.query_id = g.query_id
+       |  WHERE r.bm25_rank > 1
+       |),
+       |pos AS (
+       |  SELECT doc_a, doc_b FROM (${TextQueries.q30MinHashLshSql})
+       |  WHERE jaccard >= 0.5
+       |),
+       |posu AS (
+       |  SELECT doc_a, doc_b FROM pos
+       |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pos
+       |),
+       |negs AS (
+       |  SELECT c.query_id, c.gold_doc, c.doc_id, c.n_terms, c.score
+       |  FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM posu p
+       |    WHERE p.doc_a = c.gold_doc AND p.doc_b = c.doc_id)
+       |)
+       |SELECT query_id, gold_doc, neg_doc, neg_rank, n_terms, score
+       |FROM (
+       |  SELECT query_id, gold_doc, doc_id AS neg_doc, n_terms, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS neg_rank
+       |  FROM negs
+       |) WHERE neg_rank <= 5""".stripMargin
 
   val q84Bm25Sql: String = {
     val toks = TextFns.ddbTokens("text")
@@ -214,11 +305,13 @@ object RetrievalQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bm25" -> (q84Bm25 _),
-    "q85_bm25_multiprobe" -> (q85Bm25MultiProbe _)
+    "q85_bm25_multiprobe" -> (q85Bm25MultiProbe _),
+    "q98_hard_negatives" -> (q98HardNegatives _)
   )
 
   def sql: Map[String, String] = Map(
     "q84_bm25" -> q84Bm25Sql,
-    "q85_bm25_multiprobe" -> q85Bm25MultiProbeSql
+    "q85_bm25_multiprobe" -> q85Bm25MultiProbeSql,
+    "q98_hard_negatives" -> q98HardNegativesSql
   )
 }

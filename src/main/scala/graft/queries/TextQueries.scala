@@ -352,9 +352,13 @@ object TextQueries {
         lshRerankedPairs(sigs)
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b")
-          // the ≥0.5 edge set is orders of magnitude smaller than the
-          // corpus — one file beats 32 near-empty ones
-          .coalesce(1)
+          // corpus-sized on a duplicate-heavy crawl — same contract as
+          // IncrementalDedup.writeEdgeStore: never funnel through one
+          // write task; explicit range partitioning on doc_a keeps the
+          // write parallel (AQE leaves user counts alone) and gives
+          // graph reads doc_a locality
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("doc_a"))
           .write.mode("overwrite").parquet(r)
       finally sigs.unpersist()
       r

@@ -126,6 +126,74 @@ object CurationQueries {
        |)""".stripMargin
   }
 
+  /** COUNT-MIN SKETCH frequency estimation — the fixed-memory twin of
+    * q62's exact heavy hitters: q62's exact path shuffles on the token
+    * (a vocabulary-sized, corpus-growing key space); the sketch maps
+    * every occurrence into d×w = 4×256 cells instead
+    * ([[graft.sketch.CountMin]]), so the aggregation state is 1024 rows
+    * REGARDLESS of corpus size, with map-side combine doing almost all
+    * the counting. Output: q62's exact top-20 tokens with their sketch
+    * estimates and overcounts — the one-sided-error contract
+    * (`est ≥ freq`, collisions only ADD) that makes CMS safe for
+    * threshold filters ("drop tokens with freq > X" can only
+    * over-trigger, never miss). Mergeability (executor-local sketches
+    * reduce cellwise) and the overestimate guarantee are spec-proven
+    * (CountMinSpec); the oracle replays every cell bit-exactly through
+    * the shared polynomial hash.
+    *
+    * 100 TB shape: sketch build is ONE pass, shuffle bounded at d×w
+    * rows per map task; the exact top-20 here is the *evaluation
+    * frame* (its vocab shuffle is q62's, labeled) — a pure-sketch
+    * deployment queries the 1024-cell broadcast directly. */
+  def q99CountMinFreq(spark: SparkSession, dir: String): DataFrame = {
+    val w = 256
+    val hashed = docs(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .select(TextFns.polyHash(col("token")).as("h"))
+    val cms = graft.sketch.CountMin.sketch(hashed, "h", w)
+    q62HeavyHitters(spark, dir)
+      .withColumn("h", TextFns.polyHash(col("token")))
+      .select(col("rank"), col("token"), col("freq"),
+        posexplode(array(graft.sketch.CountMin.bucketExprs(col("h"), w): _*))
+          .as(Seq("rw", "bucket")))
+      .join(broadcast(cms), Seq("rw", "bucket"))
+      .groupBy("rank", "token", "freq")
+      .agg(min("cnt").as("est_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("freq"))
+  }
+
+  val q99CountMinFreqSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    val h = TextFns.ddbPolyHash("token")
+    val d = graft.sketch.CountMin.depth
+    s"""WITH occ AS (
+       |  SELECT unnest($toks) AS token FROM documents
+       |),
+       |hh AS (SELECT $h AS h FROM occ),
+       |cells AS (
+       |  SELECT gs.j AS rw, ${graft.sketch.CountMin.ddbBucket("h", "gs.j", 256)} AS bucket
+       |  FROM hh CROSS JOIN generate_series(0, ${d - 1}) AS gs(j)
+       |),
+       |cms AS (SELECT rw, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY rw, bucket),
+       |top AS (
+       |  SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+       |  FROM (
+       |    SELECT t AS token, count(*) AS freq
+       |    FROM (SELECT unnest($toks) AS t FROM documents)
+       |    GROUP BY t ORDER BY freq DESC, token ASC LIMIT 20
+       |  )
+       |),
+       |probes AS (
+       |  SELECT rank, token, freq, gs.j AS rw,
+       |    ${graft.sketch.CountMin.ddbBucket(s"($h)", "gs.j", 256)} AS bucket
+       |  FROM top CROSS JOIN generate_series(0, ${d - 1}) AS gs(j)
+       |)
+       |SELECT p.rank, p.token, p.freq, min(c.cnt)::BIGINT AS est_cnt,
+       |  (min(c.cnt) - p.freq)::BIGINT AS overcount
+       |FROM probes p JOIN cms c ON p.rw = c.rw AND p.bucket = c.bucket
+       |GROUP BY p.rank, p.token, p.freq""".stripMargin
+  }
+
   // -------------------------------------------------- sequence packing
 
   /** Token-budget sequence packing — the batch-construction step of a
@@ -740,6 +808,7 @@ object CurationQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_decontamination" -> (q61Decontamination _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
+    "q99_countmin_freq" -> (q99CountMinFreq _),
     "q63_pack_sequences" -> (q63PackSequences _),
     "q64_tfidf" -> (q64TfIdf _),
     "q65_chunk_windows" -> (q65ChunkWindows _),
@@ -755,6 +824,7 @@ object CurationQueries {
   def sql: Map[String, String] = Map(
     "q61_decontamination" -> q61DecontaminationSql,
     "q62_heavy_hitters" -> q62HeavyHittersSql,
+    "q99_countmin_freq" -> q99CountMinFreqSql,
     "q63_pack_sequences" -> q63PackSequencesSql,
     "q64_tfidf" -> q64TfIdfSql,
     "q65_chunk_windows" -> q65ChunkWindowsSql,

@@ -811,13 +811,14 @@ object EmbeddingQueries {
     *
     * 100 TB shape: stats = one corpus pass collapsing to 128 doubles;
     * codec = per-row codegen; search = q32's bucket-keyed shuffle with
-    * a 4×-smaller build side. */
-  /** The SQ8 codec half of [[q97Sq8Ann]]: per-dim min/max grid from one
+    * a 4×-smaller build side.
+    *
+    * The codec half lives in [[sq8Recon]]: per-dim min/max grid from one
     * aggregation pass, codes folded straight into their reconstruction
     * (`mn_i + code_i·step_i` — the byte codes themselves never need to
     * exist as a column; a real index sink would store
-    * `(x − mn)/step` bytes and reconstruct at read). Returns
-    * (vec_id, embedding, recon). */
+    * `(x − mn)/step` bytes and reconstruct at read); the search half is
+    * [[q97Sq8Ann]] below. `sq8Recon` returns (vec_id, embedding, recon). */
   private[graft] def sq8Recon(df: DataFrame, dim: Int): DataFrame = {
     val stats = df.agg(
       array((0 until dim).map(i =>

@@ -231,13 +231,98 @@ object SessionQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** CLOSED-FORM OLS TREND — model fitting as pure aggregation (the
+    * "ML on the engine" shape): per-user simple linear regression of
+    * event value (cents) against day index, solved in closed form
+    * from five sufficient statistics (n, Σx, Σy, Σxy, Σx²):
+    *
+    *   slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    *
+    * both emitted in exact basis points via the decimal(38) ratio layer
+    * (`ExactDecimal.halfUpRatioBig`) — no float summation anywhere, so
+    * the result is independent of partition/summation order (a double
+    * Σxy would hash-differently per shuffle layout) and hash-exact
+    * cross-engine. x is CENTERED per user (day − min day): raw epoch
+    * days (~20k) square into Σx² ≈ n·4·10⁸ — at corpus-scale n that
+    * overflows even the HUGEINT-widened oracle side, while centered
+    * day offsets stay bounded by the observation window. This is the
+    * q49-overflow lesson applied at design time. A single-day group
+    * (denominator 0) yields slope = intercept = 0 by convention.
+    *
+    * 100 TB shape: one broadcast join of the per-key min frame + ONE
+    * keyed aggregation with map-side combine — sufficient statistics
+    * are what make regression distributable; nothing downstream of the
+    * agg exceeds one row per user. */
+  def q100OlsTrend(spark: SparkSession, dir: String): DataFrame =
+    olsTrendFrom(Tables.events(spark, dir).select(
+      col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("y")))
+
+  /** The regression core of [[q100OlsTrend]] over a (user_id, day, y)
+    * frame — separable so the closed form is spec-checkable against
+    * hand-computed fixtures (OlsTrendSpec). */
+  private[graft] def olsTrendFrom(base: DataFrame): DataFrame = {
+    import graft.functions.ExactDecimal
+    val d0 = base.groupBy("user_id").agg(min("day").as("d0"))
+    val agg = base.join(broadcast(d0), Seq("user_id"))
+      .withColumn("x", col("day") - col("d0"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    def big(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val den = big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx"))
+    val slopeNum = (big(col("n")) * big(col("sxy")) - big(col("sx")) * big(col("sy"))) * lit(10000L)
+    val interNum = (big(col("sy")) * big(col("sxx")) - big(col("sx")) * big(col("sxy"))) * lit(10000L)
+    agg.select(col("user_id"), col("n"),
+      when(den === 0, lit(0L))
+        .otherwise(ExactDecimal.halfUpRatioBig(slopeNum, den, 0).cast("long"))
+        .as("slope_bp"),
+      when(den === 0, lit(0L))
+        .otherwise(ExactDecimal.halfUpRatioBig(interNum, den, 0).cast("long"))
+        .as("intercept_bp"))
+  }
+
+  val q100OlsTrendSql: String = {
+    import graft.functions.ExactDecimal
+    val den = "n::HUGEINT * sxx - sx::HUGEINT * sx"
+    val slopeNum = "(n::HUGEINT * sxy - sx::HUGEINT * sy) * 10000"
+    val interNum = "(sy::HUGEINT * sxx - sx::HUGEINT * sxy) * 10000"
+    s"""WITH base AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    round(value * 100)::BIGINT AS y
+       |  FROM events
+       |),
+       |d0 AS (SELECT user_id, min(day) AS d0 FROM base GROUP BY user_id),
+       |ag AS (
+       |  SELECT b.user_id,
+       |    count(*)::BIGINT AS n,
+       |    sum(b.day - d0.d0)::BIGINT AS sx,
+       |    sum(b.y)::BIGINT AS sy,
+       |    sum((b.day - d0.d0) * b.y)::BIGINT AS sxy,
+       |    sum((b.day - d0.d0) * (b.day - d0.d0))::BIGINT AS sxx
+       |  FROM base b JOIN d0 ON b.user_id = d0.user_id
+       |  GROUP BY b.user_id
+       |)
+       |SELECT user_id, n,
+       |  CASE WHEN $den = 0 THEN 0
+       |    ELSE (${ExactDecimal.ddbHalfUpRatio(slopeNum, den, 0)})::BIGINT
+       |  END AS slope_bp,
+       |  CASE WHEN $den = 0 THEN 0
+       |    ELSE (${ExactDecimal.ddbHalfUpRatio(interNum, den, 0)})::BIGINT
+       |  END AS intercept_bp
+       |FROM ag""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_asof_join" -> (q38AsofJoin _),
     "q39_sessionize" -> (q39Sessionize _),
     "q40_range_join" -> (q40RangeJoin _),
     "q47_funnel" -> (q47Funnel _),
     "q78_interval_merge" -> (q78IntervalMerge _),
-    "q96_streaming_bucket_usage" -> (q96StreamingBucketUsage _)
+    "q96_streaming_bucket_usage" -> (q96StreamingBucketUsage _),
+    "q100_ols_trend" -> (q100OlsTrend _)
   )
 
   /** Interval coalescing — the interval-union sibling of q39's gap
@@ -308,6 +393,7 @@ object SessionQueries {
     "q40_range_join" -> q40RangeJoinSql,
     "q47_funnel" -> q47FunnelSql,
     "q78_interval_merge" -> q78IntervalMergeSql,
-    "q96_streaming_bucket_usage" -> q96StreamingBucketUsageSql
+    "q96_streaming_bucket_usage" -> q96StreamingBucketUsageSql,
+    "q100_ols_trend" -> q100OlsTrendSql
   )
 }

@@ -436,6 +436,34 @@ object TextQueries {
        |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
        |GROUP BY d.doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE TRAIN/HOLDOUT SPLIT — the split step a training
+    * pipeline must run AFTER dedup clustering, not before: splitting by
+    * document hash puts near-duplicate pairs on both sides (the holdout
+    * then "evaluates" on paraphrases of training data — silent eval
+    * contamination). Splitting by CONNECTED COMPONENT (q48's clusters)
+    * makes cross-split leakage structurally impossible: every near-dup
+    * pair is inside one component by construction, and a component is
+    * assigned atomically — 80/20 by the same overflow-safe Knuth
+    * multiplicative hash as q49 (deterministic, parallelism-independent,
+    * and valid past ids ≥ 2^33). Zero cross-split edges is spec-asserted
+    * (LeakageSplitSpec), not just claimed.
+    *
+    * 100 TB shape: q48's closure + ONE codegen'd hash expression per
+    * row — the split adds no shuffle of its own. */
+  def q101LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(
+      pmod(col("canonical_id"), lit(1000000007L)) * 2654435761L, lit(1000000007L))
+    q48DedupComponents(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+      .withColumn("split", when(h % 10 < 8, lit("train")).otherwise(lit("holdout")))
+  }
+
+  val q101LeakageSafeSplitSql: String =
+    s"""SELECT doc_id, canonical_id,
+       |  CASE WHEN ((canonical_id % 1000000007) * 2654435761) % 1000000007 % 10 < 8
+       |    THEN 'train' ELSE 'holdout' END AS split
+       |FROM ($q48DedupComponentsSql)""".stripMargin
+
   // ------------------------------------------- incremental near-dup dedup
 
   /** Incremental MinHash dedup under the oracle gate: split the corpus
@@ -726,6 +754,7 @@ object TextQueries {
     "q29_simhash" -> (q29SimHash _),
     "q30_minhash_lsh" -> (q30MinHashLsh _),
     "q48_dedup_components" -> (q48DedupComponents _),
+    "q101_leakage_safe_split" -> (q101LeakageSafeSplit _),
     "q69_incremental_neardup" -> (q69IncrementalNearDup _),
     "q80_novelty_curve" -> (q80NoveltyCurve _),
     "q81_bpe_merges" -> (q81BpeMerges _),
@@ -742,6 +771,7 @@ object TextQueries {
     "q29_simhash" -> q29SimHashSql,
     "q30_minhash_lsh" -> q30MinHashLshSql,
     "q48_dedup_components" -> q48DedupComponentsSql,
+    "q101_leakage_safe_split" -> q101LeakageSafeSplitSql,
     "q69_incremental_neardup" -> q69IncrementalNearDupSql,
     "q80_novelty_curve" -> q80NoveltyCurveSql,
     "q81_bpe_merges" -> q81BpeMergesSql,

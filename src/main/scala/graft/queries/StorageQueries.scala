@@ -183,6 +183,87 @@ object StorageQueries {
       |SELECT k, price, prio, 'inserted' FROM ch
       |WHERE op = 'I' AND k NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
 
+  /** STREAMING CDC APPLY under the oracle gate — q75's change set driven
+    * through a LIVE Structured Streaming query instead of one batch
+    * call: the updates arrive in micro-batch 1, the deletes + inserts in
+    * micro-batch 2, each `foreachBatch` MERGEing into the versioned
+    * snapshot ([[graft.operators.MergeInto.applyStream]]; at-least-once
+    * replay → exactly-once snapshot via merge idempotence + the
+    * v<N>/_latest commit protocol). The three change classes touch
+    * DISJOINT key sets, so the final state after sequential application
+    * equals the one-shot q75 merge — which is exactly what the oracle
+    * computes (q75's SQL minus the per-application merge_status). This
+    * closes the CDC tier's last spec-only gap: stream ≡ batch ≡
+    * relational recompute, driver-hash-proven.
+    *
+    * The `collect` feeding MemoryStream is harness wiring (q93's note
+    * applies verbatim): the foreachBatch body never sees its source, so
+    * a Kafka/file CDC feed runs the identical per-batch plan. */
+  def q102StreamingCdc(spark: SparkSession, dir: String): DataFrame = {
+    val root = cdcStreamRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strcdc", d)
+      val o = Tables.orders(spark, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val payload = Seq("o_totalprice", "o_orderpriority")
+      // v0: the base state seeds the snapshot via an all-insert batch
+      graft.operators.MergeInto.applyBatch(
+        o.select(col("o_orderkey"), lit("I").as("op"),
+          col("o_totalprice"), col("o_orderpriority")),
+        r, "o_orderkey", payload)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[Double], Option[String])]
+      val q = graft.operators.MergeInto.applyStream(
+        in.toDF().toDF("o_orderkey", "op", "o_totalprice", "o_orderpriority"),
+        r, "o_orderkey", payload, s"${r}_ckpt")
+      try {
+        val updates = o.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("p"),
+            col("o_orderpriority"))
+          .as[(Long, Double, String)].collect().toSeq
+          .map { case (k, p, pr) => (k, "U", Some(p), Some(pr)) }
+        in.addData(updates); q.processAllAvailable()
+        val delIns =
+          o.filter(col("o_orderkey") % 10 === 7).select("o_orderkey")
+            .as[Long].collect().toSeq
+            .map(k => (k, "D", None: Option[Double], None: Option[String])) ++
+          o.filter(col("o_orderkey") % 10 === 1)
+            .select((col("o_orderkey") + 100000000L).as("k"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .as[(Long, Double, String)].collect().toSeq
+            .map { case (k, p, pr) => (k, "I", Some(p), Some(pr)) }
+        in.addData(delIns); q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    graft.operators.MergeInto.readSnapshot(spark, root)
+      .getOrElse(sys.error(s"no committed CDC snapshot at $root"))
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+  }
+
+  private val cdcStreamRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q102StreamingCdcSql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 100.0 AS price,
+      |         o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 1
+      |)
+      |SELECT b.o_orderkey,
+      |  CASE WHEN ch.op = 'U' THEN ch.price ELSE b.o_totalprice END AS o_totalprice,
+      |  CASE WHEN ch.op = 'U' THEN ch.prio ELSE b.o_orderpriority END AS o_orderpriority
+      |FROM orders b LEFT JOIN ch ON b.o_orderkey = ch.k
+      |WHERE ch.op IS NULL OR ch.op <> 'D'
+      |UNION ALL
+      |SELECT k, price, prio FROM ch
+      |WHERE op = 'I' AND k NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
+
   /** q95: incremental JOIN-view maintenance under the oracle gate — the
     * join sibling of q58's partial-aggregate merge. The materialized view
     * is `orders ⋈ lineitem`; a delta batch arrives on BOTH sides (new
@@ -296,6 +377,7 @@ object StorageQueries {
     "q58_incremental_agg" -> (q58IncrementalAgg _),
     "q75_merge_into" -> (q75MergeInto _),
     "q95_incremental_join_view" -> (q95IncrementalJoinView _),
+    "q102_streaming_cdc" -> (q102StreamingCdc _),
     "q76_orc_roundtrip" -> (q76OrcRoundtrip _),
     "q77_jsonl_roundtrip" -> (q77JsonlRoundtrip _)
   )
@@ -307,6 +389,7 @@ object StorageQueries {
     "q58_incremental_agg" -> q58IncrementalAggSql,
     "q75_merge_into" -> q75MergeIntoSql,
     "q95_incremental_join_view" -> q95IncrementalJoinViewSql,
+    "q102_streaming_cdc" -> q102StreamingCdcSql,
     "q76_orc_roundtrip" -> q76OrcRoundtripSql,
     "q77_jsonl_roundtrip" -> q77JsonlRoundtripSql
   )

@@ -351,6 +351,26 @@ class PlanQualitySpec extends SparkSpec {
       s"IVF search must join on the cell key:\n$p")
   }
 
+  test("q99 CMS: sketch probe join broadcasts, counting combines map-side") {
+    val p = plan("q99_countmin_freq")
+    assert(!p.contains("CartesianProduct"), s"CMS must not cross-join:\n$p")
+    // the 1024-cell sketch joins the 20-row probe frame via broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell/probe join must broadcast, never shuffle the corpus:\n$p")
+    assert(p.contains("partial_count"),
+      s"cell counting must combine map-side before the d×w-bounded shuffle:\n$p")
+  }
+
+  test("q100 OLS: per-key min frame broadcasts, sufficient stats combine map-side") {
+    val p = plan("q100_ols_trend")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the user-dim d0 frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the regression path:\n$p")
+    assert(p.contains("partial_sum"),
+      s"sufficient statistics must combine map-side:\n$p")
+  }
+
   test("q88 ANN recall: ground truth is the labeled broadcast pass, approx side stays keyed") {
     val p = plan("q88_ann_recall")
     // exact side: probe sample broadcasts against the corpus stream — a

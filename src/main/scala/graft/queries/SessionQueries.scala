@@ -231,6 +231,59 @@ object SessionQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** STREAMING SESSIONIZATION under the oracle gate — the
+    * `flatMapGroupsWithState` tier's q93/q96/q102 moment: q39's gap
+    * sessionize driven through a LIVE streaming query with
+    * [[graft.streaming.StreamingOps.sessionizeExact]] (all-integer
+    * state, the batch gap rule and tie order, per-user session ordinals
+    * carried in state), hash-proven against the SAME DuckDB oracle as
+    * batch q39. Events replay as two ts-split micro-batches (a session
+    * spanning the batch boundary is the case that matters — its state
+    * crosses the restart boundary); one punctuation event per user past
+    * the gap closes the final real sessions, and the punctuation's own
+    * open session is never emitted — no sentinel filtering.
+    *
+    * At scale: state is one open session + counter per user (purged by
+    * gap timeout in a production deployment); the `collect` feeding
+    * MemoryStream is harness wiring (q93's note) — the per-batch plan
+    * never sees its source. */
+  def q103StreamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamSessRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strsess", d)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val gapUs = 30L * 60L * 1000000L
+      val rows = Tables.events(spark, d).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+      val midUs = rows(rows.length / 2)._2
+      val maxUs = rows.last._2
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Long)]
+      val sessions = graft.streaming.StreamingOps.sessionizeExact(
+        in.toDS(), gapUs)
+      val q = sessions.toDF().writeStream.outputMode("append").format("parquet")
+        .option("path", r).option("checkpointLocation", s"${r}_ckpt").start()
+      try {
+        val (b1, b2) = rows.partition(_._2 <= midUs)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+        // one punctuation per user closes that user's final session; its
+        // own session stays open in state and never emits
+        val users = rows.map(_._1).distinct.toSeq
+        in.addData(users.map(u => (u, maxUs + 10L * gapUs, -1L, 0L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    spark.read.parquet(root)
+      .select("user_id", "session_id", "n_events", "value_cents",
+        "start_us", "end_us")
+  }
+
+  private val streamSessRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** CLOSED-FORM OLS TREND — model fitting as pure aggregation (the
     * "ML on the engine" shape): per-user simple linear regression of
     * event value (cents) against day index, solved in closed form
@@ -322,7 +375,8 @@ object SessionQueries {
     "q47_funnel" -> (q47Funnel _),
     "q78_interval_merge" -> (q78IntervalMerge _),
     "q96_streaming_bucket_usage" -> (q96StreamingBucketUsage _),
-    "q100_ols_trend" -> (q100OlsTrend _)
+    "q100_ols_trend" -> (q100OlsTrend _),
+    "q103_streaming_sessionize" -> (q103StreamingSessionize _)
   )
 
   /** Interval coalescing — the interval-union sibling of q39's gap
@@ -394,6 +448,8 @@ object SessionQueries {
     "q47_funnel" -> q47FunnelSql,
     "q78_interval_merge" -> q78IntervalMergeSql,
     "q96_streaming_bucket_usage" -> q96StreamingBucketUsageSql,
-    "q100_ols_trend" -> q100OlsTrendSql
+    "q100_ols_trend" -> q100OlsTrendSql,
+    // stream ≡ batch: the streamed sessions hash against q39's oracle
+    "q103_streaming_sessionize" -> q39SessionizeSql
   )
 }

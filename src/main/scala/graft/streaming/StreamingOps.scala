@@ -28,6 +28,17 @@ case class Session(user_id: Long, n_events: Long, value_sum: Double,
 
 case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
 
+/** Closed session emitted by [[StreamingOps.sessionizeExact]] — the exact
+  * (all-integer) schema of the batch sessionize aggregate (q39), so the
+  * streamed result can hash-compare against the same oracle. */
+case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+                      value_cents: Long, start_us: Long, end_us: Long)
+
+/** Open-session state for [[StreamingOps.sessionizeExact]]: the per-user
+  * session ordinal plus the running aggregate of the open session. */
+case class ExactSessionState(sid: Long, n: Long, cents: Long,
+                             startUs: Long, lastUs: Long)
+
 /** Input event for [[StreamingOps.asofEnrich]] (top-level for encoders):
   * a mark (is_mark=true) updates per-key state; a reading is emitted
   * enriched with the latest at-or-before mark value. */
@@ -153,6 +164,48 @@ object StreamingOps {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** EXACT gap sessionization — the oracle-comparable sibling of
+    * [[sessionize]]: all-integer arithmetic (epoch-µs timestamps, cent
+    * values), the batch operator's exact gap rule (`gap > gapUs` opens a
+    * session) and tie order ((ts_us, event_id) within a micro-batch),
+    * and a per-user session ORDINAL carried in state — so a stream
+    * delivered in event-time order emits byte-identical rows to the
+    * batch q39 aggregate. A session closes when a later event breaks the
+    * gap; the caller flushes the final open sessions with one
+    * punctuation event per user past the gap (the punctuation's own
+    * session stays open in state and is never emitted, so no sentinel
+    * filtering is needed downstream).
+    *
+    * Input: (user_id, ts_us, event_id, cents). State per user is ONE
+    * open session + a counter — O(users), not O(events). */
+  def sessionizeExact(events: Dataset[(Long, Long, Long, Long)],
+                      gapUs: Long): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ExactSessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[ExactSessionState]) =>
+          val evs = rows.toSeq.sortBy(t => (t._2, t._3))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionRow]
+          evs.foreach { case (_, tsUs, _, cents) =>
+            cur match {
+              case Some(s) if tsUs - s.lastUs <= gapUs =>
+                cur = Some(s.copy(n = s.n + 1, cents = s.cents + cents,
+                  lastUs = math.max(s.lastUs, tsUs)))
+              case Some(s) =>
+                closed += SessionRow(userId, s.sid, s.n, s.cents, s.startUs, s.lastUs)
+                cur = Some(ExactSessionState(s.sid + 1, 1, cents, tsUs, tsUs))
+              case None =>
+                cur = Some(ExactSessionState(1, 1, cents, tsUs, tsUs))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
       }
   }
 

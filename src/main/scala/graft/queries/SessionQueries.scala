@@ -284,6 +284,52 @@ object SessionQueries {
 
   private val streamSessRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** STREAMING AS-OF ENRICHMENT under the oracle gate — q38's as-of
+    * join driven through a LIVE streaming query with
+    * [[graft.streaming.StreamingOps.asofEnrichExact]] (µs-exact state,
+    * marks-before-readings at an equal instant), hash-proven against
+    * the SAME DuckDB native-ASOF-JOIN oracle as batch q38. Marks are
+    * pre-deduped per (user, ts) exactly like the batch prep; events
+    * replay as two ts-split micro-batches, so mark state crosses the
+    * batch boundary (readings in batch 2 enrich from marks seen in
+    * batch 1). No punctuation needed — readings emit immediately.
+    *
+    * At scale: state is one latest mark per user; the `collect` feeding
+    * MemoryStream is harness wiring (q93's note). */
+  def q104StreamingAsof(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamAsofRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strasof", d)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ev = Tables.events(spark, d)
+      val readings = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), lit(false).as("is_mark"), lit(0.0).as("value"))
+      val marks = graft.operators.TemporalOps.dedupeKeepLast(
+          ev.filter(col("event_id") % 2 === 1), Seq("user_id", "ts"), Seq("event_id"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          lit(-1L).as("event_id"), lit(true).as("is_mark"), col("value"))
+      val rows = readings.unionByName(marks)
+        .as[(Long, Long, Long, Boolean, Double)].collect().sortBy(_._2)
+      val midUs = rows(rows.length / 2)._2
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Boolean, Double)]
+      val enriched = graft.streaming.StreamingOps.asofEnrichExact(in.toDS())
+      val q = enriched.toDF().writeStream.outputMode("append").format("parquet")
+        .option("path", r).option("checkpointLocation", s"${r}_ckpt").start()
+      try {
+        val (b1, b2) = rows.partition(_._2 <= midUs)
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    spark.read.parquet(root)
+      .select("user_id", "event_id", "r_us", "asof_value")
+  }
+
+  private val streamAsofRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** CLOSED-FORM OLS TREND — model fitting as pure aggregation (the
     * "ML on the engine" shape): per-user simple linear regression of
     * event value (cents) against day index, solved in closed form
@@ -376,7 +422,8 @@ object SessionQueries {
     "q78_interval_merge" -> (q78IntervalMerge _),
     "q96_streaming_bucket_usage" -> (q96StreamingBucketUsage _),
     "q100_ols_trend" -> (q100OlsTrend _),
-    "q103_streaming_sessionize" -> (q103StreamingSessionize _)
+    "q103_streaming_sessionize" -> (q103StreamingSessionize _),
+    "q104_streaming_asof" -> (q104StreamingAsof _)
   )
 
   /** Interval coalescing — the interval-union sibling of q39's gap
@@ -450,6 +497,9 @@ object SessionQueries {
     "q96_streaming_bucket_usage" -> q96StreamingBucketUsageSql,
     "q100_ols_trend" -> q100OlsTrendSql,
     // stream ≡ batch: the streamed sessions hash against q39's oracle
-    "q103_streaming_sessionize" -> q39SessionizeSql
+    "q103_streaming_sessionize" -> q39SessionizeSql,
+    // stream ≡ batch: the streamed enrichment hashes against q38's
+    // native-ASOF-JOIN oracle
+    "q104_streaming_asof" -> q38AsofJoinSql
   )
 }

@@ -39,6 +39,14 @@ case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
 case class ExactSessionState(sid: Long, n: Long, cents: Long,
                              startUs: Long, lastUs: Long)
 
+/** Enriched reading emitted by [[StreamingOps.asofEnrichExact]] — q38's
+  * exact output schema (epoch-µs reading time), oracle-comparable. */
+case class AsofRowExact(user_id: Long, event_id: Long, r_us: Long,
+                        asof_value: Option[Double])
+
+/** Latest-mark state for [[StreamingOps.asofEnrichExact]] (epoch µs). */
+case class MarkStateUs(tsUs: Long, value: Double)
+
 /** Input event for [[StreamingOps.asofEnrich]] (top-level for encoders):
   * a mark (is_mark=true) updates per-key state; a reading is emitted
   * enriched with the latest at-or-before mark value. */
@@ -206,6 +214,43 @@ object StreamingOps {
           }
           cur.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** EXACT streaming as-of enrichment — the oracle-comparable sibling of
+    * [[asofEnrich]] (which works at Timestamp-ms granularity — fine for
+    * its parity spec, but the batch operator and DuckDB's native ASOF
+    * JOIN compare at µs, so ms rounding could flip a boundary match):
+    * epoch-µs timestamps throughout, marks processed BEFORE readings at
+    * an equal instant (the `r.ts >= m.ts` inclusive-boundary rule), and
+    * the caller pre-dedupes marks per (user, ts) exactly as the batch
+    * query does, so no mark-tie ambiguity exists. A stream delivered in
+    * event-time order then emits byte-identical rows to batch q38.
+    *
+    * Input: (user_id, ts_us, event_id, is_mark, value). State per user
+    * is ONE latest mark — O(users). */
+  def asofEnrichExact(events: Dataset[(Long, Long, Long, Boolean, Double)])
+  : Dataset[AsofRowExact] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MarkStateUs, AsofRowExact](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[MarkStateUs]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AsofRowExact]
+          // marks first at an equal µs instant: !is_mark sorts false<true
+          rows.toSeq.sortBy(e => (e._2, !e._4, e._3)).foreach {
+            case (_, tsUs, eventId, isMark, value) =>
+              if (isMark) {
+                if (cur.forall(_.tsUs <= tsUs)) cur = Some(MarkStateUs(tsUs, value))
+              } else {
+                out += AsofRowExact(userId, eventId, tsUs,
+                  cur.filter(_.tsUs <= tsUs).map(_.value))
+              }
+          }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -232,7 +232,11 @@ object EmbeddingQueries {
     val root = embedEdgeStoreRoots.computeIfAbsent(dir, { d =>
       val r = graft.core.StorePaths.root("embededges", d)
       embedNearDupPairs(Tables.embeddings(spark, d), nbits = 8, threshold = 0.28)
-        .coalesce(1).write.mode("overwrite").parquet(r)
+        // corpus-sized on near-dup-heavy data — same no-single-task-write
+        // contract as the text edge stores (src-range layout)
+        .repartitionByRange(
+          spark.sessionState.conf.numShufflePartitions, col("src"))
+        .write.mode("overwrite").parquet(r)
       r
     })
     spark.read.parquet(root)

@@ -40,8 +40,11 @@ object GraphQueries {
 
   val q79PageRankSql: String = {
     val scale = 1000000000000L
+    // MATERIALIZED keeps an inlining evaluator from re-deriving `ed`
+    // (and the MinHash chain under it) once per unrolled round — see the
+    // q86 twin for the quadratic/exponential version of this hazard
     def round(cur: String, prev: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    (SELECT b FROM basec) + (85 * CAST(sum(p.r // e.outdeg) AS BIGINT)) // 100 AS r
          |  FROM ed e JOIN $prev p ON e.src = p.node GROUP BY e.dst
@@ -49,17 +52,17 @@ object GraphQueries {
     val rounds = (1 to 5)
       .map(i => round(s"it$i", if (i == 1) "r0" else s"it${i - 1}"))
       .mkString(",\n")
-    s"""WITH cand AS (
+    s"""WITH cand AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (${TextQueries.q30MinHashLshSql}) WHERE jaccard >= 0.5
        |),
-       |ed0 AS (
+       |ed0 AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand
        |),
        |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed0 GROUP BY src),
        |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
        |basec AS (SELECT (15 * ($scale // greatest(n, 1))) // 100 AS b FROM nn),
-       |ed AS (SELECT e.src, e.dst, d.outdeg FROM ed0 e JOIN deg d ON e.src = d.src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM ed0 e JOIN deg d ON e.src = d.src),
        |r0 AS (
        |  SELECT src AS node, ($scale // (SELECT greatest(n, 1) FROM nn)) AS r FROM deg
        |),
@@ -86,8 +89,13 @@ object GraphQueries {
 
   val q86PageRankDirectedSql: String = {
     val scale = 1000000000000L
+    // MATERIALIZED is load-bearing: every round references the previous
+    // one TWICE (the src-join and the dangling-mass scalar subquery), so
+    // an inlining evaluator expands it5 into 2^5 copies of the whole
+    // chain — including the MinHash CTE — which is exactly the
+    // exponential blow-up that OOMed the sf1 oracle run before the hint
     def round(cur: String, prev: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT nd.node, nd.outdeg,
          |    (SELECT b FROM basec)
          |      + (85 * (coalesce(c.s, 0)
@@ -102,20 +110,20 @@ object GraphQueries {
     val rounds = (1 to 5)
       .map(i => round(s"it$i", if (i == 1) "it0" else s"it${i - 1}"))
       .mkString(",\n")
-    s"""WITH cand AS (
+    s"""WITH cand AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (${TextQueries.q30MinHashLshSql}) WHERE jaccard >= 0.5
        |),
-       |ed0 AS (SELECT doc_a AS src, doc_b AS dst FROM cand),
+       |ed0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand),
        |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed0 GROUP BY src),
-       |nodes AS (
+       |nodes AS MATERIALIZED (
        |  SELECT u.node, coalesce(d.outdeg, 0)::BIGINT AS outdeg
        |  FROM (SELECT src AS node FROM ed0 UNION SELECT dst AS node FROM ed0) u
        |  LEFT JOIN deg d ON u.node = d.src
        |),
        |nn AS (SELECT greatest(count(*), 1)::BIGINT AS n FROM nodes),
        |basec AS (SELECT (15 * ($scale // n)) // 100 AS b FROM nn),
-       |ed AS (SELECT e.src, e.dst, d.outdeg FROM ed0 e JOIN deg d ON e.src = d.src),
-       |it0 AS (
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM ed0 e JOIN deg d ON e.src = d.src),
+       |it0 AS MATERIALIZED (
        |  SELECT node, outdeg, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes
        |),
        |$rounds

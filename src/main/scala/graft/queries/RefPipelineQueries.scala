@@ -317,7 +317,12 @@ object RefPipelineQueries {
     stageOnce(P5Stage) {
       graft.multimodal.MediaOps.imageFeatures(
         graft.multimodal.MediaOps.syntheticMedia(spark, 2000))
-        .coalesce(1).write.mode("overwrite").parquet(P5Stage)
+        // the feature stage is corpus-sized at target scale (one row per
+        // media object) — no single-task write funnel; media_id-range
+        // layout keeps downstream bucket joins id-local
+        .repartitionByRange(
+          spark.sessionState.conf.numShufflePartitions, col("media_id"))
+        .write.mode("overwrite").parquet(P5Stage)
     }
     P5Stage
   }

@@ -244,6 +244,57 @@ object StorageQueries {
 
   private val cdcStreamRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** SCHEMA-EVOLUTION READ — a corpus written over years is never one
+    * schema: generation 0 files predate a column that generation 1
+    * added. The read side must unify WITHOUT rewriting history (a 100 TB
+    * backfill to add a column is exactly what parquet's `mergeSchema`
+    * exists to avoid): gen-0 files (`o_orderkey, o_totalprice`) and
+    * gen-1 files (+ `o_orderpriority`) are written once per process,
+    * then read through ONE `mergeSchema` scan where the missing column
+    * surfaces as NULL; the aggregate groups the pre-schema rows under an
+    * explicit sentinel. The oracle computes the same union-by-name
+    * relationally, so the driver hash-proves the null-fill semantics of
+    * the evolved scan, not just the row count.
+    *
+    * 100 TB shape: mergeSchema unifies at FOOTER level (schemas, not
+    * data, are reconciled — one extra footer read per file); the scan
+    * stays a columnar scan with pushdown, and the missing column costs
+    * nothing to "read" for old files. */
+  def q106SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = schemaEvoRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("schevo", d)
+      val o = Tables.orders(spark, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$r/gen0")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$r/gen1")
+      r
+    })
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/gen0", s"$root/gen1")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(ExactDecimal.cents(col("o_totalprice"))).as("cents"))
+  }
+
+  private val schemaEvoRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q106SchemaEvolutionSql: String =
+    """WITH u AS (
+      |  SELECT o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |)
+      |SELECT coalesce(o_orderpriority, '<pre-schema>') AS prio,
+      |  count(*)::BIGINT AS n,
+      |  sum(round(o_totalprice * 100))::BIGINT AS cents
+      |FROM u
+      |GROUP BY 1""".stripMargin
+
   val q102StreamingCdcSql: String =
     """WITH ch AS (
       |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 100.0 AS price,
@@ -378,6 +429,7 @@ object StorageQueries {
     "q75_merge_into" -> (q75MergeInto _),
     "q95_incremental_join_view" -> (q95IncrementalJoinView _),
     "q102_streaming_cdc" -> (q102StreamingCdc _),
+    "q106_schema_evolution" -> (q106SchemaEvolution _),
     "q76_orc_roundtrip" -> (q76OrcRoundtrip _),
     "q77_jsonl_roundtrip" -> (q77JsonlRoundtrip _)
   )
@@ -390,6 +442,7 @@ object StorageQueries {
     "q75_merge_into" -> q75MergeIntoSql,
     "q95_incremental_join_view" -> q95IncrementalJoinViewSql,
     "q102_streaming_cdc" -> q102StreamingCdcSql,
+    "q106_schema_evolution" -> q106SchemaEvolutionSql,
     "q76_orc_roundtrip" -> q76OrcRoundtripSql,
     "q77_jsonl_roundtrip" -> q77JsonlRoundtripSql
   )

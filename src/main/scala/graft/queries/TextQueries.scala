@@ -464,6 +464,54 @@ object TextQueries {
        |    THEN 'train' ELSE 'holdout' END AS split
        |FROM ($q48DedupComponentsSql)""".stripMargin
 
+  /** CORPUS SNAPSHOT DIFF — the change-data report between two corpus
+    * snapshots (crawl N vs crawl N+1): per document, `added` /
+    * `removed` / `changed` / `unchanged` by content hash. This is the
+    * operator that decides what an incremental pipeline actually
+    * re-processes — q69/q91/q94 ingest the `added ∪ changed` slice, and
+    * `removed` drives tombstones; diffing by CONTENT hash (not mtime)
+    * makes the report transport-independent and re-crawl-safe. Snapshots
+    * here are deterministic slices of `documents` (old = all but
+    * `%20 = 5`; new = all but `%20 = 11`, with `%20 = 3` rewritten) so
+    * every status class is exercised.
+    *
+    * 100 TB shape: ONE doc_id-keyed full-outer join of two hash
+    * projections — with both snapshots bucketed by doc_id (q55's
+    * layout) it is exchange-free; the hash itself is per-row codegen. */
+  def q105CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(col("doc_id") % 20 =!= 5)
+      .select(col("doc_id"), sha2(col("text"), 256).as("old_hash"))
+    val neu = d.filter(col("doc_id") % 20 =!= 11)
+      .select(col("doc_id"),
+        sha2(when(col("doc_id") % 20 === 3, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")), 256).as("new_hash"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  val q105CorpusDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, sha256(text) AS old_hash
+      |  FROM documents WHERE doc_id % 20 <> 5
+      |),
+      |neu AS (
+      |  SELECT doc_id,
+      |    sha256(CASE WHEN doc_id % 20 = 3 THEN text || ' [rev2]' ELSE text END)
+      |      AS new_hash
+      |  FROM documents WHERE doc_id % 20 <> 11
+      |)
+      |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+      |  CASE WHEN old.doc_id IS NULL THEN 'added'
+      |       WHEN neu.doc_id IS NULL THEN 'removed'
+      |       WHEN old.old_hash <> neu.new_hash THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin
+
   // ------------------------------------------- incremental near-dup dedup
 
   /** Incremental MinHash dedup under the oracle gate: split the corpus
@@ -755,6 +803,7 @@ object TextQueries {
     "q30_minhash_lsh" -> (q30MinHashLsh _),
     "q48_dedup_components" -> (q48DedupComponents _),
     "q101_leakage_safe_split" -> (q101LeakageSafeSplit _),
+    "q105_corpus_diff" -> (q105CorpusDiff _),
     "q69_incremental_neardup" -> (q69IncrementalNearDup _),
     "q80_novelty_curve" -> (q80NoveltyCurve _),
     "q81_bpe_merges" -> (q81BpeMerges _),
@@ -772,6 +821,7 @@ object TextQueries {
     "q30_minhash_lsh" -> q30MinHashLshSql,
     "q48_dedup_components" -> q48DedupComponentsSql,
     "q101_leakage_safe_split" -> q101LeakageSafeSplitSql,
+    "q105_corpus_diff" -> q105CorpusDiffSql,
     "q69_incremental_neardup" -> q69IncrementalNearDupSql,
     "q80_novelty_curve" -> q80NoveltyCurveSql,
     "q81_bpe_merges" -> q81BpeMergesSql,

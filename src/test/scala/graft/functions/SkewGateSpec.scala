@@ -76,6 +76,46 @@ class SkewGateSpec extends SparkSpec {
       s"salted ${salted.max / n} vs naive $naiveShare")
   }
 
+  test("AQE skew join splits the hot partition at runtime (the no-salt lever)") {
+    // salting (above) is the WRITE-TIME skew answer; AQE's skew join is
+    // the RUNTIME one — prove the engine lever actually fires on our
+    // Zipf twin, so the 100 TB story doesn't depend on hand-salting
+    // every join. Thresholds are floored to 1 byte because skew
+    // detection runs on COMPRESSED shuffle bytes and the toy-scale hot
+    // partition is a run of identical keys — lz4 squeezes it under the
+    // kilobyte defaults (a disguise real mixed-payload rows don't
+    // have). The mechanism (OptimizeSkewedJoin splitting the oversized
+    // partition into parallel sub-reads) is the same one production
+    // sizes trigger at the default thresholds.
+    import spark.implicits._
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // 32 partitions: the Zipf tail spreads thin, so the hot key's
+      // partition clears factor×median on real shuffle bytes
+      "spark.sql.shuffle.partitions" -> "32") {
+      // sf0.01: the hot partition must clear factor×median at real bytes
+      val big = graft.tools.SkewGen.skewedEvents(
+        graft.core.Tables.events(spark, "/root/testdata/sf0.01"))
+      val dim = (0L until 1001L).map(k => (k, k % 7)).toDF("user_id", "seg")
+      val j = big.join(dim, Seq("user_id")).groupBy("seg").count()
+      // AQE finalizes the plan at execution — materialize j ITSELF, then
+      // read its (now final) adaptive plan
+      val got = j.collect().map(_.getLong(1)).sum
+      val expected = big.groupBy("user_id").count()
+        .filter(col("user_id") < 1001L).agg(sum("count")).collect()(0).getLong(0)
+      assert(got == expected, "skew-split join must not change results")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE must mark the skewed join in the final plan:\n$plan")
+    }
+  }
+
   test("salted aggregation result is unchanged on the skewed twin (correctness under skew)") {
     val df = skewed.select(col("user_id"), col("event_id"), col("value"))
     val plain = df.groupBy("user_id").agg(sum("value").as("v"), count(lit(1)).as("n"))

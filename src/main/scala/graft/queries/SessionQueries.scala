@@ -330,6 +330,78 @@ object SessionQueries {
 
   private val streamAsofRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** STREAM-STREAM WINDOWED JOIN under the oracle gate — the attribution
+    * join ([[graft.streaming.StreamingOps.windowedStreamJoin]]: each
+    * click joins its impression within 10 minutes, watermarks on both
+    * sides bound the buffered state) driven through a LIVE two-source
+    * streaming query and hash-proven against the relational interval
+    * join. Impressions are the even events, clicks the odd events linked
+    * to their preceding even id — so matches, non-matches (outside the
+    * window), and orphan clicks all occur. Both sources replay in two
+    * ts-split micro-batches: pairs whose click lands in batch 2 while
+    * the impression arrived in batch 1 exercise the cross-batch join
+    * buffer. Inner stream-stream joins emit on match (watermarks only
+    * bound state), so no punctuation is needed.
+    *
+    * Output times are epoch-µs (events.ts ns-truncation rule);
+    * latency_s is whole seconds (both engines floor positive epochs). */
+  def q107StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamJoinRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strjoin", d)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ev = Tables.events(spark, d)
+      val imps = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("imp_id"), col("ts").as("imp_ts"))
+        .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+      val clicks = ev.filter(col("event_id") % 2 === 1)
+        .select((col("event_id") - 1L).as("click_imp_id"), col("ts").as("click_ts"))
+        .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+      val impIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val clkIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val joined = graft.streaming.StreamingOps.windowedStreamJoin(
+        impIn.toDF().toDF("imp_id", "imp_ts"),
+        clkIn.toDF().toDF("click_imp_id", "click_ts"))
+      val q = joined.writeStream.outputMode("append").format("parquet")
+        .option("path", r).option("checkpointLocation", s"${r}_ckpt").start()
+      try {
+        val midMs = imps(imps.length / 2)._2.getTime
+        impIn.addData(imps.filter(_._2.getTime <= midMs).toSeq)
+        clkIn.addData(clicks.filter(_._2.getTime <= midMs).toSeq)
+        q.processAllAvailable()
+        impIn.addData(imps.filter(_._2.getTime > midMs).toSeq)
+        clkIn.addData(clicks.filter(_._2.getTime > midMs).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    spark.read.parquet(root)
+      .select(col("imp_id"), unix_micros(col("imp_ts")).as("imp_us"),
+        unix_micros(col("click_ts")).as("click_us"), col("latency_s"))
+  }
+
+  private val streamJoinRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q107StreamStreamJoinSql: String =
+    """WITH imp AS (
+      |  SELECT event_id AS imp_id, ts AS imp_ts
+      |  FROM events WHERE event_id % 2 = 0
+      |),
+      |clk AS (
+      |  SELECT event_id - 1 AS imp_id, ts AS click_ts
+      |  FROM events WHERE event_id % 2 = 1
+      |)
+      |SELECT i.imp_id,
+      |  epoch_us(i.imp_ts) AS imp_us,
+      |  epoch_us(c.click_ts) AS click_us,
+      |  (epoch_us(c.click_ts) // 1000000 - epoch_us(i.imp_ts) // 1000000)
+      |    AS latency_s
+      |FROM imp i JOIN clk c ON i.imp_id = c.imp_id
+      |WHERE c.click_ts >= i.imp_ts
+      |  AND c.click_ts <= i.imp_ts + INTERVAL 10 MINUTE""".stripMargin
+
   /** CLOSED-FORM OLS TREND — model fitting as pure aggregation (the
     * "ML on the engine" shape): per-user simple linear regression of
     * event value (cents) against day index, solved in closed form
@@ -423,7 +495,8 @@ object SessionQueries {
     "q96_streaming_bucket_usage" -> (q96StreamingBucketUsage _),
     "q100_ols_trend" -> (q100OlsTrend _),
     "q103_streaming_sessionize" -> (q103StreamingSessionize _),
-    "q104_streaming_asof" -> (q104StreamingAsof _)
+    "q104_streaming_asof" -> (q104StreamingAsof _),
+    "q107_stream_stream_join" -> (q107StreamStreamJoin _)
   )
 
   /** Interval coalescing — the interval-union sibling of q39's gap
@@ -500,6 +573,7 @@ object SessionQueries {
     "q103_streaming_sessionize" -> q39SessionizeSql,
     // stream ≡ batch: the streamed enrichment hashes against q38's
     // native-ASOF-JOIN oracle
-    "q104_streaming_asof" -> q38AsofJoinSql
+    "q104_streaming_asof" -> q38AsofJoinSql,
+    "q107_stream_stream_join" -> q107StreamStreamJoinSql
   )
 }

@@ -384,6 +384,49 @@ object SessionQueries {
 
   private val streamJoinRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** STREAMING KEYED DEDUP under the oracle gate — watermarked
+    * `dropDuplicates` on (user_id, ts)
+    * ([[graft.streaming.StreamingOps.dedup]]: keep first seen, state
+    * purged past the watermark). Every micro-batch is fed TWICE — once
+    * with an intra-batch duplicate of itself, once replayed as the next
+    * micro-batch — so suppression is exercised both inside a batch and
+    * across the state-store boundary (the at-least-once-delivery
+    * reality this operator exists for). The streamed survivors are the
+    * DISTINCT keys, which is exactly what the relational oracle
+    * computes; emission is immediate on first arrival, so no
+    * punctuation is needed. */
+  def q108StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamDedupRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("strdedup", d)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rows = Tables.events(spark, d).select("user_id", "ts")
+        .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+      val midMs = rows(rows.length / 2)._2.getTime
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val deduped = graft.streaming.StreamingOps.dedup(
+        in.toDF().toDF("user_id", "ts"))
+      val q = deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", r).option("checkpointLocation", s"${r}_ckpt").start()
+      try {
+        val (b1, b2) = rows.partition(_._2.getTime <= midMs)
+        in.addData(b1.toSeq ++ b1.toSeq); q.processAllAvailable() // intra-batch dups
+        in.addData(b1.toSeq); q.processAllAvailable()             // cross-batch replay
+        in.addData(b2.toSeq ++ b2.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      r
+    })
+    spark.read.parquet(root)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+  }
+
+  private val streamDedupRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q108StreamingDedupSql: String =
+    """SELECT DISTINCT user_id, epoch_us(ts) AS ts_us FROM events""".stripMargin
+
   val q107StreamStreamJoinSql: String =
     """WITH imp AS (
       |  SELECT event_id AS imp_id, ts AS imp_ts
@@ -496,7 +539,8 @@ object SessionQueries {
     "q100_ols_trend" -> (q100OlsTrend _),
     "q103_streaming_sessionize" -> (q103StreamingSessionize _),
     "q104_streaming_asof" -> (q104StreamingAsof _),
-    "q107_stream_stream_join" -> (q107StreamStreamJoin _)
+    "q107_stream_stream_join" -> (q107StreamStreamJoin _),
+    "q108_streaming_dedup" -> (q108StreamingDedup _)
   )
 
   /** Interval coalescing — the interval-union sibling of q39's gap
@@ -574,6 +618,7 @@ object SessionQueries {
     // stream ≡ batch: the streamed enrichment hashes against q38's
     // native-ASOF-JOIN oracle
     "q104_streaming_asof" -> q38AsofJoinSql,
-    "q107_stream_stream_join" -> q107StreamStreamJoinSql
+    "q107_stream_stream_join" -> q107StreamStreamJoinSql,
+    "q108_streaming_dedup" -> q108StreamingDedupSql
   )
 }

@@ -115,6 +115,124 @@ object CoverageQueries {
       |  round(quantile_cont(value, 0.95), 4) AS p95
       |FROM events GROUP BY 1""".stripMargin
 
+  /** ROBUST OUTLIER FENCE — Tukey IQR data cleaning per user (the
+    * robust-statistics filter a metrics/training pipeline runs before
+    * aggregating sensor-grade values): fences at q1 − 1.5·IQR and
+    * q3 + 1.5·IQR, events outside them flagged, and the per-user
+    * robust aggregate computed over the survivors.
+    *
+    * Cross-engine exactness is engineered, not hoped for: percentiles
+    * run over integer CENTS, where the type-7 interpolation position
+    * 0.25·(n−1) has a dyadic fractional part ({0, ¼, ½, ¾}) — so
+    * `a + (b−a)·frac` is EXACT in IEEE doubles for any op order, and
+    * the fence arithmetic (×1.5 on dyadic quarters) stays exact too.
+    * Both engines therefore produce bit-identical fences and identical
+    * boundary classifications — the float-boundary classify-flip
+    * hazard (the q53-threshold lesson) is eliminated by construction
+    * rather than margin-measured.
+    *
+    * 100 TB shape: one exact-percentile agg per user (user-keyed
+    * shuffle) broadcast back over one streaming pass; at extreme
+    * per-user cardinality swap in approx_percentile (q59's sketch) and
+    * keep the same fence algebra. */
+  def q109OutlierFence(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val fences = e.groupBy("user_id").agg(
+        expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.75)").as("q3"))
+      .select(col("user_id"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    e.join(broadcast(fences), Seq("user_id"))
+      .withColumn("is_out", col("cents") < col("lo") || col("cents") > col("hi"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(!col("is_out"), col("cents")).otherwise(0L)).as("kept_cents"))
+  }
+
+  val q109OutlierFenceSql: String =
+    """WITH e AS (
+      |  SELECT user_id, round(value * 100)::BIGINT AS cents FROM events
+      |),
+      |f AS (
+      |  SELECT user_id,
+      |    quantile_cont(cents, 0.25) AS q1,
+      |    quantile_cont(cents, 0.75) AS q3
+      |  FROM e GROUP BY user_id
+      |),
+      |fence AS (
+      |  SELECT user_id,
+      |    q1 - (q3 - q1) * 1.5 AS lo,
+      |    q3 + (q3 - q1) * 1.5 AS hi
+      |  FROM f
+      |)
+      |SELECT e.user_id,
+      |  count(*)::BIGINT AS n,
+      |  sum(CASE WHEN e.cents < fence.lo OR e.cents > fence.hi
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  sum(CASE WHEN e.cents < fence.lo OR e.cents > fence.hi
+      |      THEN 0 ELSE e.cents END)::BIGINT AS kept_cents
+      |FROM e JOIN fence ON e.user_id = fence.user_id
+      |GROUP BY e.user_id""".stripMargin
+
+  /** GROUP-WISE Z-SCORE STANDARDIZATION — the feature-scaling transform
+    * (normalize each value against its group's distribution) every
+    * model-input pipeline runs. Exactness by the q100 recipe: the
+    * sufficient statistics are INTEGER sums over cents (n, Σx, Σx²),
+    * so mean = Σx/n and var = (nΣx² − (Σx)²)/(n(n−1)) are single IEEE
+    * divisions of exactly-represented integers — both engines compute
+    * the identical doubles, sqrt is correctly-rounded, and the z-score
+    * rounds to 4 decimals for the cross-engine hash. Population of one
+    * (n = 1) yields z = 0 by convention.
+    *
+    * 100 TB shape: one group-keyed agg (map-side combine) broadcast
+    * back over one streaming pass — same two-pass shape as q109's
+    * fence; no window over raw rows, no global sort. */
+  def q110Zscore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      .select(col("event_type"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+        when(col("n") <= 1, lit(0.0)).otherwise(
+          sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1L).cast("double")))).as("sd"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        when(col("sd") === 0.0, lit(0.0))
+          .otherwise(round((col("cents").cast("double") - col("mean")) / col("sd"), 4))
+          .as("z"))
+  }
+
+  val q110ZscoreSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, round(value * 100)::BIGINT AS cents
+      |  FROM events
+      |),
+      |s AS (
+      |  SELECT event_type,
+      |    count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
+      |    sum(cents * cents)::BIGINT AS sxx
+      |  FROM e GROUP BY event_type
+      |),
+      |m AS (
+      |  SELECT event_type,
+      |    sx::DOUBLE / n::DOUBLE AS mean,
+      |    CASE WHEN n <= 1 THEN 0.0
+      |      ELSE sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |                / (n::DOUBLE * (n - 1)::DOUBLE)) END AS sd
+      |  FROM s
+      |)
+      |SELECT e.event_id, e.event_type,
+      |  CASE WHEN m.sd = 0.0 THEN 0.0
+      |    ELSE round((e.cents::DOUBLE - m.mean) / m.sd, 4) END AS z
+      |FROM e JOIN m ON e.event_type = m.event_type""".stripMargin
+
   /** Array/map/format scalar battery (SURVEY §2.8 array/map rows):
     * collect → sort → slice/element_at, map_from_entries + lookup,
     * regexp_extract_all, printf-style formatting. */
@@ -298,6 +416,8 @@ object CoverageQueries {
     "q43_cube" -> (q43Cube _),
     "q44_set_ops" -> (q44SetOps _),
     "q45_percentiles" -> (q45Percentiles _),
+    "q109_outlier_fence" -> (q109OutlierFence _),
+    "q110_zscore" -> (q110Zscore _),
     "q46_array_map" -> (q46ArrayMap _)
   )
 
@@ -311,6 +431,8 @@ object CoverageQueries {
     "q43_cube" -> q43CubeSql,
     "q44_set_ops" -> q44SetOpsSql,
     "q45_percentiles" -> q45PercentilesSql,
+    "q109_outlier_fence" -> q109OutlierFenceSql,
+    "q110_zscore" -> q110ZscoreSql,
     "q46_array_map" -> q46ArrayMapSql
   )
 }

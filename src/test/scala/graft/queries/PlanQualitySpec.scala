@@ -371,6 +371,34 @@ class PlanQualitySpec extends SparkSpec {
       s"sufficient statistics must combine map-side:\n$p")
   }
 
+  test("q105 corpus diff: one keyed full-outer join, hashes pushed below it") {
+    val p = plan("q105_corpus_diff")
+    assert(!p.contains("CartesianProduct"))
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"diff must be exactly one keyed join, got $joins:\n$p")
+    assert(p.contains("FullOuter"), s"must be a full-outer join:\n$p")
+  }
+
+  test("q106 schema evolution: merged scan reads both generations columnar") {
+    val df = graft.SparkEntry.queries("q106_schema_evolution")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // one scan over both generation paths; the evolved column must be in
+    // the unified read schema
+    assert(p.contains("o_orderpriority"), s"evolved column missing from scan:\n$p")
+    assert(!p.contains("Union"), s"mergeSchema must unify in ONE scan, not a union:\n$p")
+  }
+
+  test("q109/q110: stats frames broadcast back, no shuffle join in the second pass") {
+    Seq("q109_outlier_fence", "q110_zscore").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q stats frame must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q must not shuffle-join the raw rows:\n$p")
+    }
+  }
+
   test("q88 ANN recall: ground truth is the labeled broadcast pass, approx side stays keyed") {
     val p = plan("q88_ann_recall")
     // exact side: probe sample broadcasts against the corpus stream — a

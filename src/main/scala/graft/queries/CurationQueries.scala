@@ -194,6 +194,51 @@ object CurationQueries {
        |GROUP BY p.rank, p.token, p.freq""".stripMargin
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE — the multi-epoch dataloader ordering:
+    * each training epoch needs a DIFFERENT but REPRODUCIBLE permutation
+    * of the corpus. Position comes from an overflow-safe multiplicative
+    * hash with a per-epoch multiplier (the q49 family, so it stays
+    * valid past ids ≥ 2^33), and — the scale-honest part — ordering is
+    * SHARD-LOCAL: docs hash into 8 shards per epoch and are ranked
+    * within their shard, which is exactly how a distributed dataloader
+    * consumes data (each worker reads its own shard in order). A global
+    * row_number would be a single-partition window — the q8-gate
+    * anti-pattern — and no trainer needs a total order across workers.
+    * Bijectivity per (epoch, shard) and epoch-to-epoch order divergence
+    * are spec-asserted (EpochShuffleSpec).
+    *
+    * 100 TB shape: one hash per row + a window partitioned by (epoch,
+    * shard) — 2·8 independent sort groups, no global sort anywhere. */
+  def q111EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val mult = Map(0 -> 2654435761L, 1 -> 2654435789L)
+    val perEpoch = (0 to 1).map { ep =>
+      docs(spark, dir).select(col("doc_id"))
+        .withColumn("epoch", lit(ep))
+        .withColumn("h", pmod(pmod(col("doc_id"), lit(P)) * mult(ep), lit(P)))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    perEpoch
+      .withColumn("shard", (col("h") % 8).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("epoch", "shard", "pos", "doc_id")
+  }
+
+  val q111EpochShuffleSql: String =
+    """WITH perm AS (
+      |  SELECT 0 AS epoch, doc_id,
+      |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 1 AS epoch, doc_id,
+      |    ((doc_id % 1000000007) * 2654435789) % 1000000007 AS h
+      |  FROM documents
+      |)
+      |SELECT epoch, (h % 8)::INT AS shard,
+      |  row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS pos,
+      |  doc_id
+      |FROM perm""".stripMargin
+
   // -------------------------------------------------- sequence packing
 
   /** Token-budget sequence packing — the batch-construction step of a
@@ -809,6 +854,7 @@ object CurationQueries {
     "q61_decontamination" -> (q61Decontamination _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q99_countmin_freq" -> (q99CountMinFreq _),
+    "q111_epoch_shuffle" -> (q111EpochShuffle _),
     "q63_pack_sequences" -> (q63PackSequences _),
     "q64_tfidf" -> (q64TfIdf _),
     "q65_chunk_windows" -> (q65ChunkWindows _),
@@ -825,6 +871,7 @@ object CurationQueries {
     "q61_decontamination" -> q61DecontaminationSql,
     "q62_heavy_hitters" -> q62HeavyHittersSql,
     "q99_countmin_freq" -> q99CountMinFreqSql,
+    "q111_epoch_shuffle" -> q111EpochShuffleSql,
     "q63_pack_sequences" -> q63PackSequencesSql,
     "q64_tfidf" -> q64TfIdfSql,
     "q65_chunk_windows" -> q65ChunkWindowsSql,

@@ -36,7 +36,7 @@ object IncrementalIvf {
     * under `root/centroids`, and write the state's inverted lists under
     * `ingest_batch=-1`. The index write inherits the assignment's full
     * parallelism — no single-task funnel (the edge-store lesson). */
-  def writeIndex(spark: SparkSession, state: DataFrame, root: String,
+  def writeIndex(state: DataFrame, root: String,
                  k: Int, iters: Int): Unit = {
     val (cents, _) = graft.ml.KMeans.fit(state, k, iters)
     // k rows by construction — the one legitimately tiny table here

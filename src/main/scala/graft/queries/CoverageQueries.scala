@@ -193,9 +193,16 @@ object CoverageQueries {
   def q110Zscore(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
+    // Σx and Σx² widen to decimal(38) BEFORE summing (cents² alone can
+    // pass 2^63 per row at ~$30M values, and group sums certainly can at
+    // corpus scale) — the DuckDB side widens to HUGEINT automatically,
+    // so a long-typed Spark sum is the only overflow site. decimal →
+    // double is round-to-nearest in both engines, so the final divisions
+    // stay bit-identical.
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val stats = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"), sum("cents").as("sx"),
-        sum(col("cents") * col("cents")).as("sxx"))
+        count(lit(1)).as("n"), sum(big(col("cents"))).as("sx"),
+        sum(big(col("cents")) * big(col("cents"))).as("sxx"))
       .select(col("event_type"),
         (col("sx").cast("double") / col("n").cast("double")).as("mean"),
         when(col("n") <= 1, lit(0.0)).otherwise(
@@ -216,8 +223,8 @@ object CoverageQueries {
       |),
       |s AS (
       |  SELECT event_type,
-      |    count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
-      |    sum(cents * cents)::BIGINT AS sxx
+      |    count(*)::BIGINT AS n, sum(cents) AS sx,
+      |    sum(cents::HUGEINT * cents) AS sxx
       |  FROM e GROUP BY event_type
       |),
       |m AS (

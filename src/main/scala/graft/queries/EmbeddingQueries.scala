@@ -568,8 +568,7 @@ object EmbeddingQueries {
     val root = ivfStoreRoots.computeIfAbsent(dir, { d =>
       val r = graft.core.StorePaths.root("incivf", d)
       val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
-      graft.operators.IncrementalIvf.writeIndex(
-        spark, e.filter(col("vec_id") % 10 =!= 7), r, SemK, SemKIters)
+      graft.operators.IncrementalIvf.writeIndex(e.filter(col("vec_id") % 10 =!= 7), r, SemK, SemKIters)
       graft.operators.IncrementalIvf.ingestBatch(
         spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
       r

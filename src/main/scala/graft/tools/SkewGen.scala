@@ -29,7 +29,10 @@ object SkewGen {
   private def unit(id: Column, stream: Int): Column =
     (pmod(hash(id, lit(stream)), lit(1000000)).cast("double") + 0.5) / 1000000.0
 
-  /** Rewrite `keyCol` (long) to the hot+Zipf distribution over [0, K]. */
+  /** Rewrite `keyCol` (long) to the hot+Zipf distribution: key 0 holds
+    * `hotShare` of the mass; the tail draws `floor(K^u)` for u ∈ [0, 1),
+    * i.e. keys 1 .. K−1 — key K itself never occurs (K^u < K for every
+    * u < 1), so size consumers to K−1 tail keys plus the hot key. */
   def skewKey(df: DataFrame, idCol: String, keyCol: String,
               hotShare: Double = 0.2, tailKeys: Int = 1000): DataFrame = {
     require(hotShare > 0 && hotShare < 1, "hotShare in (0,1)")

@@ -20,7 +20,7 @@ class IncrementalIvfSpec extends SparkSpec {
     val root = tmpRoot("equiv")
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
-    IncrementalIvf.writeIndex(spark, all.filter(col("vec_id") % 10 < 8), root, k = 8, iters = 2)
+    IncrementalIvf.writeIndex(all.filter(col("vec_id") % 10 < 8), root, k = 8, iters = 2)
     IncrementalIvf.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 8), batchId = 1L)
     IncrementalIvf.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 9), batchId = 2L)
     def cellOf(df: org.apache.spark.sql.DataFrame) =
@@ -50,7 +50,7 @@ class IncrementalIvfSpec extends SparkSpec {
     val root = tmpRoot("plan")
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
-    IncrementalIvf.writeIndex(spark, all, root, k = 8, iters = 1)
+    IncrementalIvf.writeIndex(all, root, k = 8, iters = 1)
     val out = IncrementalIvf.search(spark, root, all, nprobe = 2, topK = 3)
     out.collect()
     val p = out.queryExecution.executedPlan.toString
@@ -65,7 +65,7 @@ class IncrementalIvfSpec extends SparkSpec {
     val root = tmpRoot("delta")
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
-    IncrementalIvf.writeIndex(spark, all.filter(col("vec_id") % 10 =!= 7), root, k = 8, iters = 2)
+    IncrementalIvf.writeIndex(all.filter(col("vec_id") % 10 =!= 7), root, k = 8, iters = 2)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def seedFiles = fs.listFiles(
         new org.apache.hadoop.fs.Path(s"$root/index/ingest_batch=-1"), true)

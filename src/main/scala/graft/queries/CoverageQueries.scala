@@ -149,7 +149,12 @@ object CoverageQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
-        sum(when(!col("is_out"), col("cents")).otherwise(0L)).as("kept_cents"))
+        // widen through decimal(38,0) like q100/q110: DuckDB's sum()
+        // widens to HUGEINT automatically, so an extreme per-user cents
+        // sum must not wrap on the Spark side only (then narrow back to
+        // long to keep the published schema)
+        sum(when(!col("is_out"), col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("long").as("kept_cents"))
   }
 
   val q109OutlierFenceSql: String =

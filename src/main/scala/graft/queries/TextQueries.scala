@@ -480,16 +480,24 @@ object TextQueries {
     * layout) it is exchange-free; the hash itself is per-row codegen. */
   def q105CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // classification branches on SIDE PRESENCE (the `in_old`/`in_new`
+    // flags), not hash nullness, matching the SQL twin's
+    // `old.doc_id IS NULL` rule — a NULL-text document hashes to NULL
+    // but is still PRESENT, and must not be misreported as added/removed
     val old = d.filter(col("doc_id") % 20 =!= 5)
-      .select(col("doc_id"), sha2(col("text"), 256).as("old_hash"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("old_hash"),
+        lit(true).as("in_old"))
     val neu = d.filter(col("doc_id") % 20 =!= 11)
       .select(col("doc_id"),
         sha2(when(col("doc_id") % 20 === 3, concat(col("text"), lit(" [rev2]")))
-          .otherwise(col("text")), 256).as("new_hash"))
+          .otherwise(col("text")), 256).as("new_hash"),
+        lit(true).as("in_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          // null-propagating `=!=` like the twin's `<>`: both-present
+          // NULL-hash rows fall through to 'unchanged' in both engines
           .when(col("old_hash") =!= col("new_hash"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }

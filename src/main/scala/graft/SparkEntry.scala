@@ -22,7 +22,7 @@ object SparkEntry {
       graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all ++
       graft.queries.CorpusPrepQueries.all ++ graft.queries.StorageQueries.all ++
       graft.queries.CurationQueries.all ++ graft.queries.GraphQueries.all ++
-      graft.queries.RetrievalQueries.all
+      graft.queries.RetrievalQueries.all ++ graft.queries.FileStreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql ++
       graft.queries.CorpusPrepQueries.sql ++ graft.queries.StorageQueries.sql ++
       graft.queries.CurationQueries.sql ++ graft.queries.GraphQueries.sql ++
-      graft.queries.RetrievalQueries.sql
+      graft.queries.RetrievalQueries.sql ++ graft.queries.FileStreamQueries.sql
 }

@@ -124,6 +124,35 @@ object KMeans {
     }
   }
 
+  /** Sampled-fit training — the flat-cost path for the steepest term in
+    * the IVF tier's scale profile (q89/q94 grow ~3.5× per data decade
+    * because Lloyd scans EVERY vector every round at fixed k, while the
+    * centroids a 1-in-`denom` sample produces are statistically the
+    * same: Lloyd converges on cluster MEANS, and a uniform sample's
+    * per-cell means concentrate around the full corpus's at O(1/√cell)
+    * error — far below inter-centroid spacing for any usable cell size).
+    *
+    * The sample is the q49 recipe: an overflow-safe Knuth multiplicative
+    * hash of `vec_id` (pre-modded by 1e9+7 so replica-offset ids ≥ 2^33
+    * under ANSI mode can't overflow the multiply), keeping ids with
+    * hash % denom == 0 — deterministic, parallelism-independent, no RNG.
+    * Training cost drops by denom× per round; assignment of the full
+    * corpus (the cheap, single-pass term) is unchanged downstream.
+    *
+    * Centroid-quality bound and full-set recall preservation are
+    * MEASURED, not assumed, in KMeansSpec (sampled-vs-full centroid
+    * displacement ≪ inter-centroid spacing; IVF recall vs exact top-k
+    * preserved). Oracle queries pin the full-fit path — this is the
+    * opt-in production knob. */
+  def fitSampled(vectors: DataFrame, k: Int, iters: Int,
+                 denom: Int = 10): (DataFrame, Seq[Double]) = {
+    require(denom >= 1, "denom must be >= 1")
+    val sample = vectors.filter(
+      pmod(pmod(col("vec_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)) % denom === 0)
+    fit(sample, k, iters)
+  }
+
   /** IVF search: restrict the exact search to the `nProbe` centroids
     * nearest the query side — the candidate join keys on cid, replacing
     * the all-pairs cross join. */

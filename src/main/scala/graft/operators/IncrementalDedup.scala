@@ -223,6 +223,34 @@ object IncrementalDedup {
       ingestBatchWithEdges(batch.sparkSession, root, pairsOut, batch, batchId, threshold)
     }
 
+  /** Store maintenance: fold every ingested `ingest_batch=N` partition of
+    * `bands/`, `sets/`, and `edges/` into the base (`ingest_batch=-1`)
+    * partition via [[Compaction.foldIngestBatches]]. Reads are unchanged
+    * (every consumer unions all ingest_batch partitions, so WHERE a row
+    * lives is invisible — spec-proven); what changes is the file count:
+    * one consolidated file per `band_bucket` dir instead of one per
+    * micro-batch, so the partition listing stays O(buckets) after
+    * thousands of batches instead of O(batches × buckets).
+    *
+    * Inherits the fold's SAFE-POINT CONTRACT: run between ingests, after
+    * the streaming checkpoint has committed every folded batch (a replay
+    * of a folded id would duplicate rows). `band_bucket` survives as the
+    * inner partition level, so [[dedupeDelta]]'s DPP pruning keeps
+    * firing post-compaction (spec-asserted). */
+  def compactStore(spark: SparkSession, root: String,
+                   targetBytes: Long = 128L << 20): Unit = {
+    Compaction.foldIngestBatches(spark, s"$root/bands",
+      innerPartCols = Seq("band_bucket"), rangeCols = Nil,
+      targetBytes = targetBytes)
+    Compaction.foldIngestBatches(spark, s"$root/sets",
+      innerPartCols = Nil, rangeCols = Seq("doc_id"),
+      targetBytes = targetBytes)
+    Compaction.foldIngestBatches(spark, s"$root/edges",
+      innerPartCols = Nil, rangeCols = Seq("doc_a"),
+      schema = Some(EdgesSchema),
+      targetBytes = targetBytes)
+  }
+
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving
     * the delta: delta×state via the store (broadcast delta bands + DPP on
     * the store scan) plus delta×delta via a self-join of the delta's own

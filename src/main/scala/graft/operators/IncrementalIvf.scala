@@ -31,11 +31,28 @@ import graft.expr.{NativeVecFns, TopKAgg}
   */
 object IncrementalIvf {
 
+  /** Corpus-derived cell count — the `lshBitsFor` pattern for IVF: the
+    * classic √N rule (k = √N cells of ≈√N vectors each balances the
+    * probe term (nprobe · k distance evals) against the scan term
+    * (nprobe · N/k candidates), minimizing their sum at fixed nprobe).
+    * A FIXED k is the silent scale bug this replaces: k=32 over 10⁹
+    * vectors means 3·10⁷-row cells — every probe rescans 3% of the
+    * corpus. Clamped to [minK, maxK]; oracle queries pin their k
+    * explicitly, so deriving it here changes no gated result. */
+  def kFor(corpusCount: Long, minK: Int = 4, maxK: Int = 1 << 18): Int = {
+    require(minK >= 1 && minK <= maxK, "1 <= minK <= maxK")
+    val k = math.ceil(math.sqrt(math.max(1L, corpusCount).toDouble)).toInt
+    math.min(maxK, math.max(minK, k))
+  }
+
   /** Seed the store: train the coarse quantizer on the state corpus
     * (deterministic k-means init — the k lowest-id vectors), freeze it
-    * under `root/centroids`, and write the state's inverted lists under
-    * `ingest_batch=-1`. The index write inherits the assignment's full
-    * parallelism — no single-task funnel (the edge-store lesson). */
+    * under `root/centroids`, write the state's inverted lists under
+    * `ingest_batch=-1`, and snapshot the per-cell assignment-distance
+    * baseline under `root/stats` (the drift reference —
+    * [[assignmentDrift]]). The index write inherits the assignment's
+    * full parallelism — no single-task funnel (the edge-store lesson);
+    * pass `k = kFor(count)` to size cells to the corpus. */
   def writeIndex(state: DataFrame, root: String,
                  k: Int, iters: Int): Unit = {
     val (cents, _) = graft.ml.KMeans.fit(state, k, iters)
@@ -45,6 +62,21 @@ object IncrementalIvf {
       .write.mode("overwrite").partitionBy("ingest_batch", "cid")
       .parquet(s"$root/index")
     cents.unpersist()
+    writeStats(state.sparkSession, root)
+  }
+
+  /** Snapshot the per-cell mean assignment distance of the CURRENT index
+    * into `root/stats` (cid, mean_dist, n) — one extra index scan at
+    * build time (cheaper than persisting the corpus-sized assignment
+    * through the index write), k rows out. */
+  private def writeStats(spark: SparkSession, root: String): Unit = {
+    val cents = centroids(spark, root)
+    index(spark, root).join(broadcast(cents), Seq("cid"))
+      .withColumn("adist",
+        sqrt(NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid"))))
+      .groupBy("cid")
+      .agg(avg("adist").as("mean_dist"), count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     ()
   }
 
@@ -79,6 +111,79 @@ object IncrementalIvf {
   /** The maintained inverted index: every ingested vector with its cell. */
   def index(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/index").select("vec_id", "embedding", "nrm", "cid")
+
+  /** Retrain trigger threshold for [[assignmentDrift]]: 1.0 means the
+    * delta sits exactly where the seed corpus sat relative to its
+    * centroids; sustained values past this bound mean the frozen
+    * quantizer's cells no longer describe the incoming distribution
+    * (recall decays silently — candidates concentrate in few cells). The
+    * 1.5 default is deliberately conservative: in-distribution ingest
+    * noise measured ≈1.0±0.1 on the test corpus (IncrementalIvfSpec),
+    * while a mean-shifted delta measures ≥2×. */
+  val DriftRetrainThreshold = 1.5
+
+  /** MEASURED drift signal for the frozen quantizer: the delta's mean
+    * assignment distance, normalized per cell by the SEED's mean
+    * assignment distance in that cell (`root/stats`, written at
+    * [[writeIndex]]/[[retrain]] time) — ≈1.0 for in-distribution deltas,
+    * growing as the ingest distribution leaves the trained cells. Cells
+    * the seed never populated (or with zero mean — single-point cells)
+    * normalize by the seed's global mean instead. Cost: O(|delta| · k)
+    * distance evals + two k-row broadcasts — same order as the ingest
+    * assignment itself. Compare against [[DriftRetrainThreshold]] and
+    * call [[retrain]] at the next snapshot point when exceeded. */
+  def assignmentDrift(spark: SparkSession, root: String, delta: DataFrame): Double = {
+    val cents = centroids(spark, root)
+    val stats = spark.read.parquet(s"$root/stats")
+    val g = stats.select(
+      (sum(col("mean_dist") * col("n")) / sum(col("n"))).as("gm")).first()
+    val globalMean = if (g.isNullAt(0)) 0.0 else g.getDouble(0)
+    if (globalMean <= 0.0) return 1.0 // degenerate seed (all vectors identical)
+    val r = assignTo(delta, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("adist",
+        sqrt(NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid"))))
+      .join(broadcast(stats.select(col("cid"), col("mean_dist"))), Seq("cid"), "left_outer")
+      .select(avg(col("adist") /
+        when(col("mean_dist") > 0.0, col("mean_dist")).otherwise(lit(globalMean)))
+        .as("drift")).first()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** Snapshot retrain — the documented answer to the frozen-quantizer
+    * caveat: retrain the quantizer on the FULL maintained corpus
+    * (state ∪ every ingested delta), rebuild the inverted lists against
+    * the fresh centroids, and reset the drift baseline. Staged under
+    * `root/_retrain` and swapped in by rename, so the live store is
+    * never read-and-overwritten in one job (and a crashed retrain leaves
+    * the old store intact). The rebuild lands everything under
+    * `ingest_batch=-1`, so a retrain is also a full compaction of the
+    * batch partitions. Pass `k <= 0` to derive k from the corpus size
+    * via [[kFor]] (one count pass — training-time cost). */
+  def retrain(spark: SparkSession, root: String, k: Int, iters: Int): Unit = {
+    val vecs = index(spark, root).select("vec_id", "embedding")
+    val kk = if (k > 0) k else kFor(vecs.count())
+    val tmp = s"$root/_retrain"
+    writeIndex(vecs, tmp, kk, iters)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("centroids", "index", "stats").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
+        new org.apache.hadoop.fs.Path(s"$root/$t"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
+  /** Index maintenance: fold every `ingest_batch=N` partition into the
+    * base partition, keeping `cid` as the inner level (cell-targeted
+    * reads stay file-pruned). Same safe-point contract as
+    * [[IncrementalDedup.compactStore]]. */
+  def compactIndex(spark: SparkSession, root: String,
+                   targetBytes: Long = 128L << 20): Unit =
+    Compaction.foldIngestBatches(spark, s"$root/index",
+      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes)
 
   /** IVF top-k cosine search over the maintained index with the frozen
     * quantizer: each probe ranks its `nprobe` nearest cells (broadcast

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -418,6 +418,91 @@ object CoverageQueries {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Skew-robustness BENCH queries (q115/q116): q52/q60 prove the salted
+  // plans CORRECT on the near-uniform driver keys; these two run the same
+  // salted operators against a deliberately hot-keyed distribution, so
+  // skew robustness shows up as a benched number in BENCH_r{N}.json every
+  // round (the r9 verdict's ask), not only as SkewGateSpec's one-time
+  // measured bound. The skew mapping is pure integer arithmetic shared
+  // verbatim by both engines (Spark's hash() is Murmur3 — not available
+  // in DuckDB — and pow() is libm-dependent, so neither can be the
+  // cross-engine key function):
+  //   h(id, mult) = ((id % 1000000007) * mult) % 1000000007   (q49's
+  //     overflow-safe Knuth form; max product ≈ 2.7e18 < 2^63)
+  //   hot  ⇔ h(id, 2654435761) % 1000003 < 200000     (≈20% of rows)
+  //   tail =  999 // (1 + h(id, 2654435741) % 999)    (∈ [1, 999];
+  //     P(key = k) ∝ 1/k(k+1) — a Zipf-2-ish tail where key 1 alone
+  //     holds ~half the tail mass, integer-exact in both engines)
+  // Net effect at sf0.1: key 0 ≈ 20k rows, key 1 ≈ 40k rows of 100k —
+  // exactly the one-task-funnel regime the salted rewrites exist for.
+
+  private def skewHash(id: Column, mult: Long): Column =
+    pmod(pmod(id, lit(1000000007L)) * mult, lit(1000000007L))
+
+  private def skewKeyOf(id: Column): Column =
+    // 999/x for x ∈ [1, 999]: the double quotient of two ≤10-bit ints is
+    // ≥ 1/999 away from the next integer unless exact, so cast-truncate
+    // IS integer division here — matching the twin's `//` bit-exactly
+    when(skewHash(id, 2654435761L) % 1000003L < 200000L, lit(0L))
+      .otherwise((lit(999L) / (lit(1L) + skewHash(id, 2654435741L) % 999L)).cast("long"))
+
+  private def ddbSkewKey(id: String): String =
+    s"""CASE WHEN ((($id % 1000000007) * 2654435761) % 1000000007) % 1000003 < 200000
+       | THEN 0
+       | ELSE 999 // (1 + ((($id % 1000000007) * 2654435741) % 1000000007) % 999)
+       | END""".stripMargin.replace("\n", "")
+
+  /** Salted aggregation under a MEASURED hot key: events re-keyed to the
+    * hot+Zipf distribution, then the SAME two-phase salted sum/count as
+    * q52. The oracle is the plain relational GROUP BY — salting is an
+    * algebraic identity, so the hash must match exactly; the bench value
+    * is the point of the query (tracked per round against q52's
+    * uniform-key twin). */
+  def q115SkewedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      skewKeyOf(col("event_id")).as("skew_key"),
+      graft.functions.ExactDecimal.cents(col("value")).as("cents"))
+    graft.functions.SkewFns.saltedSumCount(e, Seq("skew_key"), "cents", buckets = 16)
+      .select(col("skew_key"), col("cents_sum").as("value_cents"), col("n"))
+  }
+
+  val q115SkewedAggSql: String =
+    s"""SELECT ${ddbSkewKey("event_id")} AS skew_key,
+       |  sum(${graft.functions.ExactDecimal.ddbCents("value")})::BIGINT AS value_cents,
+       |  count(*)::BIGINT AS n
+       |FROM events
+       |GROUP BY 1""".stripMargin
+
+  /** Salted broadcast join under the same measured hot key: the skewed
+    * events probe a 1000-row key dimension through q60's
+    * replicate-the-build-side rewrite — the hot key's probe rows spread
+    * over 16 tasks instead of one. Oracle: the plain join + GROUP BY. */
+  def q116SkewedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_id"),
+      skewKeyOf(col("event_id")).as("skew_key"),
+      graft.functions.ExactDecimal.cents(col("value")).as("cents"))
+    val dim = spark.range(1000).select(
+      col("id").as("skew_key"), (col("id") % 7).as("grp"))
+    graft.functions.SkewFns.saltedBroadcastJoin(e, dim, "skew_key", buckets = 16)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+  }
+
+  val q116SkewedJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT ${ddbSkewKey("event_id")} AS skew_key,
+       |    ${graft.functions.ExactDecimal.ddbCents("value")} AS cents
+       |  FROM events
+       |),
+       |dim AS (SELECT range AS skew_key, range % 7 AS grp FROM range(1000))
+       |SELECT dim.grp,
+       |  count(*)::BIGINT AS n_events,
+       |  sum(e.cents)::BIGINT AS value_cents
+       |FROM e JOIN dim ON e.skew_key = dim.skew_key
+       |GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_approx_quantiles" -> (q59ApproxQuantiles _),
     "q60_salted_join" -> (q60SaltedJoin _),
@@ -430,6 +515,8 @@ object CoverageQueries {
     "q45_percentiles" -> (q45Percentiles _),
     "q109_outlier_fence" -> (q109OutlierFence _),
     "q110_zscore" -> (q110Zscore _),
+    "q115_skewed_agg" -> (q115SkewedAgg _),
+    "q116_skewed_join" -> (q116SkewedJoin _),
     "q46_array_map" -> (q46ArrayMap _)
   )
 
@@ -445,6 +532,8 @@ object CoverageQueries {
     "q45_percentiles" -> q45PercentilesSql,
     "q109_outlier_fence" -> q109OutlierFenceSql,
     "q110_zscore" -> q110ZscoreSql,
+    "q115_skewed_agg" -> q115SkewedAggSql,
+    "q116_skewed_join" -> q116SkewedJoinSql,
     "q46_array_map" -> q46ArrayMapSql
   )
 }

@@ -202,14 +202,9 @@ object SessionQueries {
       val maxMs = rows.last._1.getTime
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Double)]
-      val agg = in.toDF().toDF("ts", "user_id", "value")
-        .withWatermark("ts", "30 minutes")
-        .groupBy(window(col("ts"), "15 minutes").as("w"), col("user_id"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(graft.functions.ExactDecimal.cents(col("value"))).as("value_cents"))
-        .select(col("w.start").as("bucket_start"), col("user_id"),
-          col("n"), col("value_cents"))
+      // shared body with the file-source twin q112 — same plan, two sources
+      val agg = graft.streaming.StreamingOps.bucketUsageCents(
+        in.toDF().toDF("ts", "user_id", "value"))
       val q = agg.writeStream.outputMode("append").format("parquet")
         .option("path", r).option("checkpointLocation", s"${r}_ckpt").start()
       try {

@@ -73,6 +73,22 @@ object StreamingOps {
         sum("value").as("value_sum"))
       .select(col("bucket.start").as("bucket_start"), col("user_id"), col("n"), col("value_sum"))
 
+  /** Cents-exact watermarked 15-minute usage — [[bucketUsage]]'s
+    * oracle-comparable sibling (integer counts + cent sums, so the
+    * streamed result hash-compares against the relational oracle with no
+    * fp drift). This is the ONE aggregation body behind both the
+    * MemoryStream-driven q96 and the file-source-driven q112 — the two
+    * oracle queries prove the same plan from two different sources. */
+  def bucketUsageCents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(graft.functions.ExactDecimal.cents(col("value"))).as("value_cents"))
+      .select(col("w.start").as("bucket_start"), col("user_id"),
+        col("n"), col("value_cents"))
+
   /** Watermarked exact dedup on (user_id, ts) — the streaming form of the
     * sensor merge's duplicate-timestamp rule (keep first seen; state
     * bounded by the watermark). */

@@ -200,6 +200,100 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(maintained == recomputed)
   }
 
+  test("restart recovery: crash after batch-1 store write, restart on the checkpoint — store ≡ uninterrupted ≡ recompute") {
+    val all = graft.core.Tables.documents(spark, sfDir)
+    val state = all.filter(col("doc_id") % 10 < 7)
+    val d1 = all.filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+    val d2 = all.filter(col("doc_id") % 10 > 7).select("doc_id", "text")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def clean(ps: String*) = ps.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def edgeSet(root: String) = IncrementalDedup.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // twin A: the uninterrupted run (manual ingests, the proven path)
+    val rootU = tmpRoot("restart_u"); val pairsU = tmpRoot("restart_u_pairs")
+    clean(rootU, pairsU)
+    IncrementalDedup.writeEdgeStore(spark, state, rootU)
+    IncrementalDedup.ingestBatchWithEdges(spark, rootU, pairsU, d1, batchId = 0L)
+    IncrementalDedup.ingestBatchWithEdges(spark, rootU, pairsU, d2, batchId = 1L)
+
+    // twin B: a FILE-source stream (distributed data plane) that
+    //  (a) "crashes" after batch 0's store writes but BEFORE the
+    //      checkpoint commits — simulated by running the foreachBatch
+    //      body manually with the id the stream will assign (0), then
+    //      letting the stream replay it from offset zero;
+    //  (b) is STOPPED after batch 0 and restarted on the same
+    //      checkpoint for batch 1 — the restart-recovery boundary.
+    val rootR = tmpRoot("restart_r"); val pairsR = tmpRoot("restart_r_pairs")
+    val ckpt = tmpRoot("restart_ckpt"); val srcDir = tmpRoot("restart_src")
+    clean(rootR, pairsR, ckpt, srcDir)
+    IncrementalDedup.writeEdgeStore(spark, state, rootR)
+    IncrementalDedup.ingestBatchWithEdges(spark, rootR, pairsR, d1, batchId = 0L)
+    def stream() = IncrementalDedup.dedupeStreamWithEdges(
+      spark.readStream.schema("doc_id BIGINT, text STRING").parquet(srcDir),
+      rootR, pairsR, ckpt)
+    d1.write.mode("append").parquet(srcDir)
+    val q1 = stream()
+    try q1.processAllAvailable() finally q1.stop() // replay of batch 0, then STOP
+    d2.write.mode("append").parquet(srcDir)
+    val q2 = stream() // restart on the SAME checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+
+    val recomputed = graft.queries.TextQueries.q30MinHashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(rootR) == edgeSet(rootU),
+      "restarted-stream store must equal the uninterrupted run")
+    assert(edgeSet(rootR) == recomputed,
+      "restarted-stream store must equal the full recompute")
+    // the crashed-then-replayed batch must not have duplicated any rows
+    val pairKeys = spark.read.parquet(pairsR).select("doc_a", "doc_b", "batch_id").collect()
+    assert(pairKeys.length == pairKeys.distinct.length,
+      "batch-0 replay after the simulated crash must overwrite, not append")
+  }
+
+  test("compactStore mid-ingest: folded store reads identically, keeps DPP, and sheds batch partitions") {
+    val all = graft.core.Tables.documents(spark, sfDir)
+    val state = all.filter(col("doc_id") % 10 < 7)
+    val d1 = all.filter(col("doc_id") % 10 === 7)
+    val d2 = all.filter(col("doc_id") % 10 > 7)
+    val root = tmpRoot("compact"); val pairsOut = tmpRoot("compact_pairs")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(root, pairsOut).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IncrementalDedup.writeEdgeStore(spark, state, root)
+    IncrementalDedup.ingestBatchWithEdges(spark, root, pairsOut, d1, batchId = 0L)
+    val filesBefore = Compaction.treeDataFileCount(spark, s"$root/bands")
+    def snapshot() = (
+      IncrementalDedup.edges(spark, root).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      spark.read.parquet(s"$root/sets").select("doc_id").collect().map(_.getLong(0)).toSet,
+      spark.read.parquet(s"$root/bands").count())
+    val before = snapshot()
+    // the maintenance pass, interleaved MID-INGEST (batch 0 committed,
+    // batch 1 still to come)
+    IncrementalDedup.compactStore(spark, root)
+    assert(snapshot() == before, "compaction must not change what the store reads as")
+    // every ingested partition folded into the base; only base remains
+    val bandDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/bands"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(bandDirs == Set("ingest_batch=-1"),
+      s"batch partitions must fold into the base: $bandDirs")
+    assert(Compaction.treeDataFileCount(spark, s"$root/bands") < filesBefore,
+      "the fold must consolidate files, not multiply them")
+    // ingest continues on the compacted store, and DPP still fires
+    IncrementalDedup.ingestBatchWithEdges(spark, root, pairsOut, d2, batchId = 1L)
+    val probe = IncrementalDedup.dedupeDelta(spark, root, all.filter(col("doc_id") % 100 === 7))
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "band_bucket DPP must survive compaction")
+    val maintained = IncrementalDedup.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = graft.queries.TextQueries.q30MinHashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == recomputed,
+      "edges after compact-then-ingest must equal the full recompute")
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

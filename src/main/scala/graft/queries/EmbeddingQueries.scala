@@ -88,6 +88,39 @@ object EmbeddingQueries {
   def q32AnnLsh(spark: SparkSession, dir: String): DataFrame =
     annLshBucketed(Tables.embeddings(spark, dir), nbits = 8, k = 3)
 
+  /** q117: the LSH WIDTH LEVER under the oracle gate — q32's exact
+    * operator at nbits = 12, the width `VecFns.lshBitsFor` derives for
+    * the sf10 corpus (200k vectors / 64-per-bucket target → 4096
+    * buckets). q32's pinned nbits = 8 is right at the gate scale but
+    * quadratic-over-fixed-width at sf10 (N²/256 candidate pairs —
+    * measured 87.6 s, BASELINE.md); this query pins the SAME semantics
+    * one width up, so the production fix is itself oracle-proven and
+    * benched at every SF. At toy scale the wider buckets are simply
+    * sparser (fewer candidate pairs, same correctness rule). */
+  def q117AnnLshWide(spark: SparkSession, dir: String): DataFrame =
+    annLshBucketed(Tables.embeddings(spark, dir), nbits = 12, k = 3)
+
+  val q117AnnLshWideSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 12)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+       |),
+       |sims AS (
+       |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, bucket, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, bucket, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   val q32AnnLshSql: String = {
     val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
@@ -916,7 +949,8 @@ object EmbeddingQueries {
     "q97_sq8_ann" -> (q97Sq8Ann _),
     "q89_ivf_ann" -> (q89IvfAnn _),
     "q92_ann_recall_sharded" -> (q92AnnRecallSharded _),
-    "q94_incremental_ivf" -> (q94IncrementalIvf _)
+    "q94_incremental_ivf" -> (q94IncrementalIvf _),
+    "q117_ann_lsh_wide" -> (q117AnnLshWide _)
   )
 
   def sql: Map[String, String] = Map(
@@ -930,6 +964,7 @@ object EmbeddingQueries {
     "q89_ivf_ann" -> q89IvfAnnSql,
     "q92_ann_recall_sharded" -> q92AnnRecallShardedSql,
     "q94_incremental_ivf" -> q94IncrementalIvfSql,
-    "q97_sq8_ann" -> q97Sq8AnnSql
+    "q97_sq8_ann" -> q97Sq8AnnSql,
+    "q117_ann_lsh_wide" -> q117AnnLshWideSql
   )
 }

@@ -387,6 +387,31 @@ object EmbeddingQueries {
     spark.read.parquet(root)
   }
 
+  /** The PRODUCTION quantizer build, materialized once per (process,
+    * dir) like [[trainedCentroids]]: k derived from the corpus
+    * ([[graft.operators.IncrementalIvf.kFor]] — the √N cell rule, so
+    * per-cell candidate load stays ≈√N as the corpus grows) and Lloyd
+    * run on [[graft.ml.KMeans.fitSampled]]'s deterministic 1-in-4
+    * multiplicative-hash sample (training cost ÷4 per round; the
+    * centroid-displacement and recall-preservation bounds are measured
+    * in KMeansSpec). q89/q94 pin (k = 32, full fit) as gate semantics;
+    * q118 puts THIS configuration — the one a 100 TB deployment would
+    * actually run — under the same oracle gate. */
+  private val scaledCentroidStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def scaledCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val root = scaledCentroidStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("kmeansscaled", d)
+      val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      val k = graft.operators.IncrementalIvf.kFor(vecs.count())
+      val (cents, _) = graft.ml.KMeans.fitSampled(vecs, k, SemKIters, denom = 4)
+      cents.coalesce(1).write.mode("overwrite").parquet(r)
+      cents.unpersist()
+      r
+    })
+    spark.read.parquet(root)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding space coarsely with TRAINED k-means centroids
@@ -408,9 +433,25 @@ object EmbeddingQueries {
     * final-assignment argmin margin (2nd-best − best distance) is
     * ≥ 6.7e-4 and the prune threshold clears every intra-cluster pair by
     * ≥ 2.5e-5 — both ≥9 orders above summation-order wobble. */
-  def q74SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val cents = broadcast(trainedCentroids(spark, dir))
+  def q74SemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupWith(spark, Tables.embeddings(spark, dir),
+      trainedCentroids(spark, dir))
+
+  /** q119: SemDeDup at the PRODUCTION quantizer — q74's exact prune
+    * semantics over [[scaledCentroids]] (k = `kFor(N)` √N cells, Lloyd
+    * on the deterministic 1-in-4 sample). The third and last
+    * fixed-width row of the sf10 scaling table closed under the gate
+    * (q32→q117 for LSH width, q89→q118 for IVF cells, q74→this for
+    * SemDeDup clusters): intra-cluster pair cost drops from Σ(N/32)²
+    * to Σ(N/√N)² = N·(N/k), and the DuckDB oracle replays the sampled
+    * √N training + identical prune, cell-exact. */
+  def q119SemDedupScaled(spark: SparkSession, dir: String): DataFrame =
+    semDedupWith(spark, Tables.embeddings(spark, dir),
+      scaledCentroids(spark, dir))
+
+  private def semDedupWith(spark: SparkSession, e: DataFrame,
+                           centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
     val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
     val asg = e.select(col("vec_id"), col("embedding"),
         NativeVecFns.norm(spark, col("embedding")).as("nrm"))
@@ -440,7 +481,7 @@ object EmbeddingQueries {
     * by the q74 and q89 oracles (src = the full `embeddings` view) and
     * the q94 oracle (src = the seed subset the incremental store trained
     * on). */
-  private def kmeansTrainSqlCtesOver(src: String): String = {
+  private def kmeansTrainSqlCtesOver(src: String, kLimit: String = SemK.toString): String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     // one Lloyd round: nearest-centroid assignment (deterministic (dist,
     // cid) tiebreak, mirroring KMeans.assign), per-(cid, pos) mean,
@@ -470,7 +511,7 @@ object EmbeddingQueries {
     s"""c0 AS (
        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
        |    list_transform(embedding, x -> x::DOUBLE) AS centroid
-       |  FROM $src ORDER BY vec_id LIMIT $SemK
+       |  FROM $src ORDER BY vec_id LIMIT $kLimit
        |),
        |${lloyd("c0", "a1", "f1", "c1")},
        |${lloyd("c1", "a2", "f2", "c2")}""".stripMargin
@@ -478,12 +519,30 @@ object EmbeddingQueries {
 
   private val kmeansTrainSqlCtes: String = kmeansTrainSqlCtesOver("embeddings")
 
-  val q74SemDedupSql: String = {
+  /** The q118/q119 PRODUCTION training chain: `fitSampled`'s
+    * deterministic 1-in-4 multiplicative-hash sample as a CTE (`vec_id`
+    * pre-modded by 1e9+7 — the overflow-safe q49 recipe, bit-identical
+    * across engines on nonnegative ids), k = ⌈√N⌉ of the FULL corpus
+    * via a scalar-subquery LIMIT ([[graft.operators.IncrementalIvf
+    * .kFor]]; the [4, 2^18] clamp cannot engage for any gate corpus),
+    * then the same two unrolled Lloyd rounds over the sample. */
+  private val sampledScaledTrainSqlCtes: String =
+    s"""kv AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |${kmeansTrainSqlCtesOver("smp", kLimit = "(SELECT k FROM kv)")}""".stripMargin
+
+  /** SemDeDup SQL tail over a WITH-body `trainCtes` chain ending in
+    * `c2` — the oracle twin of [[semDedupWith]]; shared by q74
+    * (full-fit chain) and q119 (sampled corpus-derived chain). */
+  private def semDedupSqlOver(trainCtes: String): String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
     val na = VecFns.ddbNorm("a.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH $kmeansTrainSqlCtes,
+    s"""WITH $trainCtes,
        |asg AS (
        |  SELECT vec_id, embedding, cid AS cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
@@ -500,6 +559,12 @@ object EmbeddingQueries {
        |SELECT s.vec_id, s.cluster, p.vec_id IS NOT NULL AS is_pruned
        |FROM asg s LEFT JOIN pruned p ON s.vec_id = p.vec_id""".stripMargin
   }
+
+  val q74SemDedupSql: String = semDedupSqlOver(kmeansTrainSqlCtes)
+
+  /** q119's oracle: the q118 sampled corpus-derived training chain +
+    * q74's identical assignment/prune tail. */
+  val q119SemDedupScaledSql: String = semDedupSqlOver(sampledScaledTrainSqlCtes)
 
   /** TRAINED-QUANTIZER IVF ANN with an nprobe knob — the scale-path
     * upgrade of q33 (whose per-label centroids make cluster count an
@@ -535,9 +600,12 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("rn"))
   }
 
-  def q89IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val ranked = ivfRanked(e, trainedCentroids(spark, dir), nprobe = 2).persist()
+  /** IVF probe/rerank tail shared by q89 and q118: rn = 1 is the
+    * inverted-list build side, rn ≤ nprobe the probe side; exact cosine
+    * rerank within probed cells to a top-3 via the single-shuffle
+    * [[TopKAgg]]. Candidate cost |corpus|·nprobe·(N/k) — a cid
+    * equi-join, never corpus×corpus. */
+  private def ivfProbeRerank(spark: SparkSession, ranked: DataFrame): DataFrame = {
     val build = ranked.filter(col("rn") === 1).select(col("cid"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val probes = ranked.select(col("cid"),
@@ -553,12 +621,42 @@ object EmbeddingQueries {
         (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("cosine_sim"))
   }
 
-  val q89IvfAnnSql: String = {
+  def q89IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    ivfProbeRerank(spark,
+      ivfRanked(e, trainedCentroids(spark, dir), nprobe = 2).persist())
+  }
+
+  /** q118: the PRODUCTION IVF configuration under the oracle gate —
+    * q89's exact search semantics, but the quantizer is built the way a
+    * 100 TB deployment would build it: k = `kFor(N)` (√N cells, the
+    * corpus-derived width — 23 at the sf0.01 gate, 448 at sf10) and
+    * training on `fitSampled`'s deterministic 1-in-4 sample instead of
+    * the full corpus. q89 keeps (k = 32, full fit) pinned; this query
+    * proves the two production levers — sampled training and
+    * corpus-derived cell width — are not approximations that drift from
+    * relational semantics: the DuckDB oracle replays the SAME sampled
+    * training (multiplicative-hash sample CTE, √N LIMIT from a scalar
+    * subquery, both Lloyd rounds) and the identical probe/rerank, and
+    * the result is cell-exact. Completes the q117 story for the IVF
+    * tier: every fixed-width term in the sf10 scaling table now has its
+    * corpus-derived fix itself oracle-proven. */
+  def q118IvfScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    ivfProbeRerank(spark,
+      ivfRanked(e, scaledCentroids(spark, dir), nprobe = 2).persist())
+  }
+
+  /** IVF probe/rerank SQL tail over a WITH-body `trainCtes` chain ending
+    * in `c2` (the trained centroid table) — the oracle twin of
+    * [[ivfProbeRerank]]; shared by q89 (full-fit chain) and q118
+    * (sampled corpus-derived chain). */
+  private def ivfSearchSqlOver(trainCtes: String): String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH $kmeansTrainSqlCtes,
+    s"""WITH $trainCtes,
        |rk AS (
        |  SELECT vec_id, embedding, cid, rn FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
@@ -581,6 +679,12 @@ object EmbeddingQueries {
        |  FROM sims
        |) WHERE rank <= 3""".stripMargin
   }
+
+  val q89IvfAnnSql: String = ivfSearchSqlOver(kmeansTrainSqlCtes)
+
+  /** q118's oracle: the [[sampledScaledTrainSqlCtes]] production
+    * training chain + q89's identical full-corpus probe/rerank. */
+  val q118IvfScaledSql: String = ivfSearchSqlOver(sampledScaledTrainSqlCtes)
 
   /** q94: INCREMENTAL IVF-INDEX MAINTENANCE under the oracle gate — the
     * ANN twin of q91's maintained edge store, and the operating mode an
@@ -735,14 +839,16 @@ object EmbeddingQueries {
     * probe sample WITH embeddings, so the sample predicate is not a
     * knob you may ignore — it must keep the probe set broadcast-sized
     * (thousands of probes, not a corpus fraction). At real scale you
-    * tighten the predicate (e.g. `% 10_000`), not the mechanism. */
-  def annRecallSharded(df: DataFrame, nbits: Int = 8, k: Int = 3): DataFrame = {
+    * tighten the predicate (`probeMod`, sized by [[probeModFor]]), not
+    * the mechanism. */
+  def annRecallSharded(df: DataFrame, nbits: Int = 8, k: Int = 3,
+                       probeMod: Long = 10L): DataFrame = {
     val spark = df.sparkSession
     val e = df.select(col("shard"), col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
       NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
     def sim = NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
-    val probes = e.filter(col("vec_id") % 10 === 3).select(
+    val probes = e.filter(col("vec_id") % probeMod === 3).select(
       col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val exact = e.select(col("shard"), col("vec_id").as("b_id"),
         col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
@@ -753,7 +859,7 @@ object EmbeddingQueries {
       .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
       .select(col("shard"), col("a_id").as("vec_id"), explode(col("top")).as("t"))
       .select(col("shard"), col("vec_id"), col("t.id").as("neighbor_id"))
-    val aSide = e.filter(col("vec_id") % 10 === 3).select(col("shard"), col("bucket"),
+    val aSide = e.filter(col("vec_id") % probeMod === 3).select(col("shard"), col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val bSide = e.select(col("shard"), col("bucket"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
@@ -780,7 +886,10 @@ object EmbeddingQueries {
     annRecallSharded(Tables.embeddings(spark, dir).select(
       (col("vec_id") % 3).cast("int").as("shard"), col("vec_id"), col("embedding")))
 
-  val q92AnnRecallShardedSql: String = {
+  /** Sharded-recall SQL with a pluggable probe-sample modulus — shared
+    * by q92 (`probeModSql = "10"`, the pinned gate rate) and q120 (the
+    * corpus-derived scalar subquery). */
+  private def annRecallShardedSqlWith(probeModSql: String): String = {
     val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
     val na = VecFns.ddbNorm("a.embedding", Dim)
@@ -791,7 +900,7 @@ object EmbeddingQueries {
        |      row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
        |    FROM embeddings a JOIN embeddings b
-       |      ON a.vec_id % 10 = 3 AND a.vec_id <> b.vec_id
+       |      ON a.vec_id % $probeModSql = 3 AND a.vec_id <> b.vec_id
        |        AND a.vec_id % 3 = b.vec_id % 3
        |  ) WHERE rnk <= 3
        |),
@@ -805,7 +914,7 @@ object EmbeddingQueries {
        |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
        |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |      AND a.vec_id % 3 = b.vec_id % 3
-       |  ) WHERE rnk <= 3 AND vec_id % 10 = 3
+       |  ) WHERE rnk <= 3 AND vec_id % $probeModSql = 3
        |)
        |SELECT (x.vec_id % 3)::INT AS shard, x.vec_id,
        |  count(*)::BIGINT AS n_exact,
@@ -816,6 +925,36 @@ object EmbeddingQueries {
        |  ON x.vec_id = ap.vec_id AND x.neighbor_id = ap.neighbor_id
        |GROUP BY x.vec_id""".stripMargin
   }
+
+  val q92AnnRecallShardedSql: String = annRecallShardedSqlWith("10")
+
+  /** Corpus-derived probe-sample modulus for the recall eval: target
+    * ≈2000 probes regardless of corpus size (max(10, ⌈N/2000⌉) — 10 at
+    * every gate SF, 100 at sf10), so the O(probes·N) honest-eval term
+    * stays LINEAR in N instead of N²/10. The `lshBitsFor`/`kFor`
+    * pattern applied to the eval tier: the q92 sf10 row's "sample rate
+    * is the production knob" made a derivation, and q120 puts it under
+    * the gate. */
+  private[graft] def probeModFor(corpusCount: Long): Long =
+    math.max(10L, math.ceil(corpusCount / 2000.0).toLong)
+
+  /** q120: the recall eval's SAMPLE-RATE LEVER under the oracle gate —
+    * q92's exact per-shard report at `probeMod = probeModFor(N)`. At
+    * every gate SF (N ≤ 20k) the derivation floors at 10, so q120 ≡ q92
+    * row-for-row there and the oracle re-proves the equivalence; at
+    * sf10 it evaluates 2,000 probes instead of 20,000 — turning the one
+    * sf10 row whose ORACLE died of its own O(sample·N) ground truth
+    * into one DuckDB can check. */
+  def q120RecallScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    annRecallSharded(
+      e.select((col("vec_id") % 3).cast("int").as("shard"),
+        col("vec_id"), col("embedding")),
+      probeMod = probeModFor(e.count()))
+  }
+
+  val q120RecallScaledSql: String = annRecallShardedSqlWith(
+    "(SELECT GREATEST(10, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) FROM embeddings)")
 
   /** SQ8 SCALAR-QUANTIZED ANN — the index-compression tier (the
     * FAISS-style `SQ8` codec): store each vector as 64 one-byte codes
@@ -950,7 +1089,10 @@ object EmbeddingQueries {
     "q89_ivf_ann" -> (q89IvfAnn _),
     "q92_ann_recall_sharded" -> (q92AnnRecallSharded _),
     "q94_incremental_ivf" -> (q94IncrementalIvf _),
-    "q117_ann_lsh_wide" -> (q117AnnLshWide _)
+    "q117_ann_lsh_wide" -> (q117AnnLshWide _),
+    "q118_ivf_scaled" -> (q118IvfScaled _),
+    "q119_semdedup_scaled" -> (q119SemDedupScaled _),
+    "q120_recall_scaled" -> (q120RecallScaled _)
   )
 
   def sql: Map[String, String] = Map(
@@ -965,6 +1107,9 @@ object EmbeddingQueries {
     "q92_ann_recall_sharded" -> q92AnnRecallShardedSql,
     "q94_incremental_ivf" -> q94IncrementalIvfSql,
     "q97_sq8_ann" -> q97Sq8AnnSql,
-    "q117_ann_lsh_wide" -> q117AnnLshWideSql
+    "q117_ann_lsh_wide" -> q117AnnLshWideSql,
+    "q118_ivf_scaled" -> q118IvfScaledSql,
+    "q119_semdedup_scaled" -> q119SemDedupScaledSql,
+    "q120_recall_scaled" -> q120RecallScaledSql
   )
 }

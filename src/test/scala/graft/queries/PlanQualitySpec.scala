@@ -120,6 +120,14 @@ class PlanQualitySpec extends SparkSpec {
       "q92 exact side must broadcast the probe sample")
   }
 
+  test("q120 production recall eval (probeModFor rate): same plan contract as q92") {
+    val df = graft.SparkEntry.queries("q120_recall_scaled")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q120 must stay keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "q120 exact side must broadcast the probe sample")
+  }
+
   test("q51 unioned sensor merge aggregates in a single shuffle (no join chain)") {
     val df = graft.SparkEntry.queries("q51_sensor_merge_unioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
@@ -228,6 +236,15 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q74 SemDeDup: centroids broadcast, pair join keyed by cluster") {
     val df = graft.SparkEntry.queries("q74_semdedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids must broadcast")
+    assert(!p.contains("CartesianProduct"), s"pair join must stay cluster-keyed:\n$p")
+  }
+
+  test("q119 production SemDeDup (sampled fit, kFor clusters): same plan contract as q74") {
+    val df = graft.SparkEntry.queries("q119_semdedup_scaled")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
@@ -344,6 +361,19 @@ class PlanQualitySpec extends SparkSpec {
       s"centroid table must broadcast:\n$p")
     // the rerank join itself must be keyed by cid (vec_l2_dist_sq lives
     // below the InMemoryRelation cut and may not print)
+    assert(p.contains("vec_dot"),
+      s"native cosine kernel must survive into the physical plan:\n$p")
+    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid")
+      || p.contains("BroadcastHashJoin [cid"),
+      s"IVF search must join on the cell key:\n$p")
+  }
+
+  test("q118 production IVF (sampled fit, kFor width): same plan contract as q89") {
+    val p = plan("q118_ivf_scaled")
+    assert(!p.contains("CartesianProduct"), s"IVF search must never cross-join:\n$p")
+    // the only nest-loop join is the kFor(N)×dim centroid broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid table must broadcast:\n$p")
     assert(p.contains("vec_dot"),
       s"native cosine kernel must survive into the physical plan:\n$p")
     assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid")

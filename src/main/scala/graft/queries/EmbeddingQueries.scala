@@ -888,33 +888,54 @@ object EmbeddingQueries {
 
   /** Sharded-recall SQL with a pluggable probe-sample modulus — shared
     * by q92 (`probeModSql = "10"`, the pinned gate rate) and q120 (the
-    * corpus-derived scalar subquery). */
+    * corpus-derived scalar subquery).
+    *
+    * Shape notes (the sf10 lesson, same family as the q86 MATERIALIZED
+    * fix): the similarity joins are materialized as NARROW (a_id, b_id,
+    * sim) CTEs BEFORE the rank windows — without the hint DuckDB 1.0
+    * carries the 64-float embedding lists into the window sort and
+    * spills ~500 B/row instead of 24 B/row (measured: 73 GB of spill at
+    * sf10, disk-exhaustion death; narrow, it completes). The approx
+    * side's rank filter is pushed to the probe sample before its
+    * window — row_number is partition-local in `a_id`, so restricting
+    * partitions early is identity-preserving. */
   private def annRecallShardedSqlWith(probeModSql: String): String = {
     val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
     val na = VecFns.ddbNorm("a.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH exk AS (
-       |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
-       |    FROM embeddings a JOIN embeddings b
-       |      ON a.vec_id % $probeModSql = 3 AND a.vec_id <> b.vec_id
-       |        AND a.vec_id % 3 = b.vec_id % 3
+    s"""WITH probes AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $probeModSql = 3
+       |),
+       |sims_ex AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dot / ($na * $nb) AS sim
+       |  FROM probes a JOIN embeddings b
+       |    ON a.vec_id <> b.vec_id AND a.vec_id % 3 = b.vec_id % 3
+       |),
+       |exk AS (
+       |  SELECT a_id AS vec_id, b_id AS neighbor_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id
+       |        ORDER BY sim DESC, b_id ASC) AS rnk
+       |    FROM sims_ex
        |  ) WHERE rnk <= 3
        |),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
        |),
+       |sims_ap AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dot / ($na * $nb) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |    AND a.vec_id % 3 = b.vec_id % 3
+       |  WHERE a.vec_id % $probeModSql = 3
+       |),
        |ap AS (
-       |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
-       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-       |      AND a.vec_id % 3 = b.vec_id % 3
-       |  ) WHERE rnk <= 3 AND vec_id % $probeModSql = 3
+       |  SELECT a_id AS vec_id, b_id AS neighbor_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id
+       |        ORDER BY sim DESC, b_id ASC) AS rnk
+       |    FROM sims_ap
+       |  ) WHERE rnk <= 3
        |)
        |SELECT (x.vec_id % 3)::INT AS shard, x.vec_id,
        |  count(*)::BIGINT AS n_exact,

@@ -788,30 +788,44 @@ object EmbeddingQueries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
   }
 
+  /** Same narrow-materialization shape as [[annRecallShardedSqlWith]]
+    * (the q92-at-sf10 disk-exhaustion lesson): sims CTEs materialize as
+    * (a_id, b_id, sim) triples BEFORE the rank windows. */
   val q88AnnRecallSql: String = {
     val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
     val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
     val na = VecFns.ddbNorm("a.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH exk AS (
-       |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
-       |    FROM embeddings a JOIN embeddings b
-       |      ON a.vec_id % 10 = 3 AND a.vec_id <> b.vec_id
+    s"""WITH probes AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 3
+       |),
+       |sims_ex AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dot / ($na * $nb) AS sim
+       |  FROM probes a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |),
+       |exk AS (
+       |  SELECT a_id AS vec_id, b_id AS neighbor_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id
+       |        ORDER BY sim DESC, b_id ASC) AS rnk
+       |    FROM sims_ex
        |  ) WHERE rnk <= 3
        |),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
        |),
+       |sims_ap AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dot / ($na * $nb) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 10 = 3
+       |),
        |ap AS (
-       |  SELECT vec_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY $dot / ($na * $nb) DESC, b.vec_id ASC) AS rnk
-       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-       |  ) WHERE rnk <= 3 AND vec_id % 10 = 3
+       |  SELECT a_id AS vec_id, b_id AS neighbor_id FROM (
+       |    SELECT a_id, b_id,
+       |      row_number() OVER (PARTITION BY a_id
+       |        ORDER BY sim DESC, b_id ASC) AS rnk
+       |    FROM sims_ap
+       |  ) WHERE rnk <= 3
        |)
        |SELECT x.vec_id,
        |  count(*)::BIGINT AS n_exact,

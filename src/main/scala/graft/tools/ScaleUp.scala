@@ -64,8 +64,12 @@ object ScaleUp {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     // the '§' token-salt separator makes the word map injective for any
     // factor; the cap guards the 1e9 id-offset stride (replica keys must
-    // stay below the next replica's range) and keeps runs tractable
-    require(factor >= 1 && factor <= 100, "factor must be in [1, 100]")
+    // stay below the next replica's range — base keys < 1e9, so offsets
+    // stay disjoint for any factor here, and 1000 × 1e9 = 1e12 leaves
+    // six orders of headroom under 2^63; the q49/fitSampled hash pre-mods
+    // ids by 1e9+7 before multiplying, so replica ids ≥ 2^33 stay
+    // overflow-safe under ANSI mode). 1000 = the sf100 build (r10).
+    require(factor >= 1 && factor <= 1000, "factor must be in [1, 1000]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()

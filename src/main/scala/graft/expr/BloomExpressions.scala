@@ -75,10 +75,23 @@ object BloomFns {
   }
 
   /** Build a bloom filter over `build`'s `key` column (distributed
-    * treeAggregate; only the ~500 KB filter reaches the driver). */
+    * treeAggregate; only the filter reaches the driver — ~460 KB at the
+    * 2^18 floor, ~1.2 MB per million keys at fpp 0.01).
+    *
+    * `expectedKeys < 0` (the default) SIZES THE FILTER FROM THE BUILD
+    * SIDE (one count pass — build-time cost, the `kFor`/`lshBitsFor`
+    * pattern): a capacity pinned at 2^18 saturates once the key set
+    * outgrows it — at sf100's 30M urgent orders the old fixed default
+    * passed essentially every probe row, silently degrading q56 to the
+    * plain join plus per-row hash overhead (measured 141 s; the r10
+    * sf100 sweep caught it). Results are unchanged either way — false
+    * positives die in the exact join — which is precisely why the decay
+    * is silent and the sizing must scale. */
   def buildKeyFilter(build: DataFrame, key: String,
-                     expectedKeys: Long = 1L << 18, fpp: Double = 0.01): Array[Byte] = {
-    val bf = build.stat.bloomFilter(key, expectedKeys, fpp)
+                     expectedKeys: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
+    val n = if (expectedKeys > 0) expectedKeys
+            else math.max(1L << 18, build.count())
+    val bf = build.stat.bloomFilter(key, n, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray
@@ -96,7 +109,7 @@ object BloomFns {
     * always pass (bloom filters have no false negatives). */
   def semiPrune(probe: DataFrame, probeKey: String,
                 build: DataFrame, buildKey: String,
-                expectedKeys: Long = 1L << 18, fpp: Double = 0.01): DataFrame = {
+                expectedKeys: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val bytes = buildKeyFilter(build, buildKey, expectedKeys, fpp)
     probe.filter(mightContain(probe.sparkSession, bytes, col(probeKey)))
   }

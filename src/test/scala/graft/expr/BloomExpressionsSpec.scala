@@ -24,6 +24,20 @@ class BloomExpressionsSpec extends SparkSpec {
     assert(fp < 10000, s"expected ~1% false positives on 100k probes, got $fp")
   }
 
+  test("derived sizing tracks the build side; a pinned capacity saturates (the sf100 q56 bug)") {
+    // build side far above the old 2^18-keys-at-tiny-capacity regime in
+    // miniature: 50k keys vs an explicit capacity of 256
+    val build = (0L until 500000L by 10).toDF("k") // 50k keys
+    val nonMatching = (1000000L until 1100000L).toDF("k")
+    val saturated = BloomFns.buildKeyFilter(build, "k", expectedKeys = 256)
+    val fpSat = nonMatching.filter(BloomFns.mightContain(spark, saturated, col("k"))).count()
+    assert(fpSat > 90000, s"a 256-capacity filter over 50k keys should pass ~everything, got $fpSat")
+    // default (-1) derives capacity from build.count(): fpp holds again
+    val derived = BloomFns.buildKeyFilter(build, "k")
+    val fpDer = nonMatching.filter(BloomFns.mightContain(spark, derived, col("k"))).count()
+    assert(fpDer < 10000, s"derived sizing must restore ~1% fpp on 100k probes, got $fpDer")
+  }
+
   test("semiPrune + inner join equals the plain join (false positives absorbed)") {
     val probe = (0L until 2000L).map(i => (i, i % 13)).toDF("k", "v")
     val build = (0L until 2000L).filter(_ % 5 == 0).toDF("bk")

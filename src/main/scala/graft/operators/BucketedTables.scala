@@ -23,6 +23,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
+  /** Corpus-derived bucket count — the write-time scale knob made a
+    * derivation (the `kFor`/`lshBitsFor` pattern): one bucket per
+    * ~`targetRowsPerBucket` rows of the LARGER side, floored at 16.
+    * A count pinned at 16 is the silent scale wall the sf100 sweep
+    * measured (q55: 37M rows/task on 16 of 32 cores, per-task sort
+    * spill, 99.8 s); at 600M rows this derives 300 buckets (~2M-row,
+    * tens-of-MB files — healthy parquet sizes), and on a 1000-executor
+    * cluster the same rule lands in the thousands. Both join sides must
+    * be written with the SAME derived count (Spark only elides the
+    * exchange for equal bucket counts), so derive from the larger side
+    * once and reuse. */
+  def bucketsFor(rows: Long, targetRowsPerBucket: Long = 2000000L): Int =
+    math.max(16L, (rows + targetRowsPerBucket - 1) / targetRowsPerBucket)
+      .min(1 << 16).toInt
+
   /** Write `df` as a bucketed+sorted managed table unless it already
     * exists in this session's catalog (idempotent per session — repeated
     * queries reuse the layout, which is the point of bucketing). */

@@ -45,6 +45,32 @@ object StorageQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1""".stripMargin
 
+  /** q121: q55's join at the CORPUS-DERIVED bucket count
+    * ([[BucketedTables.bucketsFor]] on the larger side, shared by both
+    * layouts so the join stays exchange-free) — the write-time lever for
+    * the fact-join wall the sf100 sweep measured, itself under the
+    * oracle gate like q117–q120. Results are layout-independent, so the
+    * oracle is q55's plain-join SQL; at gate SFs the derivation floors
+    * at q55's 16 and the oracle re-proves row-for-row equivalence. */
+  def q121BucketedScaled(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val buckets = BucketedTables.bucketsFor(li.count())
+    val lt = s"lineitem_bkt${buckets}_$tag"
+    val ot = s"orders_bkt${buckets}_$tag"
+    BucketedTables.ensureBucketed(li, lt, "l_orderkey", buckets)
+    BucketedTables.ensureBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"), ot, "o_orderkey", buckets)
+    BucketedTables.bucketedJoin(spark, lt, ot, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(ExactDecimal.cents(col("l_quantity"))).as("qty_cents"))
+  }
+
+  val q121BucketedScaledSql: String = q55BucketedJoinSql
+
   /** Bloom-pruned selective join: 1/5 of orders are URGENT, so 4/5 of
     * lineitem rows can never match — a ~460 KB bloom filter over the
     * urgent order keys (built by a distributed treeAggregate, carried in
@@ -423,6 +449,7 @@ object StorageQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bucketed_join" -> (q55BucketedJoin _),
+    "q121_bucketed_scaled" -> (q121BucketedScaled _),
     "q56_bloom_pruned_join" -> (q56BloomPrunedJoin _),
     "q57_zorder" -> (q57ZOrder _),
     "q58_incremental_agg" -> (q58IncrementalAgg _),
@@ -436,6 +463,7 @@ object StorageQueries {
 
   def sql: Map[String, String] = Map(
     "q55_bucketed_join" -> q55BucketedJoinSql,
+    "q121_bucketed_scaled" -> q121BucketedScaledSql,
     "q56_bloom_pruned_join" -> q56BloomPrunedJoinSql,
     "q57_zorder" -> q57ZOrderSql,
     "q58_incremental_agg" -> q58IncrementalAggSql,

@@ -167,6 +167,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q121 scale-bucketed fact join keeps the zero-Exchange contract") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val buckets = graft.operators.BucketedTables.bucketsFor(
+        graft.core.Tables.lineitem(spark, sfDir).count())
+      Seq(s"lineitem_bkt${buckets}_$tag", s"orders_bkt${buckets}_$tag")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val df = graft.SparkEntry.queries("q121_bucketed_scaled")(spark, sfDir)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      val below = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!below.contains("Exchange"),
+        s"derived-bucket join must not shuffle its inputs:\n$p")
+    }
+  }
+
   test("q61 decontamination: benchmark side broadcasts, corpus never self-joins") {
     val df = graft.SparkEntry.queries("q61_decontamination")(spark, sfDir)
     df.collect()

@@ -87,31 +87,64 @@ object Compaction {
     *
     * Reads with `schema` when given (a zero-row store has no data files
     * to infer from); an empty table is a no-op. The rewrite goes to a
-    * sibling temp dir and swaps in by rename, like [[compact]]. */
+    * sibling temp dir and swaps in by a FAIL-STOP two-rename protocol:
+    * `dir` → `dir__folded_old`, then `dir__folding` → `dir` (a crash
+    * between the renames leaves `dir` MISSING — reads fail loudly
+    * instead of serving a half-swapped store — and the next fold call
+    * restores the intact pre-fold copy from `__folded_old` before doing
+    * anything else; the old delete-then-rename left the same missing-dir
+    * window with no recovery path). */
   def foldIngestBatches(spark: SparkSession, dir: String,
                         innerPartCols: Seq[String], rangeCols: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None,
                         targetBytes: Long = 128L << 20): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir.stripSuffix("/") + "__folded_old")
+    // crash recovery: a previous fold died between its two renames
+    // (store missing, pre-fold copy parked) — restore, then proceed
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    else if (fs.exists(old)) fs.delete(old, true) // died after rename 2
     val bytes = treeBytes(spark, dir)
     if (bytes == 0L) return
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val df = reader.parquet(dir).withColumn("ingest_batch", lit(-1L))
     val arranged =
-      if (innerPartCols.nonEmpty)
-        // one write task per inner partition value — each inner dir gets
-        // a single consolidated file instead of one per folded batch
-        df.repartition(innerPartCols.map(c => col(s"`$c`")): _*)
-      else {
+      if (innerPartCols.nonEmpty) {
+        // one write task per (inner value, salt): small inner values
+        // still consolidate to one file, but a HOT value (skewed LSH
+        // bucket, large IVF cell) gets ceil(itsBytes / targetBytes)
+        // salt slots instead of funneling through a single task — the
+        // per-value width comes from a row-share estimate (one small
+        // agg + broadcast join), the salt from a deterministic
+        // all-column hash so placement is stable across task retries
+        val innerCols = innerPartCols.map(c => col(s"`$c`"))
+        val total = df.count()
+        if (total == 0L) return
+        val widths = df.groupBy(innerCols: _*)
+          .agg(count(lit(1)).as("__rows"))
+          .withColumn("__salt_w", greatest(lit(1L),
+            ceil(col("__rows").cast("double") * bytes / total / targetBytes).cast("long")))
+          .drop("__rows")
+        val allColsHash = hash(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*).cast("long")
+        // explicit partition count: a user-specified repartition is NOT
+        // re-coalesced by AQE, so the (value, salt) spread survives even
+        // when the shuffle is small
+        val nTasks = spark.sessionState.conf.numShufflePartitions
+        df.join(broadcast(widths), innerPartCols)
+          .withColumn("__salt", pmod(allColsHash, col("__salt_w")))
+          .repartition(nTasks, (innerCols :+ col("__salt")): _*)
+          .drop("__salt", "__salt_w")
+      } else {
         val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
         df.repartitionByRange(nFiles, rangeCols.map(c => col(s"`$c`")): _*)
       }
     val tmp = dir.stripSuffix("/") + "__folding"
     arranged.write.mode("overwrite")
       .partitionBy(("ingest_batch" +: innerPartCols): _*).parquet(tmp)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    fs.rename(p, old)
     fs.rename(new Path(tmp), p)
+    fs.delete(old, true)
     ()
   }
 

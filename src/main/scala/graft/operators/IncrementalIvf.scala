@@ -153,27 +153,45 @@ object IncrementalIvf {
   /** Snapshot retrain — the documented answer to the frozen-quantizer
     * caveat: retrain the quantizer on the FULL maintained corpus
     * (state ∪ every ingested delta), rebuild the inverted lists against
-    * the fresh centroids, and reset the drift baseline. Staged under
-    * `root/_retrain` and swapped in by rename, so the live store is
-    * never read-and-overwritten in one job (and a crashed retrain leaves
-    * the old store intact). The rebuild lands everything under
+    * the fresh centroids, and reset the drift baseline. Staged under the
+    * SIBLING `root__retrain` and swapped in as ONE unit by a fail-stop
+    * two-rename protocol (`root` → `root__retrain_old`, staged → `root`):
+    * a crash mid-swap leaves `root` MISSING — every read fails loudly,
+    * and the next [[retrain]]/[[recoverSwap]] restores the intact old
+    * store — never a MIXED store (the per-subdir swap this replaces
+    * could crash with new centroids over the old index: cid spaces from
+    * two different quantizers silently joined into plausible-looking
+    * wrong neighbors). The rebuild lands everything under
     * `ingest_batch=-1`, so a retrain is also a full compaction of the
     * batch partitions. Pass `k <= 0` to derive k from the corpus size
     * via [[kFor]] (one count pass — training-time cost). */
   def retrain(spark: SparkSession, root: String, k: Int, iters: Int): Unit = {
+    recoverSwap(spark, root)
     val vecs = index(spark, root).select("vec_id", "embedding")
     val kk = if (k > 0) k else kFor(vecs.count())
-    val tmp = s"$root/_retrain"
-    writeIndex(vecs, tmp, kk, iters)
+    val tmp = s"${root}__retrain"
+    writeIndex(vecs, tmp, kk, iters) // actions complete before any rename
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("centroids", "index", "stats").foreach { t =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
-        new org.apache.hadoop.fs.Path(s"$root/$t"))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
+    fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
     ()
+  }
+
+  /** Restore a store whose last [[retrain]] crashed between its two
+    * renames (live root missing, pre-retrain copy parked at
+    * `root__retrain_old`); clears leftover staging/parked dirs
+    * otherwise. Safe to call any time — a no-op on a healthy store. */
+  def recoverSwap(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    else if (fs.exists(old)) fs.delete(old, true)
+    val stale = new org.apache.hadoop.fs.Path(s"${root}__retrain")
+    if (fs.exists(stale)) { fs.delete(stale, true); () }
   }
 
   /** Index maintenance: fold every `ingest_batch=N` partition into the

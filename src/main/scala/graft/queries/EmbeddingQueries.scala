@@ -523,11 +523,13 @@ object EmbeddingQueries {
     * deterministic 1-in-4 multiplicative-hash sample as a CTE (`vec_id`
     * pre-modded by 1e9+7 — the overflow-safe q49 recipe, bit-identical
     * across engines on nonnegative ids), k = ⌈√N⌉ of the FULL corpus
-    * via a scalar-subquery LIMIT ([[graft.operators.IncrementalIvf
-    * .kFor]]; the [4, 2^18] clamp cannot engage for any gate corpus),
-    * then the same two unrolled Lloyd rounds over the sample. */
+    * via a scalar-subquery LIMIT mirroring [[graft.operators
+    * .IncrementalIvf.kFor]] INCLUDING its [4, 2^18] clamp
+    * (GREATEST/LEAST — unreachable for gate corpora, but the twins must
+    * not diverge on a tiny or huge one), then the same two unrolled
+    * Lloyd rounds over the sample. */
   private val sampledScaledTrainSqlCtes: String =
-    s"""kv AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM embeddings),
+    s"""kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM embeddings),
        |smp AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
@@ -604,7 +606,17 @@ object EmbeddingQueries {
     * inverted-list build side, rn ≤ nprobe the probe side; exact cosine
     * rerank within probed cells to a top-3 via the single-shuffle
     * [[TopKAgg]]. Candidate cost |corpus|·nprobe·(N/k) — a cid
-    * equi-join, never corpus×corpus. */
+    * equi-join, never corpus×corpus.
+    *
+    * Cache ownership (the KMeans.fit contract): callers persist the
+    * `ranked` frame because it feeds both join sides. The entry is
+    * deliberately NOT unpersisted here — the caller returns the lazy
+    * result, so the action runs outside this function. Because each
+    * query's centroid store is memoized per (process, dir), the ranked
+    * plan is IDENTICAL across invocations and Spark's CacheManager
+    * dedupes by canonical plan: repeated bench reps reuse ONE cache
+    * entry per (query, dir) — bounded, and the reuse is exactly what
+    * makes timed reps price steady-state search. */
   private def ivfProbeRerank(spark: SparkSession, ranked: DataFrame): DataFrame = {
     val build = ranked.filter(col("rn") === 1).select(col("cid"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))

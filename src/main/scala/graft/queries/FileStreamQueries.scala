@@ -95,6 +95,8 @@ object FileStreamQueries {
       val stats = ev.agg(
         expr("percentile(unix_micros(ts), 0.5)").cast("long").as("mid"),
         max(unix_micros(col("ts"))).as("mx")).first()
+      require(!stats.isNullAt(0),
+        s"no events under $d — cannot drive the streaming replay")
       val (midUs, maxUs) = (stats.getLong(0), stats.getLong(1))
       def punct(offUs: Long) = spark.range(1).select(
         timestamp_micros(lit(maxUs + offUs)).as("ts"),
@@ -130,6 +132,8 @@ object FileStreamQueries {
       val stats = base.agg(
         expr("percentile(ts_us, 0.5)").cast("long").as("mid"),
         max(col("ts_us")).as("mx")).first()
+      require(!stats.isNullAt(0),
+        s"no events under $d — cannot drive the streaming replay")
       val (midUs, maxUs) = (stats.getLong(0), stats.getLong(1))
       val punct = base.select(col("user_id")).distinct()
         .select(col("user_id"), lit(maxUs + 10L * gapUs).as("ts_us"),
@@ -163,8 +167,11 @@ object FileStreamQueries {
     val root = dedupRoots.computeIfAbsent(dir, { d =>
       val r = StorePaths.root("fsdedup", d)
       val rows = Tables.events(spark, d).select(col("user_id"), col("ts"))
-      val midUs = rows.agg(
-        expr("percentile(unix_micros(ts), 0.5)").cast("long")).first().getLong(0)
+      val midRow = rows.agg(
+        expr("percentile(unix_micros(ts), 0.5)").cast("long")).first()
+      require(!midRow.isNullAt(0),
+        s"no events under $d — cannot drive the streaming replay")
+      val midUs = midRow.getLong(0)
       val b1 = rows.filter(unix_micros(col("ts")) <= midUs)
       val b2 = rows.filter(unix_micros(col("ts")) > midUs)
       val inDir = stageSequencedFiles(spark, r, Seq(

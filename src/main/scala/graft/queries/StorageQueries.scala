@@ -52,10 +52,16 @@ object StorageQueries {
     * oracle gate like q117–q120. Results are layout-independent, so the
     * oracle is q55's plain-join SQL; at gate SFs the derivation floors
     * at q55's 16 and the oracle re-proves row-for-row equivalence. */
+  private val scaledBucketCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def q121BucketedScaled(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
-    val buckets = BucketedTables.bucketsFor(li.count())
+    // memoized per (process, dir) like the centroid stores: the count is
+    // a WRITE-time derivation; steady-state reps must not rescan 600M
+    // rows just to recompute the table name
+    val buckets: Int = scaledBucketCounts.computeIfAbsent(dir,
+      { _ => Integer.valueOf(BucketedTables.bucketsFor(li.count())) })
     val lt = s"lineitem_bkt${buckets}_$tag"
     val ot = s"orders_bkt${buckets}_$tag"
     BucketedTables.ensureBucketed(li, lt, "l_orderkey", buckets)

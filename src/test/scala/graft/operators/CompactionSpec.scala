@@ -47,6 +47,49 @@ class CompactionSpec extends SparkSpec {
       f"range-compacted files must stay clustered, avg span ${avgSpan / global}%.2f of range")
   }
 
+  test("fold crash mid-swap is fail-stop AND recoverable: parked copy restored, fold completes") {
+    val base = java.nio.file.Files.createTempDirectory("foldcrash").toString + "/t"
+    val df = (0L until 100L).map(i => (i, i % 4, 7L)).toDF("id", "band_bucket", "ingest_batch")
+    df.write.partitionBy("ingest_batch", "band_bucket").parquet(base)
+    val expected = spark.read.parquet(base).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // simulate a crash between rename 1 and rename 2: store missing,
+    // pre-fold copy parked under __folded_old
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(base),
+      new org.apache.hadoop.fs.Path(base + "__folded_old"))
+    intercept[Exception](spark.read.parquet(base).count()) // fail-stop, loud
+    // the next fold call recovers, then folds
+    Compaction.foldIngestBatches(spark, base,
+      innerPartCols = Seq("band_bucket"), rangeCols = Nil)
+    val got = spark.read.parquet(base).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected, "recovery + fold must preserve the row multiset")
+    assert(spark.read.parquet(base).filter(col("ingest_batch") =!= -1L).count() == 0,
+      "all rows folded into the base partition")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "__folded_old")))
+  }
+
+  test("fold splits a HOT inner partition across files per targetBytes (no single-task funnel)") {
+    val base = java.nio.file.Files.createTempDirectory("foldhot").toString + "/t"
+    // one hot bucket (0) with ~95% of rows, three cold ones
+    val rows = (0L until 20000L).map(i => (i, if (i % 20 == 0) 1L + i % 3 else 0L, 1L))
+    rows.toDF("id", "band_bucket", "ingest_batch")
+      .write.partitionBy("ingest_batch", "band_bucket").parquet(base)
+    val bytes = Compaction.treeBytes(spark, base)
+    Compaction.foldIngestBatches(spark, base,
+      innerPartCols = Seq("band_bucket"), rangeCols = Nil,
+      targetBytes = bytes / 8 + 1) // force multi-file widths for the hot bucket
+    val perBucket = spark.read.parquet(base)
+      .withColumn("f", input_file_name())
+      .groupBy("band_bucket").agg(countDistinct("f").as("nf")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(perBucket(0L) > 1,
+      s"hot bucket must split across files, got ${perBucket(0L)}")
+    assert((perBucket - 0L).values.forall(_ == 1L),
+      s"cold buckets stay single-file: $perBucket")
+    assert(spark.read.parquet(base).count() == 20000)
+  }
+
   test("failed-looking state never truncates: temp dir is separate until rename") {
     // contract check: compact() writes to <dir>__compacting then swaps —
     // after success the temp dir is gone and the target exists

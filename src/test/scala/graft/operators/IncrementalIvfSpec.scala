@@ -107,6 +107,28 @@ class IncrementalIvfSpec extends SparkSpec {
     assert(dirs == Set("ingest_batch=-1"), s"retrain must fold batch partitions: $dirs")
   }
 
+  test("retrain crash mid-swap is fail-stop and recoverable — never a mixed store") {
+    val root = tmpRoot("crashswap")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    IncrementalIvf.writeIndex(vecs, root, k = 8, iters = 2)
+    val before = IncrementalIvf.index(spark, root)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // simulate a crash between retrain's two renames: live root missing,
+    // pre-retrain store parked
+    fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(root + "__retrain_old"))
+    intercept[Exception](IncrementalIvf.index(spark, root).count()) // loud, not mixed
+    IncrementalIvf.recoverSwap(spark, root)
+    val after = IncrementalIvf.index(spark, root)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after == before, "recovery must restore the intact pre-retrain store")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "__retrain_old")))
+    // and a subsequent retrain completes normally on the recovered store
+    IncrementalIvf.retrain(spark, root, k = 8, iters = 2)
+    assert(IncrementalIvf.index(spark, root).count() == before.size)
+  }
+
   test("kFor sizes cells to the corpus (√N, clamped)") {
     assert(IncrementalIvf.kFor(100) == 10)
     assert(IncrementalIvf.kFor(1000000) == 1000)

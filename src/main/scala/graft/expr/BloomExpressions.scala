@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.{call_function, col, lit}
+import org.apache.spark.sql.functions.{approx_count_distinct, call_function, col, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -86,11 +86,19 @@ object BloomFns {
     * plain join plus per-row hash overhead (measured 141 s; the r10
     * sf100 sweep caught it). Results are unchanged either way — false
     * positives die in the exact join — which is precisely why the decay
-    * is silent and the sizing must scale. */
+    * is silent and the sizing must scale.
+    *
+    * The default sizes from `approx_count_distinct(key)` (±~2 % HLL), not
+    * row count: [[semiPrune]] permits duplicated build keys, and sizing
+    * from rows would oversize proportionally to the duplication factor.
+    * Bloom capacity only needs an upper bound, so HLL error is absorbed by
+    * the fpp margin. Callers who already know the cardinality pass
+    * `expectedKeys` and skip the extra build-side scan entirely. */
   def buildKeyFilter(build: DataFrame, key: String,
                      expectedKeys: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
     val n = if (expectedKeys > 0) expectedKeys
-            else math.max(1L << 18, build.count())
+            else math.max(1L << 18,
+              build.select(approx_count_distinct(col(key))).first().getLong(0))
     val bf = build.stat.bloomFilter(key, n, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)

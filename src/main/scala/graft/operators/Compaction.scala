@@ -24,6 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** Single-maintainer lease for the swap-based maintenance passes
+    * ([[foldIngestBatches]], [[IncrementalIvf.retrain]]): two concurrent
+    * maintainers on one store can destroy the only intact copy — caller B's
+    * crash-recovery branch sees caller A's parked `__folded_old` while A is
+    * between its two renames and deletes it. `FileSystem.createNewFile` is
+    * atomic on HDFS and local FS, so exactly one caller wins the marker.
+    * A CRASHED maintainer leaves the marker behind by design (fail-stop):
+    * the operator confirms no maintenance process is live, then calls
+    * [[breakLease]] before rerunning — the rerun's recovery branch restores
+    * the store. */
+  def acquireLease(fs: org.apache.hadoop.fs.FileSystem, dir: String): Path = {
+    val lock = new Path(dir.stripSuffix("/") + "__maintenance_lock")
+    require(fs.createNewFile(lock),
+      s"maintenance lease $lock already held — another fold/retrain is live on $dir, " +
+        "or a previous one crashed (verify, then Compaction.breakLease and rerun)")
+    lock
+  }
+
+  /** Remove a stale maintenance lease after a crashed maintainer (see
+    * [[acquireLease]]); only call once no maintenance process is live. */
+  def breakLease(spark: SparkSession, dir: String): Unit = {
+    val lock = new Path(dir.stripSuffix("/") + "__maintenance_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
+    ()
+  }
+
   /** Total bytes of data files under `dir` (non-recursive parquet dirs). */
   def dirBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
@@ -48,7 +75,12 @@ object Compaction {
       var total = 0L
       while (it.hasNext) {
         val s = it.next()
-        if (!s.getPath.getName.startsWith("_")) total += s.getLen
+        val n = s.getPath.getName
+        // skip metadata (_SUCCESS, _spark_metadata) AND hidden checksum
+        // files (.part-*.crc) — LocalFileSystem writes the latter, and
+        // counting them as data would make an all-zero-row store look
+        // non-empty to the fold's bytes > 0 gate
+        if (!n.startsWith("_") && !n.startsWith(".")) total += s.getLen
       }
       total
     }
@@ -100,15 +132,31 @@ object Compaction {
                         targetBytes: Long = 128L << 20): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = acquireLease(fs, dir)
+    try foldLocked(spark, dir, innerPartCols, rangeCols, schema, targetBytes, p, fs)
+    finally { fs.delete(lock, false); () }
+  }
+
+  private def foldLocked(spark: SparkSession, dir: String,
+                         innerPartCols: Seq[String], rangeCols: Seq[String],
+                         schema: Option[org.apache.spark.sql.types.StructType],
+                         targetBytes: Long, p: Path,
+                         fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val old = new Path(dir.stripSuffix("/") + "__folded_old")
     // crash recovery: a previous fold died between its two renames
     // (store missing, pre-fold copy parked) — restore, then proceed
-    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"fold recovery rename $old -> $p failed")
     else if (fs.exists(old)) fs.delete(old, true) // died after rename 2
     val bytes = treeBytes(spark, dir)
     if (bytes == 0L) return
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val df = reader.parquet(dir).withColumn("ingest_batch", lit(-1L))
+    // zero-ROW guard for both branches: byte-counted part files can hold
+    // only parquet footers (zero rows) — rewriting that to a bare dir
+    // breaks subsequent schema-less reads of the store
+    val total = df.count()
+    if (total == 0L) return
     val arranged =
       if (innerPartCols.nonEmpty) {
         // one write task per (inner value, salt): small inner values
@@ -119,8 +167,6 @@ object Compaction {
         // agg + broadcast join), the salt from a deterministic
         // all-column hash so placement is stable across task retries
         val innerCols = innerPartCols.map(c => col(s"`$c`"))
-        val total = df.count()
-        if (total == 0L) return
         val widths = df.groupBy(innerCols: _*)
           .agg(count(lit(1)).as("__rows"))
           .withColumn("__salt_w", greatest(lit(1L),
@@ -142,8 +188,12 @@ object Compaction {
     val tmp = dir.stripSuffix("/") + "__folding"
     arranged.write.mode("overwrite")
       .partitionBy(("ingest_batch" +: innerPartCols): _*).parquet(tmp)
-    fs.rename(p, old)
-    fs.rename(new Path(tmp), p)
+    // Hadoop rename reports most failures by returning FALSE (and renaming
+    // onto an existing dir would nest the source inside it) — an unchecked
+    // false here is exactly the mixed-store state the fail-stop protocol
+    // exists to prevent, so each rename is require()'d loud
+    require(fs.rename(p, old), s"fold swap rename $p -> $old failed")
+    require(fs.rename(new Path(tmp), p), s"fold swap rename $tmp -> $p failed")
     fs.delete(old, true)
     ()
   }

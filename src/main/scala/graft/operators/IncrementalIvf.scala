@@ -166,18 +166,29 @@ object IncrementalIvf {
     * batch partitions. Pass `k <= 0` to derive k from the corpus size
     * via [[kFor]] (one count pass — training-time cost). */
   def retrain(spark: SparkSession, root: String, k: Int, iters: Int): Unit = {
-    recoverSwap(spark, root)
-    val vecs = index(spark, root).select("vec_id", "embedding")
-    val kk = if (k > 0) k else kFor(vecs.count())
-    val tmp = s"${root}__retrain"
-    writeIndex(vecs, tmp, kk, iters) // actions complete before any rename
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
-    fs.rename(p, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(old, true)
-    ()
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-maintainer lease (Compaction.acquireLease contract): a second
+    // concurrent retrain's recovery branch could delete the parked
+    // __retrain_old copy while this one is between its two renames
+    val lock = Compaction.acquireLease(fs, root)
+    try {
+      recoverSwap(spark, root)
+      val vecs = index(spark, root).select("vec_id", "embedding")
+      val kk = if (k > 0) k else kFor(vecs.count())
+      val tmp = s"${root}__retrain"
+      writeIndex(vecs, tmp, kk, iters) // actions complete before any rename
+      val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
+      // rename failures surface as a FALSE return on Hadoop filesystems —
+      // unchecked, a failed park followed by rename(tmp, root) onto the
+      // still-live root would NEST the retrained store inside the old one
+      // (the mixed-quantizer state the protocol forbids); fail loud instead
+      require(fs.rename(fsRoot, old), s"retrain swap rename $fsRoot -> $old failed")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), fsRoot),
+        s"retrain swap rename $tmp -> $fsRoot failed")
+      fs.delete(old, true)
+      ()
+    } finally { fs.delete(lock, false); () }
   }
 
   /** Restore a store whose last [[retrain]] crashed between its two
@@ -188,7 +199,8 @@ object IncrementalIvf {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
-    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"retrain recovery rename $old -> $p failed")
     else if (fs.exists(old)) fs.delete(old, true)
     val stale = new org.apache.hadoop.fs.Path(s"${root}__retrain")
     if (fs.exists(stale)) { fs.delete(stale, true); () }

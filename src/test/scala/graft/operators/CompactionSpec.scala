@@ -90,6 +90,42 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() == 20000)
   }
 
+  test("maintenance lease: a held lock fails the second fold loudly; breakLease clears it") {
+    val base = java.nio.file.Files.createTempDirectory("foldlease").toString + "/t"
+    val df = (0L until 50L).map(i => (i, i % 2, 3L)).toDF("id", "band_bucket", "ingest_batch")
+    df.write.partitionBy("ingest_batch", "band_bucket").parquet(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // maintainer A is mid-fold: its lease marker is on disk
+    val lock = Compaction.acquireLease(fs, base)
+    assert(fs.exists(lock))
+    val e = intercept[IllegalArgumentException] {
+      Compaction.foldIngestBatches(spark, base, innerPartCols = Seq("band_bucket"), rangeCols = Nil)
+    }
+    assert(e.getMessage.contains("lease"), s"second maintainer must fail on the lease: $e")
+    // store untouched by the refused maintainer
+    assert(spark.read.parquet(base).count() == 50)
+    // operator breaks the stale lease after a crash; the rerun proceeds
+    Compaction.breakLease(spark, base)
+    Compaction.foldIngestBatches(spark, base, innerPartCols = Seq("band_bucket"), rangeCols = Nil)
+    assert(spark.read.parquet(base).filter(col("ingest_batch") =!= -1L).count() == 0)
+    assert(!fs.exists(lock), "lease released after a successful fold")
+  }
+
+  test("fold of an all-zero-row store is a no-op (crc files don't count as data)") {
+    val base = java.nio.file.Files.createTempDirectory("foldzero").toString + "/t"
+    // a partition whose part files hold only footers: zero rows, nonzero
+    // bytes (written directly into the partition dir — a partitionBy write
+    // of an empty frame emits nothing at all)
+    (0L until 10L).map(i => Tuple1(i)).toDF("id")
+      .filter(col("id") < 0) // empty, but schema-bearing
+      .write.parquet(base + "/ingest_batch=5")
+    Compaction.foldIngestBatches(spark, base, innerPartCols = Nil, rangeCols = Seq("id"))
+    // schema-less read still works — the store was NOT rewritten to a bare dir
+    assert(spark.read.parquet(base).count() == 0)
+    assert(spark.read.parquet(base).columns.contains("id"))
+  }
+
   test("failed-looking state never truncates: temp dir is separate until rename") {
     // contract check: compact() writes to <dir>__compacting then swaps —
     // after success the temp dir is gone and the target exists

@@ -481,8 +481,9 @@ object EmbeddingQueries {
     * by the q74 and q89 oracles (src = the full `embeddings` view) and
     * the q94 oracle (src = the seed subset the incremental store trained
     * on). */
-  private def kmeansTrainSqlCtesOver(src: String, kLimit: String = SemK.toString): String = {
-    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+  private def kmeansTrainSqlCtesOver(src: String, kLimit: String = SemK.toString,
+                                     dim: Int = Dim, suffix: String = ""): String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", dim)
     // one Lloyd round: nearest-centroid assignment (deterministic (dist,
     // cid) tiebreak, mirroring KMeans.assign), per-(cid, pos) mean,
     // empty clusters keep the previous centroid (KMeans.update)
@@ -508,13 +509,13 @@ object EmbeddingQueries {
          |  SELECT p.cid, coalesce(f.centroid, p.centroid) AS centroid
          |  FROM $prevC p LEFT JOIN $freshCte f ON p.cid = f.cid
          |)""".stripMargin
-    s"""c0 AS (
+    s"""c0$suffix AS (
        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid,
        |    list_transform(embedding, x -> x::DOUBLE) AS centroid
        |  FROM $src ORDER BY vec_id LIMIT $kLimit
        |),
-       |${lloyd("c0", "a1", "f1", "c1")},
-       |${lloyd("c1", "a2", "f2", "c2")}""".stripMargin
+       |${lloyd(s"c0$suffix", s"a1$suffix", s"f1$suffix", s"c1$suffix")},
+       |${lloyd(s"c1$suffix", s"a2$suffix", s"f2$suffix", s"c2$suffix")}""".stripMargin
   }
 
   private val kmeansTrainSqlCtes: String = kmeansTrainSqlCtesOver("embeddings")
@@ -1124,6 +1125,214 @@ object EmbeddingQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
+  /** PQ configuration: m = 8 subspaces of Dim/m = 8 floats. The codebook
+    * width is CORPUS-DERIVED ([[graft.ml.ProductQuantizer.ksFor]] —
+    * ⌊N/32⌋ clamped to [16, 256]): the FAISS byte-code production config
+    * (ks = 256) is the ceiling, reached at ≥8k vectors, while gate
+    * corpora train a width their size can support — the q118 pattern, so
+    * ONE static oracle SQL (scalar-subquery ks) is correct at every SF. */
+  private[graft] val PqM = 8
+  private val PqSub = Dim / PqM
+
+  /** IVF-PQ index build, once per (process, dir) like every snapshot
+    * store: per-subspace codebooks from `fitSampled`'s deterministic
+    * 1-in-4 sample (the q118 production-training recipe), full-corpus
+    * encode (one broadcast join against the m·ks-row codebook), coarse
+    * cell per vector from the SAME trained quantizer q89 searches with.
+    * The stored index is (vec_id, cid, codes: array<int>[m]) — 8 codes
+    * standing in for 64 floats (32× at the byte-code ceiling; a
+    * production sink would pack them tinyint). */
+  private val pqStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def pqStore(spark: SparkSession, dir: String): (String, String) =
+    pqStoreRoots.computeIfAbsent(dir, { d =>
+      val rb = graft.core.StorePaths.root("pqbook", d)
+      val rc = graft.core.StorePaths.root("pqcodes", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      val ks = graft.ml.ProductQuantizer.ksFor(e.count())
+      graft.ml.ProductQuantizer.train(e, Dim, PqM, ks, SemKIters, denom = 4)
+        .coalesce(1).write.mode("overwrite").parquet(rb) // m·ks rows
+      val book = spark.read.parquet(rb)
+      val cids = graft.ml.KMeans.assign(e, trainedCentroids(spark, d))
+        .select(col("vec_id"), col("cid"))
+      graft.ml.ProductQuantizer.encode(e, book, Dim, PqM)
+        .join(cids, Seq("vec_id"))
+        .write.mode("overwrite").parquet(rc)
+      (rb, rc)
+    })
+
+  /** q122: IVF-PQ ANN — the index-compression step past q97's SQ8
+    * (Jégou et al. 2011): candidates from q89's trained-quantizer cid
+    * equi-join (nprobe = 2), reranked by ASYMMETRIC distance — the
+    * query keeps full float precision, the database side is
+    * reconstructed from its m = 8 product codes through a plan-literal
+    * lookup table (≈16 KB; no join, no shuffle, codegen'd elementwise).
+    * The DuckDB oracle replays ALL NINE trainings (the coarse k = 32
+    * chain + 8 per-subspace sampled codebook chains with ks derived
+    * in-SQL), the encode argmin, the reconstruction, and the identical
+    * probe/rerank — so the driver hash-proves the quantizer end-to-end,
+    * not just the plan shape.
+    *
+    * 100 TB shape: codebooks are m·ks·8 doubles (16 KB) — plan
+    * literals; encode is one broadcast join at build time; search cost
+    * = q89's candidate join with a 32×-smaller build side payload.
+    * Margin audit (tools.PqMarginProbe, sf0.01): min subspace-code
+    * argmin gap 1.1e-5, min rank-boundary gap 1.9e-5 — ≥10 orders
+    * above the engines' summation wobble on 8-term double sums. */
+  def q122IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (rb, rc) = pqStore(spark, dir)
+    val book = spark.read.parquet(rb)
+    val cand = graft.ml.ProductQuantizer
+      .withRecon(spark, spark.read.parquet(rc), book, PqM)
+      .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
+    val probes = ivfRanked(Tables.embeddings(spark, dir),
+        trainedCentroids(spark, dir), nprobe = 2)
+      .select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    probes.join(cand, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("recon")) / (col("a_nrm") * col("rnrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+  }
+
+  val q122IvfPqAnnSql: String = {
+    val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nr = VecFns.ddbNorm("r.recon", Dim)
+    // one training + encode chain per subspace, over the shared sample
+    val chains = (0 until PqM).map { s =>
+      val lo = s * PqSub + 1; val hi = (s + 1) * PqSub
+      val encDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", PqSub)
+      s"""sub${s}s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM smp),
+         |${kmeansTrainSqlCtesOver(s"sub${s}s", kLimit = "(SELECT ks FROM ksv)", dim = PqSub, suffix = s"_p$s")},
+         |sub${s}f AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+         |enc$s AS (
+         |  SELECT vec_id, $s AS s, centroid FROM (
+         |    SELECT e.vec_id, c.centroid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $encDist ASC, c.cid ASC) AS rn
+         |    FROM sub${s}f e CROSS JOIN c2_p$s c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmeansTrainSqlCtes,
+       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |$chains,
+       |rc AS MATERIALIZED (
+       |  SELECT vec_id, flatten(list(centroid ORDER BY s)) AS recon
+       |  FROM (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1 UNION ALL
+       |        SELECT * FROM enc2 UNION ALL SELECT * FROM enc3 UNION ALL
+       |        SELECT * FROM enc4 UNION ALL SELECT * FROM enc5 UNION ALL
+       |        SELECT * FROM enc6 UNION ALL SELECT * FROM enc7)
+       |  GROUP BY vec_id
+       |),
+       |rk AS (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nr) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |  JOIN rc r ON r.vec_id = b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
+  /** q123: the DRIFT-TRIGGERED RETRAIN LOOP under the oracle gate — the
+    * last spec-only piece of the IVF lifecycle made driver-checked.
+    * Build the store on the 90% seed, present a DETERMINISTIC drifted
+    * delta (the held-out 10% scaled ×4 — a power-of-two scale, so the
+    * shift is bit-exact in both engines' float arithmetic), MEASURE the
+    * drift signal (must exceed [[graft.operators.IncrementalIvf
+    * .DriftRetrainThreshold]] — require()d, so the query fails loudly if
+    * the trigger premise ever breaks), ingest the delta, snapshot-
+    * retrain on the full maintained corpus, and search the retrained
+    * index. The oracle replays the POST-RETRAIN training from scratch
+    * over seed ∪ scaled-delta and the identical probe/rerank — hash-
+    * proving `search(retrain(ingest(drifted)))` ≡ the from-scratch
+    * rebuild, i.e. the maintenance loop leaves no residue of the
+    * pre-drift quantizer. */
+  private val driftStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q123DriftRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val root = driftStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("driftivf", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvf.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, SemK, SemKIters)
+      val delta = e.filter(col("vec_id") % 10 === 7)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(4.0f)))
+      val drift = graft.operators.IncrementalIvf.assignmentDrift(spark, r, delta)
+      require(drift > graft.operators.IncrementalIvf.DriftRetrainThreshold,
+        f"q123 premise broken: scaled delta must trip the retrain trigger (drift=$drift%.3f)")
+      graft.operators.IncrementalIvf.ingestBatch(spark, r, delta, batchId = 1L)
+      graft.operators.IncrementalIvf.retrain(spark, r, SemK, SemKIters)
+      r
+    })
+    graft.operators.IncrementalIvf.search(spark, root,
+      graft.operators.IncrementalIvf.index(spark, root).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  val q123DriftRetrainSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    // ×4 is exact in FLOAT and DOUBLE alike (exponent shift), so the
+    // drifted corpus is bit-identical across engines
+    s"""WITH emb2 AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x * 4 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 10 = 7
+       |),
+       |${kmeansTrainSqlCtesOver("emb2")},
+       |rk AS (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dist ASC, c.cid ASC) AS rn
+       |    FROM emb2 e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nb) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
@@ -1139,7 +1348,9 @@ object EmbeddingQueries {
     "q117_ann_lsh_wide" -> (q117AnnLshWide _),
     "q118_ivf_scaled" -> (q118IvfScaled _),
     "q119_semdedup_scaled" -> (q119SemDedupScaled _),
-    "q120_recall_scaled" -> (q120RecallScaled _)
+    "q120_recall_scaled" -> (q120RecallScaled _),
+    "q122_ivfpq_ann" -> (q122IvfPqAnn _),
+    "q123_drift_retrain" -> (q123DriftRetrain _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1157,6 +1368,8 @@ object EmbeddingQueries {
     "q117_ann_lsh_wide" -> q117AnnLshWideSql,
     "q118_ivf_scaled" -> q118IvfScaledSql,
     "q119_semdedup_scaled" -> q119SemDedupScaledSql,
-    "q120_recall_scaled" -> q120RecallScaledSql
+    "q120_recall_scaled" -> q120RecallScaledSql,
+    "q122_ivfpq_ann" -> q122IvfPqAnnSql,
+    "q123_drift_retrain" -> q123DriftRetrainSql
   )
 }

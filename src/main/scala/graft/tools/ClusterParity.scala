@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-executor parity harness — the one execution dimension
+  * `local[32]` cannot test: with a real standalone cluster (separate
+  * executor JVMs), every shuffle row crosses a serialization boundary,
+  * broadcasts ride the torrent transport instead of a same-heap
+  * reference, and task results deserialize on the driver. Every query in
+  * the scale-audit tier is fixed-point-integer or exact-decimal, so the
+  * cluster run must be HASH-IDENTICAL to local[32] — any divergence is a
+  * serialization/ordering bug.
+  *
+  * Usage: `ClusterParity <masterUrl> <sfDir> <outJson> [nameRegex]`
+  *   masterUrl: `local[32]` (baseline) or `spark://host:7077` (cluster)
+  * Env: SPARK_GRAFT_EXEC_MEM / SPARK_GRAFT_EXEC_CORES size standalone
+  * executors; SPARK_GRAFT_JAR ships the app classes to executor JVMs
+  * (required for non-local masters).
+  *
+  * The result fingerprint is ORDER-INDEPENDENT — per-row xxhash64 over
+  * the row's columns IN SORTED NAME ORDER, summed with wrapping Long
+  * addition — because partition count and task scheduling (which differ
+  * by design between the two runs) may legally permute row order; only
+  * the multiset of rows is contractual. Identical JVM + hardware on both
+  * sides makes float bit-patterns reproducible, so hashing doubles is
+  * sound here (same-box protocol; cross-arch parity would compare the
+  * rounded decimal forms instead).
+  */
+object ClusterParity {
+
+  /** The scale-audit tier (BASELINE.md): dedup, graph fixed-point,
+    * storage layouts, incremental stores, and the derived-width levers. */
+  val Tier: Seq[String] = Seq(
+    "q23_exact_dedup", "q30_minhash_lsh", "q48_dedup_components",
+    "q55_bucketed_join", "q56_bloom_pruned_join",
+    "q79_pagerank", "q86_pagerank_directed", "q90_media_neardup",
+    "q91_incremental_pagerank",
+    "q117_ann_lsh_wide", "q118_ivf_scaled", "q121_bucketed_scaled")
+
+  def fingerprint(df: DataFrame): (String, Long) = {
+    val cols = df.columns.sorted.map(c => col(s"`$c`"))
+    // decimal(38,0) sum: a plain Long sum of per-row xxhash64 overflows
+    // (and throws under ANSI mode) on any non-trivial row count
+    val r = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h")).as("hs"), count(lit(1)).as("n")).first()
+    (if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString, r.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ClusterParity <masterUrl> <sfDir> <outJson> [nameRegex]")
+    val Array(master, sfDir, outJson) = args.take(3)
+    val nameRe = args.lift(3).map(_.r)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var b = graft.core.Sessions.builder(master, shuffleParts)
+    sys.env.get("SPARK_GRAFT_EXEC_MEM").foreach(m => b = b.config("spark.executor.memory", m))
+    sys.env.get("SPARK_GRAFT_EXEC_CORES").foreach(c => b = b.config("spark.executor.cores", c))
+    sys.env.get("SPARK_GRAFT_JAR").foreach(j => b = b.config("spark.jars", j))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Tables.lineitem(spark, sfDir).limit(1).count() // JVM/exec warm-up
+    val queries = graft.SparkEntry.queries
+    val rows = Tier.filter(n => nameRe.forall(_.findFirstIn(n).isDefined)).map { name =>
+      val t0 = System.nanoTime()
+      val out =
+        try {
+          val (h, n) = fingerprint(queries(name)(spark, sfDir))
+          val dt = (System.nanoTime() - t0) / 1e9
+          s""""$name":{"hash":"$h","rows":$n,"sec":${f"$dt%.3f"}}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[parity] $name failed: ${e.getMessage}")
+          s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+        }
+      spark.catalog.clearCache()
+      out
+    }
+    val json = s"""{"master":"$master","sf":"$sfDir","queries":{${rows.mkString(",")}}}"""
+    val w = new java.io.PrintWriter(outJson)
+    try w.println(json) finally w.close()
+    println(json)
+    spark.stop()
+  }
+}

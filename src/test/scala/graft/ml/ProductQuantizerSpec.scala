@@ -1,0 +1,106 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Dim = 64
+  private val M = 8
+
+  private lazy val vecs = graft.core.Tables.embeddings(spark, sfDir)
+    .select("vec_id", "embedding")
+  private lazy val ks = ProductQuantizer.ksFor(vecs.count())
+  private lazy val book = ProductQuantizer.train(vecs, Dim, M, ks, iters = 2)
+
+  test("ksFor: corpus-derived codebook width clamps to [16, 256]") {
+    assert(ProductQuantizer.ksFor(100) == 16)
+    assert(ProductQuantizer.ksFor(500) == 16)
+    assert(ProductQuantizer.ksFor(2000) == 62)
+    assert(ProductQuantizer.ksFor(1000000) == 256)   // FAISS byte-code ceiling
+    assert(ProductQuantizer.ksFor(100000000L) == 256)
+  }
+
+  test("codebook shape: m subspaces x ks codes of dim/m doubles") {
+    val rows = book.collect()
+    assert(rows.length == M * ks)
+    assert(rows.map(_.getInt(0)).distinct.sorted.toSeq == (0 until M))
+    rows.foreach(r => assert(r.getSeq[Double](2).length == Dim / M))
+    // codes within each subspace are 0..ks-1, dense
+    (0 until M).foreach { s =>
+      assert(rows.filter(_.getInt(0) == s).map(_.getInt(1)).sorted.toSeq == (0 until ks))
+    }
+  }
+
+  test("encode: m codes per vector, each a valid codebook entry") {
+    val codes = ProductQuantizer.encode(vecs, book, Dim, M).cache()
+    assert(codes.count() == vecs.count())
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= ks).count()
+    assert(bad == 0)
+    assert(codes.filter(size(col("codes")) =!= M).count() == 0)
+    codes.unpersist()
+    ()
+  }
+
+  test("encode is the per-subspace argmin: manual check on one vector") {
+    val codes = ProductQuantizer.encode(vecs, book, Dim, M)
+    val v = vecs.orderBy("vec_id").first()
+    val emb = v.getSeq[Float](1).map(_.toDouble)
+    val got = codes.filter(col("vec_id") === v.getLong(0)).first().getSeq[Int](1)
+    val bookRows = book.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val sub = Dim / M
+    (0 until M).foreach { s =>
+      val q = emb.slice(s * sub, (s + 1) * sub)
+      val best = bookRows.filter(_._1 == s).map { case (_, code, c) =>
+        val d = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, code)
+      }.minBy(identity) // (dist, code) — the engine-wide tiebreak
+      assert(got(s) == best._2, s"subspace $s: expected code ${best._2}, got ${got(s)}")
+    }
+  }
+
+  test("decode(encode(x)) reconstruction: bounded error, better than random codes") {
+    val codes = ProductQuantizer.encode(vecs, book, Dim, M)
+    val dec = ProductQuantizer.decodeExpr(spark, book, M)
+    val joined = codes.join(vecs, Seq("vec_id"))
+      .withColumn("recon", dec(col("codes")))
+      .withColumn("err", graft.expr.NativeVecFns.l2DistSq(spark, col("embedding"), col("recon")))
+      .withColumn("nrm2", graft.expr.NativeVecFns.l2DistSq(spark, col("embedding"),
+        array_repeat(lit(0.0d), Dim)))
+    val Array(meanErr, meanNrm) = joined
+      .agg(avg("err"), avg("nrm2")).first().toSeq.map(_.asInstanceOf[Double]).toArray
+    // The testdata embeddings are ISOTROPIC random unit vectors — the
+    // hardest case for any quantizer (no cluster structure to exploit;
+    // rate-distortion floor ≈ ks^(-2/subdim) = 16^(-1/4) ≈ 0.5 of the
+    // energy). The testable claim is that the codebooks capture real
+    // signal (err strictly inside the zero-code baseline = full energy),
+    // not a structure-dependent ratio. Measured: 0.61 at the gate config.
+    assert(meanErr < 0.8 * meanNrm, s"mean err $meanErr vs energy $meanNrm")
+    // and the reconstruction must equal the concatenation of the chosen
+    // codebook entries exactly (decode is a pure lookup, no arithmetic)
+    val bookMap = book.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val row = joined.orderBy("vec_id").select("codes", "recon").first()
+    val expect = row.getSeq[Int](0).zipWithIndex.flatMap { case (c, s) => bookMap((s, c)) }
+    assert(row.getSeq[Double](1) == expect)
+  }
+
+  test("training is deterministic: two builds produce identical codebooks") {
+    val again = ProductQuantizer.train(vecs, Dim, M, ks, iters = 2)
+    val a = book.orderBy("s", "code").collect().map(_.toString).toSeq
+    val b = again.orderBy("s", "code").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("q122 plan gate: candidate join is a cid equi-join, no cartesian, no UDF") {
+    val df = graft.queries.EmbeddingQueries.q122IvfPqAnn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF-PQ search must never go all-pairs")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+    assert(df.count() > 0)
+  }
+}

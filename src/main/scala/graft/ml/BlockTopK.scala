@@ -87,6 +87,67 @@ object BlockTopK {
     * Cost model: probe side is scanned once per shard — the inherent
     * blocked all-pairs trade; at 100 TB pick `maxBuildRows` so a shard
     * is ~executor-broadcast-sized (dim·4 B per vector). */
+  /** REVERSED asymmetry for ground-truth recall evals (q92/q120): there
+    * the small side is the PROBE SAMPLE (thousands — broadcast-sized by
+    * the documented eval contract) and the large side is the corpus, so
+    * broadcasting probes and streaming the corpus ONCE is the shape that
+    * survives 100 TB. Each corpus partition scores its rows against
+    * every same-shard probe into per-probe bounded [[TopKBuffer]]s
+    * (probes·k state per task) and emits only the partition-local top-k
+    * CANDIDATES — ≤ probes·k rows per partition instead of probes·N
+    * joined pairs. The caller re-ranks the union with the identical
+    * (sim desc, id asc) tiebreak (top-k is a semilattice under that
+    * order, so partial-then-global ≡ global — the cosineTopKSharded
+    * merge argument), which keeps results bit-identical to the
+    * relational broadcast-join form (spec-asserted in BlockTopKSpec).
+    *
+    * Input frames: corpus (shard int, vec_id long, embedding), probes
+    * (shard int, vec_id long, embedding). Output: candidate rows
+    * (shard, a_id, b_id, sim) — NOT yet globally ranked. */
+  def probeTopKCandidates(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probeRows = probes.select(col("shard").cast("int"), col("vec_id"),
+        col("embedding")).as[(Int, Long, Seq[Float])].collect()
+      .map { case (s, id, v) => val (_, arr, nrm) = withNorm(id, v); (s, id, arr, nrm) }
+    // per-shard probe slices as GLOBAL heap indices, so one flat heap
+    // array serves all shards
+    val idxByShard: Map[Int, Array[Int]] =
+      probeRows.zipWithIndex.groupBy(_._1._1).map { case (s, ps) => s -> ps.map(_._2) }
+    val bcProbes = spark.sparkContext.broadcast(probeRows)
+    val bcIdx = spark.sparkContext.broadcast(idxByShard)
+    corpus.select(col("shard").cast("int"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .mapPartitions { it =>
+        val ps = bcProbes.value
+        val idx = bcIdx.value
+        val heaps = Array.fill(ps.length)(new TopKBuffer(k))
+        it.foreach { case (shard, bId, bVec) =>
+          val cand = idx.getOrElse(shard, Array.emptyIntArray)
+          if (cand.nonEmpty) {
+            val (_, b, bNorm) = withNorm(bId, bVec)
+            var c = 0
+            while (c < cand.length) {
+              val i = cand(c)
+              val (_, aId, a, aNorm) = ps(i)
+              if (aId != bId) {
+                var dot = 0.0
+                var d = 0
+                val n = math.min(a.length, b.length)
+                while (d < n) { dot += a(d).toDouble * b(d); d += 1 }
+                heaps(i).insert(dot / (aNorm * bNorm), bId)
+              }
+              c += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          val (s, aId, _, _) = ps(i)
+          (0 until h.size).map(r => (s, aId, h.ids(r), h.scores(r)))
+        }
+      }.toDF("shard", "a_id", "b_id", "sim")
+  }
+
   def cosineTopKSharded(embeddings: DataFrame, k: Int, maxBuildRows: Int): Dataset[NeighborRow] = {
     val spark = embeddings.sparkSession
     import spark.implicits._

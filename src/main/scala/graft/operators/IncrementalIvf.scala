@@ -51,11 +51,15 @@ object IncrementalIvf {
     * `ingest_batch=-1`, and snapshot the per-cell assignment-distance
     * baseline under `root/stats` (the drift reference —
     * [[assignmentDrift]]). The index write inherits the assignment's
-    * full parallelism — no single-task funnel (the edge-store lesson);
-    * pass `k = kFor(count)` to size cells to the corpus. */
+    * full parallelism — no single-task funnel (the edge-store lesson).
+    * DEFAULT PATH = the derived cell count (r11 flip): `k <= 0` (the
+    * default) sizes cells via [[kFor]]'s √N rule — the configuration a
+    * deployment should run; gate queries (q94) pin k explicitly for
+    * byte-stable oracles. */
   def writeIndex(state: DataFrame, root: String,
-                 k: Int, iters: Int): Unit = {
-    val (cents, _) = graft.ml.KMeans.fit(state, k, iters)
+                 k: Int = -1, iters: Int = 2): Unit = {
+    val kk = if (k > 0) k else kFor(state.count())
+    val (cents, _) = graft.ml.KMeans.fit(state, kk, iters)
     // k rows by construction — the one legitimately tiny table here
     cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     assignTo(state, cents).withColumn("ingest_batch", lit(-1L))
@@ -165,7 +169,7 @@ object IncrementalIvf {
     * `ingest_batch=-1`, so a retrain is also a full compaction of the
     * batch partitions. Pass `k <= 0` to derive k from the corpus size
     * via [[kFor]] (one count pass — training-time cost). */
-  def retrain(spark: SparkSession, root: String, k: Int, iters: Int): Unit = {
+  def retrain(spark: SparkSession, root: String, k: Int = -1, iters: Int = 2): Unit = {
     val fsRoot = new org.apache.hadoop.fs.Path(root)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // single-maintainer lease (Compaction.acquireLease contract): a second

@@ -67,12 +67,18 @@ object EmbeddingQueries {
     * nbits = 8 for a byte-stable DuckDB twin. Bit-width invariance of
     * the plan shape and the per-bucket candidate bound are spec-asserted
     * (EmbeddingQueriesSpec). */
-  def annLshBucketed(df: DataFrame, nbits: Int, k: Int): DataFrame = {
+  def annLshBucketed(df: DataFrame, nbits: Int = -1, k: Int = 3): DataFrame = {
     val spark = df.sparkSession
+    // DEFAULT PATH = the derived width (r11 flip): callers who don't pin
+    // nbits get `lshBitsFor`'s corpus-scaled bucket count — the
+    // configuration a deployment should run — while the gate queries pin
+    // their widths explicitly for byte-stable oracles. The derivation
+    // floors at 8 bits, so at gate SFs default ≡ q32's pinned plan.
+    val bits = if (nbits > 0) nbits else VecFns.lshBitsFor(df.count())
     val e = df.select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), bits).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val sims = a.join(b, Seq("bucket"))
@@ -869,24 +875,36 @@ object EmbeddingQueries {
     * tighten the predicate (`probeMod`, sized by [[probeModFor]]), not
     * the mechanism. */
   def annRecallSharded(df: DataFrame, nbits: Int = 8, k: Int = 3,
-                       probeMod: Long = 10L): DataFrame = {
+                       probeMod: Long = -1L): DataFrame = {
     val spark = df.sparkSession
+    // DEFAULT PATH = the derived sample rate (r11 flip): an unpinned
+    // probeMod sizes itself via [[probeModFor]] (≈2000 probes at any
+    // corpus size — the O(probes·N) honest-eval term stays linear);
+    // q92 pins 10 explicitly for its byte-stable oracle. The derivation
+    // floors at 10, so at gate SFs default ≡ the pinned plan.
+    val pm = if (probeMod > 0) probeMod else probeModFor(df.count())
     val e = df.select(col("shard"), col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
       NativeVecFns.rhpBucket(spark, col("embedding"), nbits).as("bucket"))
     def sim = NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
-    val probes = e.filter(col("vec_id") % probeMod === 3).select(
-      col("shard"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val exact = e.select(col("shard"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-      .join(broadcast(probes), Seq("shard"))
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("sim", sim)
+    // Ground truth via the dense probe-broadcast kernel (r11, the q120
+    // sf100 watch item): the corpus streams ONCE against the broadcast
+    // probe sample, each partition emitting only its probes·k local-best
+    // candidates instead of probes·N joined pairs — the relational
+    // broadcast-join form paid row-at-a-time expression eval on ~1.3e9
+    // pairs at sf100 (measured 264.6 s; this kernel: see BASELINE.md).
+    // Bit-identical by the partial-then-global top-k argument
+    // (BlockTopKSpec) — the oracle is unchanged.
+    val exactCands = graft.ml.BlockTopK.probeTopKCandidates(
+      df.select(col("shard"), col("vec_id"), col("embedding")),
+      df.filter(col("vec_id") % pm === 3)
+        .select(col("shard"), col("vec_id"), col("embedding")), k)
+    val exact = exactCands
       .groupBy("shard", "a_id")
       .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), k).as("top"))
       .select(col("shard"), col("a_id").as("vec_id"), explode(col("top")).as("t"))
       .select(col("shard"), col("vec_id"), col("t.id").as("neighbor_id"))
-    val aSide = e.filter(col("vec_id") % probeMod === 3).select(col("shard"), col("bucket"),
+    val aSide = e.filter(col("vec_id") % pm === 3).select(col("shard"), col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val bSide = e.select(col("shard"), col("bucket"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
@@ -910,8 +928,11 @@ object EmbeddingQueries {
     * bucket) candidate join, per-shard hit counts) is driver-proven
     * cell-exact, not just replica-invariance-spec'd. */
   def q92AnnRecallSharded(spark: SparkSession, dir: String): DataFrame =
+    // probeMod PINNED at 10 (the gate rate; its static oracle SQL says 10)
+    // — the unpinned default derives via probeModFor since the r11 flip
     annRecallSharded(Tables.embeddings(spark, dir).select(
-      (col("vec_id") % 3).cast("int").as("shard"), col("vec_id"), col("embedding")))
+      (col("vec_id") % 3).cast("int").as("shard"), col("vec_id"), col("embedding")),
+      probeMod = 10L)
 
   /** Sharded-recall SQL with a pluggable probe-sample modulus — shared
     * by q92 (`probeModSql = "10"`, the pinned gate rate) and q120 (the

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.NativeVecFns
+
+/** Codec recall comparison: PQ (q122) vs SQ8 (q97) vs full-precision
+  * floats, measured as recall@3 against the EXACT cosine top-3 — with
+  * candidate generation HELD FIXED (the trained-quantizer IVF cid join,
+  * nprobe = 2) so the comparison isolates codec-induced ranking damage
+  * from candidate coverage (q97's LSH buckets and q122's IVF cells
+  * would otherwise confound the codecs with their candidate sets).
+  * recall(full) is the IVF candidate-coverage ceiling; the gap
+  * full→SQ8→PQ is what each compression step costs.
+  *
+  * Usage: `PqRecallProbe <sfDir>` — prints one JSON line with the three
+  * recalls and the index-size ratios (floats : SQ8 : PQ codes). */
+object PqRecallProbe {
+
+  private def recallAt3(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = exact.select(col("vec_id"), col("neighbor_id"))
+      .join(approx.select(col("vec_id"), col("neighbor_id"), lit(1L).as("h")),
+        Seq("vec_id", "neighbor_id"), "left")
+    hit.agg(sum(coalesce(col("h"), lit(0L))).cast("double") / count(lit(1)))
+      .first().getDouble(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.core.Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = e.count()
+
+    // exact ground truth (the honest O(N²) pass — a probe tool, not a query)
+    val exact = graft.ml.BlockTopK.cosineTopK(e, 3).toDF()
+      .select(col("vec_id"), col("neighbor_id"))
+
+    // shared coarse quantizer + candidate set (nprobe = 2)
+    val (cents, _) = graft.ml.KMeans.fit(e, 32, 2)
+    val ranked = e.select(col("vec_id"), col("embedding"),
+        NativeVecFns.norm(spark, col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("rn"))
+      .persist()
+
+    def top3(buildSide: DataFrame): DataFrame = {
+      // buildSide: (b_id, cid, b_rep: array, b_nrm) — the codec's
+      // representation of each database vector
+      val probes = ranked.select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      probes.join(buildSide, Seq("cid"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim",
+          NativeVecFns.dot(spark, col("a_emb"), col("b_rep")) / (col("a_nrm") * col("b_nrm")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"))
+    }
+
+    val base = ranked.filter(col("rn") === 1)
+    val fullSide = base.select(col("vec_id").as("b_id"), col("cid"),
+      col("embedding").as("b_rep"), col("nrm").as("b_nrm"))
+
+    val sq8Side = graft.queries.EmbeddingQueries.sq8Recon(e, 64)
+      .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("cid"), col("recon").as("b_rep"),
+        NativeVecFns.norm(spark, col("recon")).as("b_nrm"))
+
+    val ks = graft.ml.ProductQuantizer.ksFor(n)
+    val book = graft.ml.ProductQuantizer.train(e, 64, 8, ks, 2, denom = 4)
+    val dec = graft.ml.ProductQuantizer.decodeExpr(spark, book, 8)
+    val pqSide = graft.ml.ProductQuantizer.encode(e, book, 64, 8)
+      .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .withColumn("b_rep", dec(col("codes")))
+      .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
+        NativeVecFns.norm(spark, col("b_rep")).as("b_nrm"))
+
+    val rFull = recallAt3(top3(fullSide), exact)
+    val rSq8 = recallAt3(top3(sq8Side), exact)
+    val rPq = recallAt3(top3(pqSide), exact)
+    // bytes per vector: 64 floats / 64 byte-codes / 8 byte-codes
+    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
+    spark.stop()
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Recall properties of the LSH tiers on data with real cosine structure.
   * The synthetic testdata embeddings are near-unstructured (top-3
@@ -103,5 +104,34 @@ class EmbeddingQueriesSpec extends SparkSpec {
     val viaDefault = EmbeddingQueries.annLshBucketed(e, nbits = 8, k = 3)
     val q32 = EmbeddingQueries.q32AnnLsh(spark, sfDir)
     assert(viaDefault.exceptAll(q32).isEmpty && q32.exceptAll(viaDefault).isEmpty)
+  }
+
+  test("r11 default-path flip: unpinned widths derive from the corpus and floor at the gate config") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    // annLshBucketed with NO width: derives lshBitsFor(n) — floors at 8
+    // for gate corpora, so default ≡ the pinned q32 plan there
+    assert(graft.functions.VecFns.lshBitsFor(n) == 8)
+    val derived = EmbeddingQueries.annLshBucketed(e)
+    val pinned = EmbeddingQueries.annLshBucketed(e, nbits = 8, k = 3)
+    assert(derived.exceptAll(pinned).isEmpty && pinned.exceptAll(derived).isEmpty)
+    // a corpus past the floor derives a wider bucket space
+    assert(graft.functions.VecFns.lshBitsFor(1000000) > 8)
+    // annRecallSharded with NO probeMod: derives probeModFor(n) — floors
+    // at 10 for gate corpora, so default ≡ the pinned q92 report
+    val sharded = e.select((col("vec_id") % 3).cast("int").as("shard"),
+      col("vec_id"), col("embedding"))
+    val recDerived = EmbeddingQueries.annRecallSharded(sharded)
+    val recPinned = EmbeddingQueries.annRecallSharded(sharded, probeMod = 10L)
+    assert(recDerived.exceptAll(recPinned).isEmpty && recPinned.exceptAll(recDerived).isEmpty)
+  }
+
+  test("r11 default-path flip: writeIndex with no k sizes cells via kFor") {
+    val root = java.nio.file.Files.createTempDirectory("ivfdefault").toString + "/s"
+    val e = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    graft.operators.IncrementalIvf.writeIndex(e, root) // no k, no iters
+    val k = graft.operators.IncrementalIvf.centroids(spark, root).count()
+    assert(k == graft.operators.IncrementalIvf.kFor(e.count()),
+      s"default writeIndex must derive k via kFor, got $k")
   }
 }

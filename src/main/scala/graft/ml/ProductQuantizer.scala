@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.NativeVecFns
 
@@ -76,14 +75,22 @@ object ProductQuantizer {
   def encode(vectors: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame = {
     val spark = vectors.sparkSession
     val sub = dim / m
-    val w = Window.partitionBy("vec_id", "s").orderBy(col("dist_sq").asc, col("code").asc)
+    // argmin via min_by over (dist, code) — NOT a rank window: the
+    // N·ks·m candidate rows reduce map-side in a partial hash aggregate
+    // (≤ N·m groups per partition), where a window would SORT all of
+    // them (410M rows at sf10 — measured as a disk-exhausting spill).
+    // min_by's lexicographic struct order is the engine-wide
+    // (dist asc, code asc) tiebreak, so codes are unchanged.
+    // The full embedding is dropped before the join: candidate rows
+    // carry only the dim/m-float subvector.
     vectors.select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
-      .withColumn("subv", slice(col("embedding"), col("s") * lit(sub) + lit(1), lit(sub)))
+      .select(col("vec_id"), col("s"),
+        slice(col("embedding"), col("s") * lit(sub) + lit(1), lit(sub)).as("subv"))
       .join(broadcast(codebook), Seq("s"))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("subv"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("code"), struct(col("dist_sq"), col("code"))).as("code"))
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("sc"))
       .select(col("vec_id"), transform(col("sc"), p => p("code")).as("codes"))

@@ -30,13 +30,19 @@ import org.apache.spark.sql.functions._
 object ClusterParity {
 
   /** The scale-audit tier (BASELINE.md): dedup, graph fixed-point,
-    * storage layouts, incremental stores, and the derived-width levers. */
+    * storage layouts, incremental stores, the derived-width levers, and
+    * (r11) the serialization-sensitive additions — the dense
+    * probe-broadcast ground-truth kernel (q92/q120: primitive-array
+    * broadcasts + mapPartitions heaps) and IVF-PQ (q122: plan-literal
+    * LUT reconstruction) + the drift-retrain loop (q123: store swaps). */
   val Tier: Seq[String] = Seq(
     "q23_exact_dedup", "q30_minhash_lsh", "q48_dedup_components",
     "q55_bucketed_join", "q56_bloom_pruned_join",
     "q79_pagerank", "q86_pagerank_directed", "q90_media_neardup",
     "q91_incremental_pagerank",
-    "q117_ann_lsh_wide", "q118_ivf_scaled", "q121_bucketed_scaled")
+    "q92_ann_recall_sharded", "q117_ann_lsh_wide", "q118_ivf_scaled",
+    "q120_recall_scaled", "q121_bucketed_scaled",
+    "q122_ivfpq_ann", "q123_drift_retrain")
 
   def fingerprint(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))

@@ -66,7 +66,13 @@ object ClusterParity {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.lineitem(spark, sfDir).limit(1).count() // JVM/exec warm-up
     val queries = graft.SparkEntry.queries
-    val rows = Tier.filter(n => nameRe.forall(_.findFirstIn(n).isDefined)).map { name =>
+    // an explicit regex selects from the FULL query inventory (so any
+    // query can be parity-checked); no regex = the standard audit tier
+    val names = nameRe match {
+      case Some(re) => queries.keys.filter(re.findFirstIn(_).isDefined).toSeq.sorted
+      case None     => Tier
+    }
+    val rows = names.map { name =>
       val t0 = System.nanoTime()
       val out =
         try {

@@ -17,13 +17,21 @@ import org.apache.spark.sql.functions._
   * the fault landed mid-query (executors_removed ≥ 1) rather than after
   * the job finished.
   *
-  * Usage: `FaultInject <masterUrl> <sfDir> <queryName> <killAfterSec>`
+  * Usage: `FaultInject <masterUrl> <sfDir> <queryName> <killAfterSec>
+  * [executor|worker]` — `worker` kills a standalone Worker DAEMON
+  * instead: its executor dies with it (the executor's WorkerWatcher
+  * exits when the worker connection drops), the master marks the worker
+  * DEAD, and no replacement slot comes back — the surviving executors
+  * must absorb the retried tasks AND the lost capacity, the harsher
+  * variant of the same fault.
   * Env: same as ClusterParity (SPARK_GRAFT_EXEC_MEM/CORES/JAR).
   */
 object FaultInject {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4, "usage: FaultInject <masterUrl> <sfDir> <queryName> <killAfterSec>")
+    require(args.length >= 4,
+      "usage: FaultInject <masterUrl> <sfDir> <queryName> <killAfterSec> [executor|worker]")
     val Array(master, sfDir, queryName, killAfter) = args.take(4)
+    val killTarget = args.lift(4).getOrElse("executor")
     var b = graft.core.Sessions.builder(master, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     sys.env.get("SPARK_GRAFT_EXEC_MEM").foreach(m => b = b.config("spark.executor.memory", m))
     sys.env.get("SPARK_GRAFT_EXEC_CORES").foreach(c => b = b.config("spark.executor.cores", c))
@@ -42,16 +50,18 @@ object FaultInject {
 
     val killer = new Thread(() => {
       Thread.sleep(killAfter.toLong * 1000L)
-      // one of THIS app's executor JVMs (CoarseGrainedExecutorBackend
-      // launched with --app-id <appId>), highest pid = most recent
       import scala.jdk.CollectionConverters._
+      // executor mode: one of THIS app's executor JVMs
+      // (CoarseGrainedExecutorBackend --app-id <appId>); worker mode: a
+      // standalone Worker daemon (its executor dies via WorkerWatcher)
       val victims = ProcessHandle.allProcesses().iterator().asScala.filter { p =>
         val cmd = p.info().commandLine().orElse("")
-        cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId)
+        if (killTarget == "worker") cmd.contains("deploy.worker.Worker")
+        else cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId)
       }.toSeq.sortBy(_.pid())
       victims.lastOption.foreach { p =>
         killedPid.set(p.pid())
-        System.err.println(s"[fault] kill -9 executor pid=${p.pid()}")
+        System.err.println(s"[fault] kill -9 $killTarget pid=${p.pid()}")
         p.destroyForcibly()
         ()
       }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.{NativeVecFns, TopKAgg}
+import graft.ml.ProductQuantizer
+
+/** Incremental IVF-PQ index maintenance — [[IncrementalIvf]]'s cell
+  * streaming married to [[graft.ml.ProductQuantizer]]'s codes: the
+  * FAISS `IVFxx,PQyy` production deployment. BOTH quantizers freeze at
+  * seed time (the coarse k-means that keys the inverted lists AND the m
+  * per-subspace codebooks that compress the payload), so a delta vector's
+  * (cid, codes) is a pure function of (vector, frozen quantizers) —
+  * existing index rows can never change when a delta arrives, giving the
+  * same EXACT maintenance invariant as IncrementalIvf:
+  * `codes(state ∪ delta) ≡ encode(state ∪ delta, quantizers)`, the
+  * from-scratch rebuild (q124 hash-proves the search results against a
+  * DuckDB oracle that replays seed-only training + full-corpus encode).
+  *
+  * What the index STORES per vector is (cid, m codes) — 8 bytes of
+  * payload at the byte-code config instead of 256 — so the inverted
+  * lists a 100 TB probe touches are 32× smaller than float lists; the
+  * probe reconstructs candidates through the plan-literal LUT
+  * (no join, no shuffle) and reranks by asymmetric distance.
+  *
+  * Store layout under `root`:
+  *  - `centroids/` — frozen coarse quantizer (cid, centroid), k rows
+  *  - `pqbook/`    — frozen codebooks (s, code, centroid), m·ks rows
+  *  - `codes/`     — (vec_id, cid, codes) PARTITIONED BY ingest_batch:
+  *    batch-keyed dynamic overwrite makes replays idempotent (the
+  *    [[IncrementalDedup.ingestBatch]] recipe). */
+object IncrementalIvfPq {
+
+  val M = 8
+
+  /** Seed the store: train BOTH quantizers on the state corpus (coarse
+    * k via [[IncrementalIvf.kFor]] when unpinned; codebook ks via
+    * [[ProductQuantizer.ksFor]] when unpinned — derived widths are the
+    * default path), encode the state, write batch −1. */
+  def writeIndex(state: DataFrame, root: String, dim: Int,
+                 k: Int = -1, ks: Int = -1, iters: Int = 2): Unit = {
+    val n = state.count()
+    val kk = if (k > 0) k else IncrementalIvf.kFor(n)
+    val kss = if (ks > 0) ks else ProductQuantizer.ksFor(n)
+    val (cents, _) = graft.ml.KMeans.fit(state, kk, iters)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    val book = ProductQuantizer.train(state, dim, M, kss, iters, denom = 4)
+    book.coalesce(1).write.mode("overwrite").parquet(s"$root/pqbook")
+    encodeTo(state, root).withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/codes")
+    cents.unpersist()
+    ()
+  }
+
+  /** (vec_id, cid, codes) against the FROZEN quantizers — the shared
+    * assignment path of seed and every delta (so they cannot diverge). */
+  private def encodeTo(vecs: DataFrame, root: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    val book = spark.read.parquet(s"$root/pqbook")
+    val dim = M * book.head().getSeq[Double](2).length
+    val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
+    ProductQuantizer.encode(vecs, book, dim, M).join(cids, Seq("vec_id"))
+      .select("vec_id", "cid", "codes")
+  }
+
+  /** Ingest one delta batch idempotently, retraining NOTHING: both
+    * quantizers stay frozen, the delta encodes to (cid, codes) and
+    * dynamic-overwrites exactly its own batch partition. */
+  def ingestBatch(spark: SparkSession, root: String, delta: DataFrame,
+                  batchId: Long): Unit = {
+    encodeTo(delta, root).withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$root/codes")
+    ()
+  }
+
+  /** The maintained compressed index. */
+  def codes(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/codes").select("vec_id", "cid", "codes")
+
+  /** IVF-PQ top-k search: probes rank their `nprobe` nearest frozen
+    * cells (broadcast k-row frame), candidates come from the cid
+    * equi-join against the CODES store, reconstruction through the
+    * plan-literal LUT in the scan projection, asymmetric-cosine rerank
+    * to `topK` via the bounded-state [[TopKAgg]]. Output = q89's shape
+    * with `adc_sim`. */
+  def search(spark: SparkSession, root: String, probes: DataFrame,
+             nprobe: Int, topK: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val book = spark.read.parquet(s"$root/pqbook")
+    val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
+    val cand = ProductQuantizer.withRecon(spark, codes(spark, root), book, M)
+      .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
+    ranked.select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(cand, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("recon")) / (col("a_nrm") * col("rnrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), topK).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+  }
+}

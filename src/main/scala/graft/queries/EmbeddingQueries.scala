@@ -1221,7 +1221,13 @@ object EmbeddingQueries {
         (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
   }
 
-  val q122IvfPqAnnSql: String = {
+  /** IVF-PQ search oracle SQL over a pluggable TRAINING source relation
+    * (`trainSrc`): both quantizers train on `trainSrc` (q122 = the full
+    * corpus; q124 = the 90% seed — the incremental store's frozen-
+    * quantizer rebuild), while encode + probes always run over the FULL
+    * corpus. `headCtes` prepends extra CTE definitions (must end with
+    * ",\n" when nonempty). */
+  private def ivfPqSearchSqlOver(trainSrc: String, headCtes: String = ""): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
@@ -1242,10 +1248,10 @@ object EmbeddingQueries {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $kmeansTrainSqlCtes,
-       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM embeddings),
+    s"""WITH $headCtes${kmeansTrainSqlCtesOver(trainSrc)},
+       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM $trainSrc),
        |smp AS (
-       |  SELECT vec_id, embedding FROM embeddings
+       |  SELECT vec_id, embedding FROM $trainSrc
        |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
        |),
        |$chains,
@@ -1280,6 +1286,43 @@ object EmbeddingQueries {
        |  FROM sims
        |) WHERE rank <= 3""".stripMargin
   }
+
+  val q122IvfPqAnnSql: String = ivfPqSearchSqlOver("embeddings")
+
+  /** q124: INCREMENTAL IVF-PQ MAINTENANCE under the oracle gate — the
+    * FAISS `IVFxx,PQyy` deployment's operating mode, q94's frozen-
+    * quantizer invariant extended to BOTH quantizers: coarse cells AND
+    * the m per-subspace codebooks train once on the 90% seed
+    * ([[graft.operators.IncrementalIvfPq.writeIndex]] — coarse k pinned
+    * at SemK for the gate, codebook ks derived from the SEED corpus),
+    * the held-out 10% ingests with everything frozen (`ingestBatch` —
+    * assign + encode, batch-keyed dynamic overwrite, no retrain, no
+    * index rewrite), and the search runs over the MAINTAINED compressed
+    * store. The oracle replays seed-only training (coarse chain + 8
+    * codebook chains over the seed sample) and encodes the FULL corpus
+    * from scratch — so the driver hash-proves
+    * `search(codes(state ∪ delta)) ≡ search(rebuild)`: ingest leaves
+    * the compressed index exactly where a from-scratch encode against
+    * the same frozen quantizers would put it. */
+  private val ivfPqStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q124IvfPqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfpq", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, root,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  val q124IvfPqIncrementalSql: String = ivfPqSearchSqlOver("emb_seed",
+    "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n")
 
   /** q123: the DRIFT-TRIGGERED RETRAIN LOOP under the oracle gate — the
     * last spec-only piece of the IVF lifecycle made driver-checked.
@@ -1371,7 +1414,8 @@ object EmbeddingQueries {
     "q119_semdedup_scaled" -> (q119SemDedupScaled _),
     "q120_recall_scaled" -> (q120RecallScaled _),
     "q122_ivfpq_ann" -> (q122IvfPqAnn _),
-    "q123_drift_retrain" -> (q123DriftRetrain _)
+    "q123_drift_retrain" -> (q123DriftRetrain _),
+    "q124_ivfpq_incremental" -> (q124IvfPqIncremental _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1391,6 +1435,7 @@ object EmbeddingQueries {
     "q119_semdedup_scaled" -> q119SemDedupScaledSql,
     "q120_recall_scaled" -> q120RecallScaledSql,
     "q122_ivfpq_ann" -> q122IvfPqAnnSql,
-    "q123_drift_retrain" -> q123DriftRetrainSql
+    "q123_drift_retrain" -> q123DriftRetrainSql,
+    "q124_ivfpq_incremental" -> q124IvfPqIncrementalSql
   )
 }

@@ -1324,6 +1324,150 @@ object EmbeddingQueries {
   val q124IvfPqIncrementalSql: String = ivfPqSearchSqlOver("emb_seed",
     "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n")
 
+  /** q125: RESIDUAL IVF-PQ — the codebooks quantize `x − c(cell(x))`
+    * instead of `x` (Jégou et al. 2011 §IV.B; what FAISS's `IVFxx,PQyy`
+    * actually encodes). Residuals carry only the within-cell remainder
+    * (their variance is the corpus variance MINUS what the coarse
+    * quantizer already explained), so the same 8 bytes of codes spend
+    * their precision on a smaller signal and reconstruction is
+    * `c(cid) + decode(codes)` — the measured recall ladder
+    * (tools.PqRecallProbe) shows how much of q122's raw-PQ damage this
+    * recovers at identical index size. The store build adds exactly one
+    * broadcast k-row join (cell centroid subtraction) to q122's
+    * pipeline; search-side reconstruction adds the same broadcast join
+    * before the elementwise decode, everything else — candidate cid
+    * equi-join, ADC rerank, bounded-state top-k — is q122's plan.
+    *
+    * The DuckDB oracle replays the full residual pipeline: coarse
+    * chain, full-corpus assignment, residual computation (float-corpus
+    * minus double-centroid — bit-identical in both engines), 8 sampled
+    * codebook trainings ON RESIDUALS, encode argmin, and the
+    * centroid-plus-decode reconstruction. */
+  private val pqrStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def pqrStore(spark: SparkSession, dir: String): (String, String) =
+    pqrStoreRoots.computeIfAbsent(dir, { d =>
+      val rb = graft.core.StorePaths.root("pqrbook", d)
+      val rc = graft.core.StorePaths.root("pqrcodes", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      val cents = trainedCentroids(spark, d)
+      val asg = graft.ml.KMeans.assign(e, cents).select(col("vec_id"), col("cid"))
+      val res = e.join(asg, Seq("vec_id"))
+        .join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => x.cast("double") - c).as("embedding"))
+      val ks = graft.ml.ProductQuantizer.ksFor(e.count())
+      graft.ml.ProductQuantizer
+        .train(res.select("vec_id", "embedding"), Dim, PqM, ks, SemKIters, denom = 4)
+        .coalesce(1).write.mode("overwrite").parquet(rb)
+      val book = spark.read.parquet(rb)
+      graft.ml.ProductQuantizer.encode(res.select("vec_id", "embedding"), book, Dim, PqM)
+        .join(res.select("vec_id", "cid"), Seq("vec_id"))
+        .write.mode("overwrite").parquet(rc)
+      (rb, rc)
+    })
+
+  def q125IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (rb, rc) = pqrStore(spark, dir)
+    val book = spark.read.parquet(rb)
+    val cents = trainedCentroids(spark, dir)
+    val dec = graft.ml.ProductQuantizer.decodeExpr(spark, book, PqM)
+    val cand = spark.read.parquet(rc)
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, r) => c + r))
+      .withColumn("rnrm", NativeVecFns.norm(spark, col("recon")))
+      .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
+    ivfRanked(Tables.embeddings(spark, dir), cents, nprobe = 2)
+      .select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(cand, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("recon")) / (col("a_nrm") * col("rnrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+  }
+
+  /** The q125 oracle: q122's replay restructured for residuals — the
+    * full-corpus coarse assignment (`rk`, now MATERIALIZED: it feeds the
+    * residual table, both sim sides, and would otherwise inline the
+    * whole coarse chain per reference) moves AHEAD of the codebook
+    * chains so `resf` (residuals) can be their training/encode source,
+    * and reconstruction re-adds the cell centroid (`rcf`). */
+  val q125IvfPqResidualSql: String = {
+    val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nr = VecFns.ddbNorm("r.recon", Dim)
+    val chains = (0 until PqM).map { s =>
+      val lo = s * PqSub + 1; val hi = (s + 1) * PqSub
+      val encDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", PqSub)
+      s"""sub${s}s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM smp),
+         |${kmeansTrainSqlCtesOver(s"sub${s}s", kLimit = "(SELECT ks FROM ksv)", dim = PqSub, suffix = s"_p$s")},
+         |sub${s}f AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM resf),
+         |enc$s AS (
+         |  SELECT vec_id, $s AS s, centroid FROM (
+         |    SELECT e.vec_id, c.centroid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $encDist ASC, c.cid ASC) AS rn
+         |    FROM sub${s}f e CROSS JOIN c2_p$s c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmeansTrainSqlCtes,
+       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM embeddings),
+       |rk AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |resf AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(range($Dim), i -> a.embedding[i+1]::DOUBLE - c.centroid[i+1]) AS embedding
+       |  FROM (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1) a
+       |  JOIN c2 c ON a.cid = c.cid
+       |),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM resf
+       |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |$chains,
+       |rc AS MATERIALIZED (
+       |  SELECT vec_id, flatten(list(centroid ORDER BY s)) AS recon
+       |  FROM (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1 UNION ALL
+       |        SELECT * FROM enc2 UNION ALL SELECT * FROM enc3 UNION ALL
+       |        SELECT * FROM enc4 UNION ALL SELECT * FROM enc5 UNION ALL
+       |        SELECT * FROM enc6 UNION ALL SELECT * FROM enc7)
+       |  GROUP BY vec_id
+       |),
+       |rcf AS MATERIALIZED (
+       |  SELECT r.vec_id,
+       |    list_transform(range($Dim), i -> c.centroid[i+1] + r.recon[i+1]) AS recon
+       |  FROM rc r JOIN resf a ON a.vec_id = r.vec_id JOIN c2 c ON c.cid = a.cid
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nr) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |  JOIN rcf r ON r.vec_id = b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   /** q123: the DRIFT-TRIGGERED RETRAIN LOOP under the oracle gate — the
     * last spec-only piece of the IVF lifecycle made driver-checked.
     * Build the store on the 90% seed, present a DETERMINISTIC drifted
@@ -1415,7 +1559,8 @@ object EmbeddingQueries {
     "q120_recall_scaled" -> (q120RecallScaled _),
     "q122_ivfpq_ann" -> (q122IvfPqAnn _),
     "q123_drift_retrain" -> (q123DriftRetrain _),
-    "q124_ivfpq_incremental" -> (q124IvfPqIncremental _)
+    "q124_ivfpq_incremental" -> (q124IvfPqIncremental _),
+    "q125_ivfpq_residual" -> (q125IvfPqResidual _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1436,6 +1581,7 @@ object EmbeddingQueries {
     "q120_recall_scaled" -> q120RecallScaledSql,
     "q122_ivfpq_ann" -> q122IvfPqAnnSql,
     "q123_drift_retrain" -> q123DriftRetrainSql,
-    "q124_ivfpq_incremental" -> q124IvfPqIncrementalSql
+    "q124_ivfpq_incremental" -> q124IvfPqIncrementalSql,
+    "q125_ivfpq_residual" -> q125IvfPqResidualSql
   )
 }

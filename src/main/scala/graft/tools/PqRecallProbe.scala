@@ -82,11 +82,29 @@ object PqRecallProbe {
       .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
         NativeVecFns.norm(spark, col("b_rep")).as("b_nrm"))
 
+    // residual PQ (q125): codebooks trained on x − c(cell(x)), same 8 B;
+    // reconstruction re-adds the cell centroid
+    val res = e.join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .join(broadcast(cents.select(col("cid"), col("centroid").as("ccent"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("ccent"),
+        zip_with(col("embedding"), col("ccent"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+    val rbook = graft.ml.ProductQuantizer
+      .train(res.select("vec_id", "embedding"), 64, 8, ks, 2, denom = 4)
+    val rdec = graft.ml.ProductQuantizer.decodeExpr(spark, rbook, 8)
+    val pqrSide = graft.ml.ProductQuantizer
+      .encode(res.select("vec_id", "embedding"), rbook, 64, 8)
+      .join(res.select(col("vec_id"), col("cid"), col("ccent")), Seq("vec_id"))
+      .withColumn("b_rep", zip_with(col("ccent"), rdec(col("codes")), (c, r) => c + r))
+      .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
+        NativeVecFns.norm(spark, col("b_rep")).as("b_nrm"))
+
     val rFull = recallAt3(top3(fullSide), exact)
     val rSq8 = recallAt3(top3(sq8Side), exact)
     val rPq = recallAt3(top3(pqSide), exact)
+    val rPqr = recallAt3(top3(pqrSide), exact)
     // bytes per vector: 64 floats / 64 byte-codes / 8 byte-codes
-    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
+    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
     spark.stop()
   }
 }

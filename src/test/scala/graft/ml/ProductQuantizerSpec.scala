@@ -103,4 +103,42 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
     assert(df.count() > 0)
   }
+
+  test("residual PQ (q125): same-size codes reconstruct strictly better than raw PQ") {
+    // residual frame: x − c(cell(x)) against a small trained coarse quantizer
+    val (cents, _) = graft.ml.KMeans.fit(vecs, 8, 2)
+    val res = vecs
+      .join(graft.ml.KMeans.assign(vecs, cents).select("vec_id", "cid"), Seq("vec_id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        cents.select(col("cid"), col("centroid").as("ccent"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("ccent"),
+        zip_with(col("embedding"), col("ccent"), (x, c) => x.cast("double") - c).as("embedding"))
+    val rbook = ProductQuantizer.train(res.select("vec_id", "embedding"), Dim, M, ks, iters = 2)
+    val rdec = ProductQuantizer.decodeExpr(spark, rbook, M)
+    val rerr = ProductQuantizer.encode(res.select("vec_id", "embedding"), rbook, Dim, M)
+      .join(res.select("vec_id", "ccent"), Seq("vec_id"))
+      .join(vecs, Seq("vec_id"))
+      .withColumn("recon", zip_with(col("ccent"), rdec(col("codes")), (c, r) => c + r))
+      .withColumn("err", graft.expr.NativeVecFns.l2DistSq(spark, col("embedding"), col("recon")))
+      .agg(avg("err")).first().getDouble(0)
+    // raw-PQ reconstruction error on the same corpus (shared `book`)
+    val dec = ProductQuantizer.decodeExpr(spark, book, M)
+    val err = ProductQuantizer.encode(vecs, book, Dim, M)
+      .join(vecs, Seq("vec_id"))
+      .withColumn("recon", dec(col("codes")))
+      .withColumn("err", graft.expr.NativeVecFns.l2DistSq(spark, col("embedding"), col("recon")))
+      .agg(avg("err")).first().getDouble(0)
+    // the coarse quantizer explains part of the energy, so the SAME
+    // 8 bytes quantize a smaller signal — strictly lower error even on
+    // isotropic data (deterministic: no RNG anywhere in either path)
+    assert(rerr < err, s"residual recon err $rerr must beat raw $err")
+  }
+
+  test("q125 plan gate: residual search is a cid equi-join, no cartesian, no UDF") {
+    val df = graft.queries.EmbeddingQueries.q125IvfPqResidual(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "residual IVF-PQ search must never go all-pairs")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+    assert(df.count() > 0)
+  }
 }

@@ -79,6 +79,22 @@ object IncrementalIvfPq {
   def codes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/codes").select("vec_id", "cid", "codes")
 
+  /** LIVE ingest: checkpointed foreachBatch over a (vec_id, embedding)
+    * stream; each micro-batch runs [[ingestBatch]] under its own
+    * batchId, so a replay after a failure dynamic-overwrites exactly its
+    * own partition (the [[IncrementalDedup]] exactly-once recipe). Both
+    * quantizers stay frozen for the life of the stream — the invariant
+    * that keeps the streamed store ≡ a from-scratch batch rebuild
+    * (q126 hash-proves it against q124's rebuild-replaying oracle). */
+  def ingestStream(vecStream: DataFrame, root: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestBatch(batch.sparkSession, root, batch, batchId)
+      }
+      .start()
+
   /** IVF-PQ top-k search: probes rank their `nprobe` nearest frozen
     * cells (broadcast k-row frame), candidates come from the cid
     * equi-join against the CODES store, reconstruction through the

@@ -23,7 +23,7 @@ import graft.expr.{NativeVecFns, TopKAgg}
   */
 object EmbeddingQueries {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** Brute-force (exact) cosine top-3 per vector, via the dense-compute
     * tier [[graft.ml.BlockTopK]]: the probe side streams once against a

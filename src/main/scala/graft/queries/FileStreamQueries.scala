@@ -188,10 +188,52 @@ object FileStreamQueries {
 
   private val dedupRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q126: q124's INCREMENTAL IVF-PQ MAINTENANCE driven from a FILE
+    * source — the maintained ANN index under a live stream. The store
+    * seeds on the 90% corpus exactly like q124 (both quantizers freeze),
+    * then the held-out 10% arrives as THREE staged delta files consumed
+    * as separate micro-batches (`maxFilesPerTrigger = 1`) through
+    * [[graft.operators.IncrementalIvfPq.ingestStream]] — a checkpointed
+    * foreachBatch whose body is the batch-keyed idempotent
+    * [[graft.operators.IncrementalIvfPq.ingestBatch]]; no row of delta
+    * data ever touches the driver. Because encode-under-frozen-quantizers
+    * is a pure function, the three-micro-batch streamed store must be
+    * IDENTICAL to q124's single-batch store, so the search hash-compares
+    * against the SAME oracle (seed-only training + from-scratch
+    * full-corpus encode): stream ≡ batch ingest ≡ rebuild, driver-checked. */
+  def q126FileStreamIvfPqIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqRoots.computeIfAbsent(dir, { d =>
+      val r = StorePaths.root("fsivfpq", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), s"$r/store", EmbeddingQueries.Dim,
+        k = EmbeddingQueries.SemK, iters = EmbeddingQueries.SemKIters)
+      val delta = e.filter(col("vec_id") % 10 === 7)
+      val inDir = stageSequencedFiles(spark, r, Seq(
+        delta.filter(col("vec_id") % 3 === 0),
+        delta.filter(col("vec_id") % 3 === 1),
+        delta.filter(col("vec_id") % 3 === 2)))
+      val src = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.operators.IncrementalIvfPq
+        .ingestStream(src, s"$r/store", s"$r/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, s"$root/store",
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  private val ivfPqRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_filestream_usage" -> (q112FileStreamUsage _),
     "q113_filestream_sessionize" -> (q113FileStreamSessionize _),
-    "q114_filestream_dedup" -> (q114FileStreamDedup _)
+    "q114_filestream_dedup" -> (q114FileStreamDedup _),
+    "q126_filestream_ivfpq" -> (q126FileStreamIvfPqIngest _)
   )
 
   def sql: Map[String, String] = Map(
@@ -199,6 +241,10 @@ object FileStreamQueries {
     // SAME oracle as its MemoryStream sibling
     "q112_filestream_usage" -> SessionQueries.q96StreamingBucketUsageSql,
     "q113_filestream_sessionize" -> SessionQueries.q39SessionizeSql,
-    "q114_filestream_dedup" -> SessionQueries.q108StreamingDedupSql
+    "q114_filestream_dedup" -> SessionQueries.q108StreamingDedupSql,
+    // stream ≡ batch ingest ≡ rebuild: the streamed store must land
+    // exactly where q124's single-batch ingest (and its from-scratch
+    // rebuild oracle) lands
+    "q126_filestream_ivfpq" -> EmbeddingQueries.q124IvfPqIncrementalSql
   )
 }

@@ -26,9 +26,12 @@ import graft.ml.ProductQuantizer
   * Store layout under `root`:
   *  - `centroids/` — frozen coarse quantizer (cid, centroid), k rows
   *  - `pqbook/`    — frozen codebooks (s, code, centroid), m·ks rows
-  *  - `codes/`     — (vec_id, cid, codes) PARTITIONED BY ingest_batch:
+  *  - `codes/`     — (vec_id, codes) PARTITIONED BY (ingest_batch, cid):
   *    batch-keyed dynamic overwrite makes replays idempotent (the
-  *    [[IncrementalDedup.ingestBatch]] recipe). */
+  *    [[IncrementalDedup.ingestBatch]] recipe), and the `cid` inner
+  *    level is the INVERTED-LIST layout — a probe's cell scan prunes to
+  *    its nprobe `cid=` directories instead of reading the store
+  *    ([[IncrementalIvf]]'s layout, kept through [[compactIndex]]). */
 object IncrementalIvfPq {
 
   val M = 8
@@ -47,7 +50,8 @@ object IncrementalIvfPq {
     val book = ProductQuantizer.train(state, dim, M, kss, iters, denom = 4)
     book.coalesce(1).write.mode("overwrite").parquet(s"$root/pqbook")
     encodeTo(state, root).withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch").parquet(s"$root/codes")
+      .write.mode("overwrite").partitionBy("ingest_batch", "cid")
+      .parquet(s"$root/codes")
     cents.unpersist()
     ()
   }
@@ -71,9 +75,21 @@ object IncrementalIvfPq {
                   batchId: Long): Unit = {
     encodeTo(delta, root).withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(s"$root/codes")
+      .partitionBy("ingest_batch", "cid").parquet(s"$root/codes")
     ()
   }
+
+  /** Fold the per-batch partitions into the base — [[Compaction
+    * .foldIngestBatches]] under the same safe-point contract as the
+    * dedup/IVF stores (call only with every folded batch's offset
+    * committed). The `cid` inner level survives the fold, so the
+    * inverted-list layout — probes pruning to their nprobe cells'
+    * directories — is preserved while the per-batch small files
+    * consolidate. */
+  def compactIndex(spark: SparkSession, root: String,
+                   targetBytes: Long = 128L << 20): Unit =
+    Compaction.foldIngestBatches(spark, s"$root/codes",
+      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes)
 
   /** The maintained compressed index. */
   def codes(spark: SparkSession, root: String): DataFrame =

@@ -48,6 +48,34 @@ class IncrementalIvfPqSpec extends SparkSpec {
       "a replayed batch must overwrite its own partition, not append")
   }
 
+  test("compactIndex: codes and search unchanged, batch partitions folded, cid layout kept") {
+    val root = tmpRoot("compact")
+    clean(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    IncrementalIvfPq.writeIndex(all.filter(col("vec_id") % 10 < 8), root, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 8), batchId = 1L)
+    def codeSet() = IncrementalIvfPq.codes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    def res() = IncrementalIvfPq.search(spark, root, all, nprobe = 2, topK = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3))).toSet
+    val (codesBefore, resBefore) = (codeSet(), res())
+    val filesBefore = Compaction.treeDataFileCount(spark, s"$root/codes")
+    IncrementalIvfPq.compactIndex(spark, root)
+    assert(codeSet() == codesBefore, "fold must not change the maintained codes")
+    assert(res() == resBefore, "fold must not change search results")
+    assert(Compaction.treeDataFileCount(spark, s"$root/codes") <= filesBefore)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/codes"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("ingest_batch=-1"), s"batch partitions must fold: $dirs")
+    // the cid inner level (the inverted-list layout) survives the fold
+    val inner = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/codes/ingest_batch=-1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(inner.nonEmpty && inner.forall(_.startsWith("cid=")), s"cid layout lost: $inner")
+    // ingest continues on the compacted store
+    IncrementalIvfPq.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 9), batchId = 2L)
+    assert(IncrementalIvfPq.codes(spark, root).count() == all.count())
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

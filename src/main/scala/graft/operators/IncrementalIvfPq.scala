@@ -91,9 +91,43 @@ object IncrementalIvfPq {
     Compaction.foldIngestBatches(spark, s"$root/codes",
       innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes)
 
-  /** The maintained compressed index. */
+  /** The maintained compressed index, tombstones NOT applied — the raw
+    * store view compaction and the rebuild-equivalence specs compare. */
   def codes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/codes").select("vec_id", "cid", "codes")
+
+  /** Record a delete batch as TOMBSTONES — the standard immutable-segment
+    * delete (FAISS `remove_ids` semantics on a store whose code files are
+    * write-once): deleted ids land in `tombstones/` PARTITIONED BY
+    * (delete_batch), so a replayed delete dynamic-overwrites exactly its
+    * own partition (the same exactly-once recipe as [[ingestBatch]]) and
+    * the code files never rewrite on the delete path. Tombstones are
+    * global and final for a vec_id: re-admitting one means a new vec_id
+    * (or an offline rewrite), matching the append-only id contract of
+    * every store in this repo. */
+  def deleteBatch(spark: SparkSession, root: String, ids: DataFrame,
+                  batchId: Long): Unit = {
+    ids.select("vec_id").withColumn("delete_batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("delete_batch").parquet(s"$root/tombstones")
+    ()
+  }
+
+  /** The LIVE index: [[codes]] minus tombstoned ids. Stores that never
+    * saw a delete skip the anti-join entirely (existence check at plan
+    * build), so the q124/q126/q127 plans — and their parity hashes — are
+    * untouched. With tombstones present this is one left-anti equi-join
+    * on vec_id: linear, and AQE broadcasts the (typically tiny) tombstone
+    * side at runtime. */
+  def liveCodes(spark: SparkSession, root: String): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t))
+      codes(spark, root).join(
+        spark.read.parquet(t.toString).select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    else codes(spark, root)
+  }
 
   /** LIVE ingest: checkpointed foreachBatch over a (vec_id, embedding)
     * stream; each micro-batch runs [[ingestBatch]] under its own
@@ -118,11 +152,21 @@ object IncrementalIvfPq {
     * to `topK` via the bounded-state [[TopKAgg]]. Output = q89's shape
     * with `adc_sim`. */
   def search(spark: SparkSession, root: String, probes: DataFrame,
-             nprobe: Int, topK: Int): DataFrame = {
+             nprobe: Int, topK: Int): DataFrame =
+    adcTopK(spark, root, probes, nprobe, topK)
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+
+  /** Shared ADC stage: (a_id, top: array<struct<score,id>>) — each
+    * probe's `topK` candidates by asymmetric cosine over the LIVE
+    * (tombstone-filtered) lists. */
+  private def adcTopK(spark: SparkSession, root: String, probes: DataFrame,
+                      nprobe: Int, topK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$root/centroids")
     val book = spark.read.parquet(s"$root/pqbook")
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
-    val cand = ProductQuantizer.withRecon(spark, codes(spark, root), book, M)
+    val cand = ProductQuantizer.withRecon(spark, liveCodes(spark, root), book, M)
       .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
     ranked.select(col("cid"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
@@ -132,8 +176,46 @@ object IncrementalIvfPq {
         NativeVecFns.dot(spark, col("a_emb"), col("recon")) / (col("a_nrm") * col("rnrm")))
       .groupBy("a_id")
       .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), topK).as("top"))
+  }
+
+  /** IVF-PQ search with an EXACT re-rank refine stage — FAISS's
+    * `IndexRefineFlat` / the `R` of IVFADC+R (Jégou et al. 2011 §V):
+    * the compressed lists shortlist `kFactor·topK` candidates per probe
+    * by asymmetric distance (cheap, 8 B/candidate), then ONLY that
+    * shortlist fetches full-precision vectors from `corpus` and reranks
+    * by exact cosine. Recall approaches the exact scan's at the cost of
+    * |probes|·kFactor·topK full-vector reads instead of |probes|·|cell|
+    * — the standard production accuracy/IO dial (FAISS's k_factor
+    * default is 4; we take it as the parameter default).
+    *
+    * 100 TB shape: the shortlist explode is |probes|·R rows (R = a few
+    * dozen) — the fetch is one linear equi-join on vec_id against the
+    * full-vector corpus, never a cell scan of floats; the final rerank
+    * regroups only those R rows per probe.
+    *
+    * Probe vectors are re-fetched from `corpus` by id for the rerank
+    * (TopKAgg's state carries only (score, id)), so every probe id must
+    * resolve in `corpus` — true for the self-probe queries; external
+    * probes should be unioned into `corpus` first. */
+  def searchRefined(spark: SparkSession, root: String, probes: DataFrame,
+                    corpus: DataFrame, nprobe: Int, topK: Int,
+                    kFactor: Int = 4): DataFrame = {
+    val shortlist = adcTopK(spark, root, probes, nprobe, topK * kFactor)
+      .select(col("a_id"), explode(col("top")).as("t"))
+      .select(col("a_id"), col("t.id").as("b_id"))
+    val full = corpus.select(col("vec_id"),
+      col("embedding"), NativeVecFns.norm(spark, col("embedding")).as("nrm"))
+    shortlist
+      .join(full.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("b_id"))
+      .join(full.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), topK).as("top"))
       .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("exact_sim"))
   }
 }

@@ -1226,19 +1226,65 @@ object EmbeddingQueries {
     * corpus; q124 = the 90% seed — the incremental store's frozen-
     * quantizer rebuild), while encode + probes always run over the FULL
     * corpus. `headCtes` prepends extra CTE definitions (must end with
-    * ",\n" when nonempty). */
-  private def ivfPqSearchSqlOver(trainSrc: String, headCtes: String = ""): String = {
+    * ",\n" when nonempty). `coarseKLimit` is the coarse quantizer's
+    * k as a SQL expression — SemK for the pinned-gate queries, a
+    * scalar-subquery √N for the derived-width q127. `corpusSrc` is the
+    * relation encode + probes run over — `embeddings` everywhere except
+    * q129, whose live view excludes the tombstoned ids. `refine` > 0
+    * appends the exact-rerank tail (q128): ADC keeps the top `refine`
+    * per probe, full-precision vectors join back in, and the final
+    * top-3 ranks by exact cosine. */
+  private def ivfPqSearchSqlOver(trainSrc: String, headCtes: String = "",
+                                 coarseKLimit: String = SemK.toString,
+                                 corpusSrc: String = "embeddings",
+                                 refine: Int = 0): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
     val nr = VecFns.ddbNorm("r.recon", Dim)
+    val tail =
+      if (refine <= 0)
+        s"""SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
+           |FROM (
+           |  SELECT vec_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM sims
+           |) WHERE rank <= 3""".stripMargin
+      else {
+        val xdot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
+        val xnp = VecFns.ddbNorm("p.embedding", Dim)
+        val xnb = VecFns.ddbNorm("b.embedding", Dim)
+        s""", adc AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |    FROM sims
+           |  ) WHERE rank <= $refine
+           |),
+           |ref AS (
+           |  SELECT a.vec_id AS vec_id, a.neighbor_id AS neighbor_id,
+           |    $xdot / ($xnp * $xnb) AS sim
+           |  FROM adc a
+           |  JOIN $corpusSrc p ON p.vec_id = a.vec_id
+           |  JOIN $corpusSrc b ON b.vec_id = a.neighbor_id
+           |)
+           |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS exact_sim
+           |FROM (
+           |  SELECT vec_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM ref
+           |) WHERE rank <= 3""".stripMargin
+      }
     // one training + encode chain per subspace, over the shared sample
     val chains = (0 until PqM).map { s =>
       val lo = s * PqSub + 1; val hi = (s + 1) * PqSub
       val encDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", PqSub)
       s"""sub${s}s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM smp),
          |${kmeansTrainSqlCtesOver(s"sub${s}s", kLimit = "(SELECT ks FROM ksv)", dim = PqSub, suffix = s"_p$s")},
-         |sub${s}f AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+         |sub${s}f AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $corpusSrc),
          |enc$s AS (
          |  SELECT vec_id, $s AS s, centroid FROM (
          |    SELECT e.vec_id, c.centroid,
@@ -1248,7 +1294,7 @@ object EmbeddingQueries {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $headCtes${kmeansTrainSqlCtesOver(trainSrc)},
+    s"""WITH $headCtes${kmeansTrainSqlCtesOver(trainSrc, kLimit = coarseKLimit)},
        |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM $trainSrc),
        |smp AS (
        |  SELECT vec_id, embedding FROM $trainSrc
@@ -1268,7 +1314,7 @@ object EmbeddingQueries {
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c2 c
+       |    FROM $corpusSrc e CROSS JOIN c2 c
        |  ) WHERE rn <= 2
        |),
        |sims AS (
@@ -1278,13 +1324,7 @@ object EmbeddingQueries {
        |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
        |  JOIN rc r ON r.vec_id = b.vec_id
        |)
-       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
-       |FROM (
-       |  SELECT vec_id, neighbor_id, sim,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM sims
-       |) WHERE rank <= 3""".stripMargin
+       |$tail""".stripMargin
   }
 
   val q122IvfPqAnnSql: String = ivfPqSearchSqlOver("embeddings")
@@ -1323,6 +1363,107 @@ object EmbeddingQueries {
 
   val q124IvfPqIncrementalSql: String = ivfPqSearchSqlOver("emb_seed",
     "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n")
+
+  /** q127: q124's incremental IVF-PQ at PRODUCTION-DERIVED widths — the
+    * q118 lever applied to the maintained compressed store. The pinned
+    * k = 32 gate construction means q124's cells hold N/32 vectors and
+    * its candidate join grows as nprobe·N²/32 — the same fixed-width
+    * scale wall every lever query exists to close. Here the seed store
+    * derives BOTH widths from the corpus it trains on
+    * ([[graft.operators.IncrementalIvf.kFor]] √N coarse cells,
+    * [[graft.ml.ProductQuantizer.ksFor]] codebook width — writeIndex's
+    * default path), so candidate cost is nprobe·N·√N and the oracle
+    * derives the identical k in-SQL (scalar-subquery √N of the seed,
+    * the q118 recipe). Everything else — frozen quantizers, idempotent
+    * delta ingest, ADC search over the maintained lists — is q124. */
+  private val ivfPqScaledRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q127IvfPqIncrementalScaled(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqScaledRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfpqsc", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, iters = SemKIters)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, root,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  val q127IvfPqIncrementalScaledSql: String = ivfPqSearchSqlOver("emb_seed",
+    """emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),
+      |kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM emb_seed),
+      |""".stripMargin,
+    coarseKLimit = "(SELECT k FROM kv)")
+
+  /** q128: IVF-PQ search with an EXACT RE-RANK refine stage over q124's
+    * maintained store — FAISS's `IndexRefineFlat` / IVFADC+R (Jégou et
+    * al. 2011 §V): the compressed lists shortlist kFactor·topK = 12
+    * candidates per probe by asymmetric distance (8 B/candidate — the
+    * cheap pass), then ONLY the shortlist fetches full-precision vectors
+    * (one linear vec_id equi-join, |probes|·12 rows, never a float cell
+    * scan) and the final top-3 ranks by exact cosine. The accuracy/IO
+    * dial every production PQ deployment ships: ADC recall at PQ cost,
+    * exact ordering where it matters. Oracle = q124's nine-training
+    * replay + the identical shortlist-then-rerank tail. */
+  def q128IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfpq", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    graft.operators.IncrementalIvfPq.searchRefined(
+      spark, root, e, e, nprobe = 2, topK = 3, kFactor = 4)
+  }
+
+  val q128IvfPqRefineSql: String = ivfPqSearchSqlOver("emb_seed",
+    "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n",
+    refine = 12)
+
+  /** q129: DELETES in the maintained IVF-PQ store — the immutable-segment
+    * tombstone (FAISS `remove_ids` semantics, Lucene/Delta delete-vector
+    * shape): `deleteBatch` writes the deleted ids to a delete_batch-keyed
+    * tombstone partition (replay-idempotent dynamic overwrite; the code
+    * files never rewrite on the delete path), and search runs over the
+    * LIVE view — one linear left-anti vec_id join. The delete set
+    * (vec_id % 9 = 4) crosses BOTH the frozen seed codes and the ingested
+    * delta codes, and the deleted ids vanish as probes AND as candidates.
+    * Oracle = seed-only training replayed, encode + probes over the live
+    * (post-delete) corpus — hash-proving
+    * `search(live(codes ∪ delta − tombstones)) ≡ search(rebuild(corpus − deleted))`. */
+  private val ivfPqDelRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q129IvfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqDelRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfpqdel", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      graft.operators.IncrementalIvfPq.deleteBatch(
+        spark, r, e.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, root,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        .filter(col("vec_id") % 9 =!= 4),
+      nprobe = 2, topK = 3)
+  }
+
+  val q129IvfPqDeleteSql: String = ivfPqSearchSqlOver("emb_seed",
+    """emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),
+      |emb_live AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 4),
+      |""".stripMargin,
+    corpusSrc = "emb_live")
 
   /** q125: RESIDUAL IVF-PQ — the codebooks quantize `x − c(cell(x))`
     * instead of `x` (Jégou et al. 2011 §IV.B; what FAISS's `IVFxx,PQyy`
@@ -1560,7 +1701,10 @@ object EmbeddingQueries {
     "q122_ivfpq_ann" -> (q122IvfPqAnn _),
     "q123_drift_retrain" -> (q123DriftRetrain _),
     "q124_ivfpq_incremental" -> (q124IvfPqIncremental _),
-    "q125_ivfpq_residual" -> (q125IvfPqResidual _)
+    "q125_ivfpq_residual" -> (q125IvfPqResidual _),
+    "q127_ivfpq_scaled" -> (q127IvfPqIncrementalScaled _),
+    "q128_ivfpq_refine" -> (q128IvfPqRefine _),
+    "q129_ivfpq_delete" -> (q129IvfPqDelete _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1582,6 +1726,9 @@ object EmbeddingQueries {
     "q122_ivfpq_ann" -> q122IvfPqAnnSql,
     "q123_drift_retrain" -> q123DriftRetrainSql,
     "q124_ivfpq_incremental" -> q124IvfPqIncrementalSql,
-    "q125_ivfpq_residual" -> q125IvfPqResidualSql
+    "q125_ivfpq_residual" -> q125IvfPqResidualSql,
+    "q127_ivfpq_scaled" -> q127IvfPqIncrementalScaledSql,
+    "q128_ivfpq_refine" -> q128IvfPqRefineSql,
+    "q129_ivfpq_delete" -> q129IvfPqDeleteSql
   )
 }

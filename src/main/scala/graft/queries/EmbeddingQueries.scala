@@ -1237,7 +1237,8 @@ object EmbeddingQueries {
   private def ivfPqSearchSqlOver(trainSrc: String, headCtes: String = "",
                                  coarseKLimit: String = SemK.toString,
                                  corpusSrc: String = "embeddings",
-                                 refine: Int = 0): String = {
+                                 refine: Int = 0,
+                                 candFilter: String = ""): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
@@ -1321,7 +1322,7 @@ object EmbeddingQueries {
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    $dot / ($np * $nr) AS sim
        |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
-       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id $candFilter
        |  JOIN rc r ON r.vec_id = b.vec_id
        |)
        |$tail""".stripMargin
@@ -1346,8 +1347,10 @@ object EmbeddingQueries {
     * the same frozen quantizers would put it. */
   private val ivfPqStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def q124IvfPqIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val root = ivfPqStoreRoots.computeIfAbsent(dir, { d =>
+  /** The q124 store, built once per (process, dir): seed-train on 90%,
+    * ingest the held-out 10% frozen. Shared by q124/q128/q132. */
+  private def ivfPqIncStore(spark: SparkSession, dir: String): String =
+    ivfPqStoreRoots.computeIfAbsent(dir, { d =>
       val r = graft.core.StorePaths.root("incivfpq", d)
       val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
       graft.operators.IncrementalIvfPq.writeIndex(
@@ -1356,10 +1359,11 @@ object EmbeddingQueries {
         spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
       r
     })
-    graft.operators.IncrementalIvfPq.search(spark, root,
+
+  def q124IvfPqIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IncrementalIvfPq.search(spark, ivfPqIncStore(spark, dir),
       Tables.embeddings(spark, dir).select("vec_id", "embedding"),
       nprobe = 2, topK = 3)
-  }
 
   val q124IvfPqIncrementalSql: String = ivfPqSearchSqlOver("emb_seed",
     "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n")
@@ -1410,19 +1414,33 @@ object EmbeddingQueries {
     * exact ordering where it matters. Oracle = q124's nine-training
     * replay + the identical shortlist-then-rerank tail. */
   def q128IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val root = ivfPqStoreRoots.computeIfAbsent(dir, { d =>
-      val r = graft.core.StorePaths.root("incivfpq", d)
-      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
-      graft.operators.IncrementalIvfPq.writeIndex(
-        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters)
-      graft.operators.IncrementalIvfPq.ingestBatch(
-        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
-      r
-    })
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     graft.operators.IncrementalIvfPq.searchRefined(
-      spark, root, e, e, nprobe = 2, topK = 3, kFactor = 4)
+      spark, ivfPqIncStore(spark, dir), e, e, nprobe = 2, topK = 3, kFactor = 4)
   }
+
+  /** q132: FILTERED ANN — the metadata-predicate + vector-search
+    * composition every production vector store ships (FAISS
+    * `IDSelector`, the vector DBs' filtered search): only candidates
+    * with `label < 3` (~30% of the corpus — the `label` column is the
+    * testdata's metadata) may be returned. Spark-first this is a
+    * left-semi equi-join applied EARLY — on the codes store before
+    * reconstruction and rerank — so the predicate shrinks the candidate
+    * join itself rather than post-filtering ranked output (which FAISS's
+    * list scan must do). Probes keep their full nprobe cells; probes
+    * whose cells hold fewer than 3 allowed candidates legally return
+    * fewer rows. Oracle = q124's replay with the same IN-subquery on the
+    * candidate side. */
+  def q132IvfPqFiltered(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IncrementalIvfPq.searchFiltered(
+      spark, ivfPqIncStore(spark, dir),
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      Tables.embeddings(spark, dir).filter(col("label") < 3).select("vec_id"),
+      nprobe = 2, topK = 3)
+
+  val q132IvfPqFilteredSql: String = ivfPqSearchSqlOver("emb_seed",
+    "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n",
+    candFilter = "AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)")
 
   val q128IvfPqRefineSql: String = ivfPqSearchSqlOver("emb_seed",
     "emb_seed AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7),\n",
@@ -1860,7 +1878,8 @@ object EmbeddingQueries {
     "q128_ivfpq_refine" -> (q128IvfPqRefine _),
     "q129_ivfpq_delete" -> (q129IvfPqDelete _),
     "q130_ivfpq_res_incremental" -> (q130IvfPqResIncremental _),
-    "q131_ivfpq_res_refine" -> (q131IvfPqResRefine _)
+    "q131_ivfpq_res_refine" -> (q131IvfPqResRefine _),
+    "q132_ivfpq_filtered" -> (q132IvfPqFiltered _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1887,6 +1906,7 @@ object EmbeddingQueries {
     "q128_ivfpq_refine" -> q128IvfPqRefineSql,
     "q129_ivfpq_delete" -> q129IvfPqDeleteSql,
     "q130_ivfpq_res_incremental" -> q130IvfPqResIncrementalSql,
-    "q131_ivfpq_res_refine" -> q131IvfPqResRefineSql
+    "q131_ivfpq_res_refine" -> q131IvfPqResRefineSql,
+    "q132_ivfpq_filtered" -> q132IvfPqFilteredSql
   )
 }

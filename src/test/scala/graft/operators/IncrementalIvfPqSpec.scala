@@ -211,6 +211,26 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(re < raw, f"residual recon error $re%.4f must beat raw $raw%.4f")
   }
 
+  test("searchFiltered: only allowed ids surface; allowed = everything ≡ unfiltered") {
+    val root = tmpRoot("filter")
+    clean(root)
+    IncrementalIvfPq.writeIndex(all, root, dim = 64, k = 8, iters = 2)
+    val allowed = all.filter(col("vec_id") % 3 === 1).select("vec_id")
+    val ok = allowed.collect().map(_.getLong(0)).toSet
+    val res = IncrementalIvfPq.searchFiltered(spark, root, all, allowed, nprobe = 2, topK = 3)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => ok.contains(r.getLong(1))),
+      "a filtered search must never return a disallowed neighbor")
+    // filter = full corpus ≡ plain search (the semi-join is a no-op)
+    val unf = IncrementalIvfPq.search(spark, root, all, nprobe = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val full = IncrementalIvfPq.searchFiltered(spark, root, all, all.select("vec_id"),
+      nprobe = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(full == unf, "allowed = corpus must reproduce the unfiltered search exactly")
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

@@ -45,7 +45,8 @@ object ClusterParity {
     "q122_ivfpq_ann", "q123_drift_retrain", "q124_ivfpq_incremental",
     "q125_ivfpq_residual", "q126_filestream_ivfpq", "q127_ivfpq_scaled",
     "q128_ivfpq_refine", "q129_ivfpq_delete",
-    "q130_ivfpq_res_incremental", "q131_ivfpq_res_refine")
+    "q130_ivfpq_res_incremental", "q131_ivfpq_res_refine",
+    "q132_ivfpq_filtered")
 
   def fingerprint(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))

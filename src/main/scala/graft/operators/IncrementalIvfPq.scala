@@ -274,8 +274,9 @@ object IncrementalIvfPq {
     * probes should be unioned into `corpus` first. */
   def searchRefined(spark: SparkSession, root: String, probes: DataFrame,
                     corpus: DataFrame, nprobe: Int, topK: Int,
-                    kFactor: Int = 4): DataFrame = {
-    val shortlist = adcTopK(spark, root, probes, nprobe, topK * kFactor)
+                    kFactor: Int = 4,
+                    allowed: Option[DataFrame] = None): DataFrame = {
+    val shortlist = adcTopK(spark, root, probes, nprobe, topK * kFactor, allowed)
       .select(col("a_id"), explode(col("top")).as("t"))
       .select(col("a_id"), col("t.id").as("b_id"))
     val full = corpus.select(col("vec_id"),

@@ -231,6 +231,43 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(full == unf, "allowed = corpus must reproduce the unfiltered search exactly")
   }
 
+  test("full composition: residual store + streamed-style delta + deletes + filtered refined search") {
+    val root = tmpRoot("compose")
+    clean(root)
+    val seed = all.filter(col("vec_id") % 10 =!= 7)
+    IncrementalIvfPq.writeIndex(seed, root, dim = 64, k = 8, iters = 2, residual = true)
+    IncrementalIvfPq.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 7), batchId = 1L)
+    IncrementalIvfPq.deleteBatch(spark, root,
+      all.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+    val allowed = all.filter(col("vec_id") % 3 === 1).select("vec_id")
+    val dead = all.filter(col("vec_id") % 9 === 4).collect().map(_.getLong(0)).toSet
+    val ok = allowed.collect().map(_.getLong(0)).toSet
+    val probes = all.filter(col("vec_id") % 9 =!= 4)
+    val res = IncrementalIvfPq.searchRefined(spark, root, probes, all,
+      nprobe = 2, topK = 3, kFactor = 4, allowed = Some(allowed)).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => ok.contains(r.getLong(1))), "filter must hold through refine")
+    assert(res.forall(r => !dead.contains(r.getLong(1))), "tombstones must hold through refine")
+    // the refined ranks must equal a brute-force exact rerank of the
+    // filtered ADC shortlist (composition changes candidates, not math)
+    val vecs = all.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = res.map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    IncrementalIvfPq.searchFiltered(spark, root, probes, allowed, nprobe = 2, topK = 12)
+      .collect().groupBy(_.getLong(0)).foreach { case (a, rows) =>
+        val expect = rows.map(_.getLong(1)).distinct
+          .map(b => (b, cos(vecs(a), vecs(b))))
+          .sortBy { case (b, s) => (-s, b) }.take(3).map(_._1)
+        expect.zipWithIndex.foreach { case (b, i) =>
+          assert(got((a, i + 1)) == b, s"probe $a rank ${i + 1}")
+        }
+      }
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

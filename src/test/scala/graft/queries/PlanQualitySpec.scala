@@ -451,6 +451,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q130 residual store search: centroids broadcast (recon join), candidates stay a cid equi-join") {
+    val p = plan("q130_ivfpq_res_incremental")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "centroid recon join must broadcast")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate join must be an equi-join")
+  }
+
+  test("q132 filtered ANN: the metadata predicate is a semi-join on the candidate side") {
+    val p = plan("q132_ivfpq_filtered")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), s"allowed-ids filter must be a left-semi join:\n${p.take(2000)}")
+  }
+
   test("q88 ANN recall: ground truth is the labeled broadcast pass, approx side stays keyed") {
     val p = plan("q88_ann_recall")
     // exact side: probe sample broadcasts against the corpus stream — a

@@ -1673,8 +1673,14 @@ object EmbeddingQueries {
     * residuals, smp = the SEED's residual sample (the store's codebooks
     * never saw the delta), chains train on smp and encode resf,
     * reconstruction re-adds the centroid. `refine` > 0 appends q128's
-    * exact-rerank tail. */
-  private def ivfPqResidualSeedSql(refine: Int): String = {
+    * exact-rerank tail; `coarseKLimit`/`corpusSrc`/`candFilter`/
+    * `headCtes` parameterize the same levers as [[ivfPqSearchSqlOver]]
+    * (q133 turns them ALL on). */
+  private def ivfPqResidualSeedSql(refine: Int,
+                                   coarseKLimit: String = SemK.toString,
+                                   corpusSrc: String = "embeddings",
+                                   candFilter: String = "",
+                                   headCtes: String = ""): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
@@ -1733,14 +1739,14 @@ object EmbeddingQueries {
     s"""WITH emb_seed AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
        |),
-       |${kmeansTrainSqlCtesOver("emb_seed")},
+       |$headCtes${kmeansTrainSqlCtesOver("emb_seed", kLimit = coarseKLimit)},
        |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM emb_seed),
        |rk AS MATERIALIZED (
        |  SELECT vec_id, embedding, cid, rn FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c2 c
+       |    FROM $corpusSrc e CROSS JOIN c2 c
        |  ) WHERE rn <= 2
        |),
        |resf AS MATERIALIZED (
@@ -1772,7 +1778,7 @@ object EmbeddingQueries {
        |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |    $dot / ($np * $nr) AS sim
        |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
-       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id $candFilter
        |  JOIN rcf r ON r.vec_id = b.vec_id
        |)
        |$tail""".stripMargin
@@ -1780,6 +1786,56 @@ object EmbeddingQueries {
 
   val q130IvfPqResIncrementalSql: String = ivfPqResidualSeedSql(refine = 0)
   val q131IvfPqResRefineSql: String = ivfPqResidualSeedSql(refine = 12)
+
+  /** q133: the PRODUCTION DEFAULT — every lever of the maintained ANN
+    * index on at once, under one oracle: DERIVED widths (coarse
+    * k = `kFor(seedN)` √N cells, codebook ks = `ksFor` — writeIndex's
+    * defaults), the RESIDUAL codec (the ladder's winner on clustered
+    * corpora), idempotent delta ingest against frozen quantizers,
+    * TOMBSTONED deletes crossing seed and delta, a METADATA candidate
+    * filter (label < 3), and the exact re-rank REFINE stage. This is the
+    * configuration a user would actually deploy — FAISS
+    * `IVF√N,PQ8 + RefineFlat` with filtered search and deletes,
+    * incrementally maintained — and the oracle replays all of it:
+    * √N-limit seed training, residual codebook chains, live-corpus
+    * (post-delete) encode and probes, the IN-subquery filter, the
+    * shortlist-then-rerank tail. */
+  private val ivfPqProdRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q133IvfPqProduction(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqProdRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfpqprod", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, iters = SemKIters,
+        residual = true)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      graft.operators.IncrementalIvfPq.deleteBatch(
+        spark, r, e.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+      r
+    })
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.IncrementalIvfPq.searchRefined(
+      spark, root,
+      probes = e.select("vec_id", "embedding").filter(col("vec_id") % 9 =!= 4),
+      corpus = e.select("vec_id", "embedding"),
+      nprobe = 2, topK = 3, kFactor = 4,
+      allowed = Some(e.filter(col("label") < 3).select("vec_id")))
+  }
+
+  // Training replays the FULL seed (the store's quantizers froze BEFORE
+  // the delete batch, so later-deleted seed rows did shape the
+  // codebooks); only probes and candidates restrict to live ∧ allowed —
+  // unary predicates legally folded into the inner join's ON clause.
+  val q133IvfPqProductionSql: String = ivfPqResidualSeedSql(
+    refine = 12,
+    coarseKLimit = "(SELECT k FROM kv)",
+    candFilter = ("AND p.vec_id % 9 <> 4 AND b.vec_id % 9 <> 4 " +
+      "AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)"),
+    headCtes =
+      """kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM emb_seed),
+        |""".stripMargin)
 
   /** q123: the DRIFT-TRIGGERED RETRAIN LOOP under the oracle gate — the
     * last spec-only piece of the IVF lifecycle made driver-checked.
@@ -1879,7 +1935,8 @@ object EmbeddingQueries {
     "q129_ivfpq_delete" -> (q129IvfPqDelete _),
     "q130_ivfpq_res_incremental" -> (q130IvfPqResIncremental _),
     "q131_ivfpq_res_refine" -> (q131IvfPqResRefine _),
-    "q132_ivfpq_filtered" -> (q132IvfPqFiltered _)
+    "q132_ivfpq_filtered" -> (q132IvfPqFiltered _),
+    "q133_ivfpq_production" -> (q133IvfPqProduction _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1907,6 +1964,7 @@ object EmbeddingQueries {
     "q129_ivfpq_delete" -> q129IvfPqDeleteSql,
     "q130_ivfpq_res_incremental" -> q130IvfPqResIncrementalSql,
     "q131_ivfpq_res_refine" -> q131IvfPqResRefineSql,
-    "q132_ivfpq_filtered" -> q132IvfPqFilteredSql
+    "q132_ivfpq_filtered" -> q132IvfPqFilteredSql,
+    "q133_ivfpq_production" -> q133IvfPqProductionSql
   )
 }

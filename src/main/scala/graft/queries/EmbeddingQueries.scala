@@ -1824,6 +1824,18 @@ object EmbeddingQueries {
       allowed = Some(e.filter(col("label") < 3).select("vec_id")))
   }
 
+  /** The q134 oracle (exposed for [[FileStreamQueries]]): the
+    * derived-width residual store searched plain — √N coarse cells,
+    * residual codebooks from the seed, full-corpus encode. A streamed
+    * ingest must land the store exactly here (stream ≡ batch ≡ rebuild
+    * at the production codec). */
+  val ivfPqResDerivedSql: String = ivfPqResidualSeedSql(
+    refine = 0,
+    coarseKLimit = "(SELECT k FROM kv)",
+    headCtes =
+      """kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM emb_seed),
+        |""".stripMargin)
+
   // Training replays the FULL seed (the store's quantizers froze BEFORE
   // the delete batch, so later-deleted seed rows did shape the
   // codebooks); only probes and candidates restrict to live ∧ allowed —

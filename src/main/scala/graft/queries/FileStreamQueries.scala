@@ -229,11 +229,50 @@ object FileStreamQueries {
 
   private val ivfPqRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q134: q126's streamed ANN-index maintenance at the PRODUCTION
+    * CODEC AND WIDTHS — the store seeds with `writeIndex`'s defaults
+    * (√N coarse cells, ksFor codebooks) and `residual = true`, then the
+    * held-out 10% arrives as three file-source micro-batches through the
+    * same checkpointed `ingestStream`. Residual encode under frozen
+    * quantizers is as pure a function as raw encode, so the streamed
+    * store must land exactly where a batch ingest and a from-scratch
+    * rebuild land — the oracle is the derived-width residual replay
+    * ([[EmbeddingQueries.ivfPqResDerivedSql]]), and a hash match proves
+    * stream ≡ batch ≡ rebuild at the configuration production deploys. */
+  def q134FileStreamIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqResRoots.computeIfAbsent(dir, { d =>
+      val r = StorePaths.root("fsivfpqres", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndex(
+        e.filter(col("vec_id") % 10 =!= 7), s"$r/store", EmbeddingQueries.Dim,
+        iters = EmbeddingQueries.SemKIters, residual = true)
+      val delta = e.filter(col("vec_id") % 10 === 7)
+      val inDir = stageSequencedFiles(spark, r, Seq(
+        delta.filter(col("vec_id") % 3 === 0),
+        delta.filter(col("vec_id") % 3 === 1),
+        delta.filter(col("vec_id") % 3 === 2)))
+      val src = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.operators.IncrementalIvfPq
+        .ingestStream(src, s"$r/store", s"$r/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, s"$root/store",
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  private val ivfPqResRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_filestream_usage" -> (q112FileStreamUsage _),
     "q113_filestream_sessionize" -> (q113FileStreamSessionize _),
     "q114_filestream_dedup" -> (q114FileStreamDedup _),
-    "q126_filestream_ivfpq" -> (q126FileStreamIvfPqIngest _)
+    "q126_filestream_ivfpq" -> (q126FileStreamIvfPqIngest _),
+    "q134_filestream_ivfpq_res" -> (q134FileStreamIvfPqRes _)
   )
 
   def sql: Map[String, String] = Map(
@@ -245,6 +284,8 @@ object FileStreamQueries {
     // stream ≡ batch ingest ≡ rebuild: the streamed store must land
     // exactly where q124's single-batch ingest (and its from-scratch
     // rebuild oracle) lands
-    "q126_filestream_ivfpq" -> EmbeddingQueries.q124IvfPqIncrementalSql
+    "q126_filestream_ivfpq" -> EmbeddingQueries.q124IvfPqIncrementalSql,
+    // stream ≡ batch ≡ rebuild at the production codec AND widths
+    "q134_filestream_ivfpq_res" -> EmbeddingQueries.ivfPqResDerivedSql
   )
 }

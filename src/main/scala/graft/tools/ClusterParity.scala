@@ -46,7 +46,8 @@ object ClusterParity {
     "q125_ivfpq_residual", "q126_filestream_ivfpq", "q127_ivfpq_scaled",
     "q128_ivfpq_refine", "q129_ivfpq_delete",
     "q130_ivfpq_res_incremental", "q131_ivfpq_res_refine",
-    "q132_ivfpq_filtered", "q133_ivfpq_production")
+    "q132_ivfpq_filtered", "q133_ivfpq_production",
+    "q134_filestream_ivfpq_res")
 
   def fingerprint(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))

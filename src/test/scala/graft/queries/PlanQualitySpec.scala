@@ -465,6 +465,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"allowed-ids filter must be a left-semi join:\n${p.take(2000)}")
   }
 
+  test("q133 production config: tombstone anti-join and metadata semi-join both present, no cartesian") {
+    val p = plan("q133_ivfpq_production")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "metadata filter must be a left-semi join")
+    assert(p.contains("LeftAnti"), "tombstones must be a left-anti join")
+    assert(p.contains("BroadcastHashJoin"), "centroid recon join must broadcast")
+  }
+
   test("q88 ANN recall: ground truth is the labeled broadcast pass, approx side stays keyed") {
     val p = plan("q88_ann_recall")
     // exact side: probe sample broadcasts against the corpus stream — a

@@ -75,13 +75,53 @@ object IncrementalIvfPq {
     ()
   }
 
-  /** True iff the store's codes are residual-coded (meta written by
-    * [[writeIndex]]; absent = raw, covering pre-meta stores). */
-  def isResidual(spark: SparkSession, root: String): Boolean = {
+  /** The store's codec, from `meta/`: "raw" (PQ on absolute vectors),
+    * "residual" (PQ on x − c(cell(x))), or "sq8" (per-dim byte grid).
+    * Absent meta = "raw", covering pre-meta stores. */
+  def encoding(spark: SparkSession, root: String): String = {
     val m = new org.apache.hadoop.fs.Path(s"$root/meta")
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(m) &&
-      spark.read.parquet(m.toString).head().getString(0) == "residual"
+    if (fs.exists(m)) spark.read.parquet(m.toString).head().getString(0)
+    else "raw"
+  }
+
+  /** True iff the store's codes are residual-coded. */
+  def isResidual(spark: SparkSession, root: String): Boolean =
+    encoding(spark, root) == "residual"
+
+  /** Seed an SQ8-coded store: the coarse quantizer trains exactly like
+    * [[writeIndex]], but the payload codec is the per-dim scalar byte
+    * grid (q97's codec, FAISS `SQ8`): per-dim (min, max) FREEZE on the
+    * seed corpus (`sqstats/`, 2·dim doubles — a plan literal at search
+    * time), each vector stores dim byte codes (64 B at dim 64 — the 4×
+    * step between floats and PQ), and a delta's codes are a pure
+    * function of (vector, frozen stats), so the maintenance invariant is
+    * q124's. Deltas may fall OUTSIDE the seed's per-dim range — codes
+    * clamp to [0, 255] on BOTH engines (the production behavior: a
+    * frozen grid saturates, it does not retrain). The measured ladder
+    * says this codec is the default choice when the corpus lacks cluster
+    * structure: recall within 0.1% of full floats at 4× compression. */
+  def writeIndexSq8(state: DataFrame, root: String, dim: Int,
+                    k: Int = -1, iters: Int = 2): Unit = {
+    val spark = state.sparkSession
+    val n = state.count()
+    val kk = if (k > 0) k else IncrementalIvf.kFor(n)
+    val (cents, _) = graft.ml.KMeans.fit(state, kk, iters)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    import spark.implicits._
+    Seq("sq8").toDF("encoding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    state.agg(
+        array((0 until dim).map(i =>
+          min(element_at(col("embedding"), i + 1).cast("double"))): _*).as("mins"),
+        array((0 until dim).map(i =>
+          max(element_at(col("embedding"), i + 1).cast("double"))): _*).as("maxs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/sqstats")
+    encodeTo(state, root).withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch", "cid")
+      .parquet(s"$root/codes")
+    cents.unpersist()
+    ()
   }
 
   /** (vec_id, cid, embedding = x − c(cell(x))): the residual frame —
@@ -98,21 +138,42 @@ object IncrementalIvfPq {
 
   /** (vec_id, cid, codes) against the FROZEN quantizers — the shared
     * assignment path of seed and every delta (so they cannot diverge).
-    * Residual stores encode `x − c(cid)`; raw stores encode `x`. */
+    * Residual stores encode `x − c(cid)`; sq8 stores encode per-dim
+    * byte codes on the frozen grid (clamped to [0, 255] — out-of-seed-
+    * range deltas saturate); raw stores encode `x`. */
   private def encodeTo(vecs: DataFrame, root: String): DataFrame = {
     val spark = vecs.sparkSession
     val cents = spark.read.parquet(s"$root/centroids")
-    val book = spark.read.parquet(s"$root/pqbook")
-    val dim = M * book.head().getSeq[Double](2).length
-    if (isResidual(spark, root)) {
-      val res = residualsOf(vecs, cents)
-      ProductQuantizer.encode(res.select("vec_id", "embedding"), book, dim, M)
-        .join(res.select("vec_id", "cid"), Seq("vec_id"))
-        .select("vec_id", "cid", "codes")
-    } else {
-      val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
-      ProductQuantizer.encode(vecs, book, dim, M).join(cids, Seq("vec_id"))
-        .select("vec_id", "cid", "codes")
+    encoding(spark, root) match {
+      case "sq8" =>
+        val st = spark.read.parquet(s"$root/sqstats")
+        val dim = st.head().getSeq[Double](0).length
+        val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
+        vecs.crossJoin(broadcast(st))
+          .withColumn("codes", transform(sequence(lit(0), lit(dim - 1)), i => {
+            val x = element_at(col("embedding"), i + lit(1)).cast("double")
+            val mn = element_at(col("mins"), i + lit(1))
+            val mx = element_at(col("maxs"), i + lit(1))
+            val step = (mx - mn) / lit(255.0)
+            when(mx === mn, lit(0)).otherwise(
+              least(lit(255.0), greatest(lit(0.0),
+                floor((x - mn) / step + lit(0.5)))).cast("int"))
+          }))
+          .join(cids, Seq("vec_id"))
+          .select("vec_id", "cid", "codes")
+      case "residual" =>
+        val book = spark.read.parquet(s"$root/pqbook")
+        val dim = M * book.head().getSeq[Double](2).length
+        val res = residualsOf(vecs, cents)
+        ProductQuantizer.encode(res.select("vec_id", "embedding"), book, dim, M)
+          .join(res.select("vec_id", "cid"), Seq("vec_id"))
+          .select("vec_id", "cid", "codes")
+      case _ =>
+        val book = spark.read.parquet(s"$root/pqbook")
+        val dim = M * book.head().getSeq[Double](2).length
+        val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
+        ProductQuantizer.encode(vecs, book, dim, M).join(cids, Seq("vec_id"))
+          .select("vec_id", "cid", "codes")
     }
   }
 
@@ -231,17 +292,32 @@ object IncrementalIvfPq {
                       nprobe: Int, topK: Int,
                       allowed: Option[DataFrame] = None): DataFrame = {
     val cents = spark.read.parquet(s"$root/centroids")
-    val book = spark.read.parquet(s"$root/pqbook")
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
     val live = allowed.foldLeft(liveCodes(spark, root))((c, a) =>
       c.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
-    val cand = (if (isResidual(spark, root)) {
-      val dec = ProductQuantizer.decodeExpr(spark, book, M)
-      live
-        .join(broadcast(cents.select(col("cid"), col("centroid"))), Seq("cid"))
-        .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, r) => c + r))
-        .withColumn("rnrm", graft.expr.NativeVecFns.norm(spark, col("recon")))
-    } else ProductQuantizer.withRecon(spark, live, book, M))
+    val cand = (encoding(spark, root) match {
+      case "sq8" =>
+        // frozen grid as plan literals (2·dim doubles) — no join
+        val st = spark.read.parquet(s"$root/sqstats").head()
+        val minsLit = typedLit(st.getSeq[Double](0))
+        val maxsLit = typedLit(st.getSeq[Double](1))
+        live.withColumn("recon", transform(col("codes"), (code, i) => {
+            val mn = element_at(minsLit, i + lit(1))
+            val mx = element_at(maxsLit, i + lit(1))
+            when(mx === mn, mn)
+              .otherwise(mn + code.cast("double") * ((mx - mn) / lit(255.0)))
+          }))
+          .withColumn("rnrm", graft.expr.NativeVecFns.norm(spark, col("recon")))
+      case "residual" =>
+        val book = spark.read.parquet(s"$root/pqbook")
+        val dec = ProductQuantizer.decodeExpr(spark, book, M)
+        live
+          .join(broadcast(cents.select(col("cid"), col("centroid"))), Seq("cid"))
+          .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, r) => c + r))
+          .withColumn("rnrm", graft.expr.NativeVecFns.norm(spark, col("recon")))
+      case _ =>
+        ProductQuantizer.withRecon(spark, live, spark.read.parquet(s"$root/pqbook"), M)
+    })
       .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
     ranked.select(col("cid"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("nrm").as("a_nrm"))

@@ -1667,6 +1667,90 @@ object EmbeddingQueries {
       spark, ivfPqResStore(spark, dir), e, e, nprobe = 2, topK = 3, kFactor = 4)
   }
 
+  /** q135: INCREMENTAL SQ8 — the maintained store at the codec the
+    * measured ladder says is the DEFAULT when the corpus lacks cluster
+    * structure (recall within 0.1% of full floats at 4×; PQ's 32× is
+    * the choice when memory binds AND the corpus clusters). The per-dim
+    * (min, max) grid freezes on the 90% seed (`sqstats/` — 128 doubles,
+    * a plan literal at search time, not even a broadcast join), the
+    * held-out 10% ingests against the frozen grid — deltas landing
+    * OUTSIDE the seed's range saturate to [0, 255] on both engines, the
+    * production behavior of a frozen quantizer — and search runs q124's
+    * cid equi-join with the 4×-compressed build side. The oracle
+    * replays seed-only stats + coarse training, the clamped full-corpus
+    * encode-to-recon, and the identical probe/rerank. */
+  private val ivfSq8Roots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q135IvfSq8Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfSq8Roots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfsq8", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndexSq8(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, root,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  val q135IvfSq8IncrementalSql: String = {
+    val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
+    val np = VecFns.ddbNorm("p.embedding", Dim)
+    val nr = VecFns.ddbNorm("r.recon", Dim)
+    s"""WITH emb_seed AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+       |),
+       |${kmeansTrainSqlCtesOver("emb_seed")},
+       |stats AS (
+       |  SELECT t.i AS i,
+       |    min(e.embedding[t.i + 1]::DOUBLE) AS mn,
+       |    max(e.embedding[t.i + 1]::DOUBLE) AS mx
+       |  FROM emb_seed e, range($Dim) t(i)
+       |  GROUP BY t.i
+       |),
+       |s AS (
+       |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM stats
+       |),
+       |rk AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid, rn FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |coded AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range($Dim), i ->
+       |      CASE WHEN s.maxs[i+1] = s.mins[i+1] THEN s.mins[i+1]
+       |      ELSE s.mins[i+1]
+       |        + least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+       |            floor((embedding[i+1]::DOUBLE - s.mins[i+1])
+       |                  / ((s.maxs[i+1] - s.mins[i+1]) / 255.0) + 0.5)))
+       |          * ((s.maxs[i+1] - s.mins[i+1]) / 255.0)
+       |      END) AS recon
+       |  FROM embeddings, s
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nr) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |  JOIN coded r ON r.vec_id = b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   /** The q130/q131 oracle: q125's residual replay with SEED-ONLY
     * training. Coarse chain on `emb_seed`, ksv from the seed count, rk =
     * full-corpus assignment against the frozen c2, resf = full-corpus
@@ -1948,7 +2032,8 @@ object EmbeddingQueries {
     "q130_ivfpq_res_incremental" -> (q130IvfPqResIncremental _),
     "q131_ivfpq_res_refine" -> (q131IvfPqResRefine _),
     "q132_ivfpq_filtered" -> (q132IvfPqFiltered _),
-    "q133_ivfpq_production" -> (q133IvfPqProduction _)
+    "q133_ivfpq_production" -> (q133IvfPqProduction _),
+    "q135_ivfsq8_incremental" -> (q135IvfSq8Incremental _)
   )
 
   def sql: Map[String, String] = Map(
@@ -1977,6 +2062,7 @@ object EmbeddingQueries {
     "q130_ivfpq_res_incremental" -> q130IvfPqResIncrementalSql,
     "q131_ivfpq_res_refine" -> q131IvfPqResRefineSql,
     "q132_ivfpq_filtered" -> q132IvfPqFilteredSql,
-    "q133_ivfpq_production" -> q133IvfPqProductionSql
+    "q133_ivfpq_production" -> q133IvfPqProductionSql,
+    "q135_ivfsq8_incremental" -> q135IvfSq8IncrementalSql
   )
 }

@@ -268,6 +268,39 @@ class IncrementalIvfPqSpec extends SparkSpec {
       }
   }
 
+  test("sq8 mode: ingest ≡ rebuild; out-of-range deltas saturate to [0,255]; deletes compose") {
+    val seed = all.filter(col("vec_id") % 10 =!= 7)
+    val rootInc = tmpRoot("sq8Inc"); val rootFull = tmpRoot("sq8Full")
+    clean(rootInc, rootFull)
+    // delta scaled ×4: values land far outside the seed's frozen grid —
+    // the codes must clamp, not wrap or throw
+    val delta = all.filter(col("vec_id") % 10 === 7)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(4.0f)))
+    IncrementalIvfPq.writeIndexSq8(seed, rootInc, dim = 64, k = 8, iters = 2)
+    assert(IncrementalIvfPq.encoding(spark, rootInc) == "sq8")
+    IncrementalIvfPq.ingestBatch(spark, rootInc, delta, batchId = 1L)
+    IncrementalIvfPq.writeIndexSq8(seed, rootFull, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.ingestBatch(spark, rootFull, seed.unionByName(delta), batchId = 9L)
+    def codeSet(root: String) = IncrementalIvfPq.codes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(codeSet(rootInc) == codeSet(rootFull),
+      "frozen-grid sq8 ingest must land every vector where a rebuild would")
+    // all codes in range; the scaled delta actually saturates somewhere
+    val deltaCodes = IncrementalIvfPq.codes(spark, rootInc)
+      .filter(col("vec_id") % 10 === 7)
+      .select(explode(col("codes")).as("c")).collect().map(_.getInt(0))
+    assert(deltaCodes.forall(c => c >= 0 && c <= 255))
+    assert(deltaCodes.contains(0) || deltaCodes.contains(255),
+      "a 4x-scaled delta must hit the grid's clamp edges")
+    // deletes are payload-agnostic
+    IncrementalIvfPq.deleteBatch(spark, rootInc,
+      all.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+    val res = IncrementalIvfPq.search(spark, rootInc,
+      all.filter(col("vec_id") % 9 =!= 4), nprobe = 2, topK = 3).collect()
+    val dead = all.filter(col("vec_id") % 9 === 4).collect().map(_.getLong(0)).toSet
+    assert(res.nonEmpty && res.forall(r => !dead.contains(r.getLong(1))))
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

@@ -200,6 +200,45 @@ object IncrementalIvfPq {
     Compaction.foldIngestBatches(spark, s"$root/codes",
       innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes)
 
+  /** Codec advisor — the measured recall ladder's conclusion as a
+    * decision procedure. The ladder (BASELINE.md §"Structured-corpus
+    * ladder") shows the codec choice hinges on ONE statistic: how much
+    * of the corpus variance the coarse quantizer explains. On clustered
+    * corpora (explained fraction high) residual-PQ triples raw-PQ's
+    * recall and SQ8's 4× is leaving 8× on the table; on isotropic
+    * corpora (explained ≈ 0) PQ's 8 bytes cannot rank within-cell noise
+    * and SQ8 is recall-free. So: train the coarse quantizer on a
+    * sample, measure `1 − E‖x − c(x)‖² / E‖x − mean‖²`, and recommend
+    * "residual" past `threshold`, else "sq8". Cost = one k-means fit
+    * plus two broadcast-assign passes over the sample — run it on the
+    * same sample `writeIndex` would train on. */
+  def recommendCodec(sample: DataFrame, k: Int = -1, iters: Int = 2,
+                     threshold: Double = 0.2): String = {
+    val spark = sample.sparkSession
+    val n = sample.count()
+    val kk = if (k > 0) k else IncrementalIvf.kFor(n)
+    val (cents, _) = graft.ml.KMeans.fit(sample, kk, iters)
+    val resVar = graft.ml.KMeans.assign(sample, cents)
+      .agg(avg("dist_sq")).first().getDouble(0)
+    cents.unpersist()
+    val mean = sample
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x").cast("double")).as("c"))
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    val one = sample.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0, mean)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val totVar = graft.ml.KMeans.assign(sample, one)
+      .agg(avg("dist_sq")).first().getDouble(0)
+    val explained = if (totVar <= 0.0) 0.0 else 1.0 - resVar / totVar
+    if (explained >= threshold) "residual" else "sq8"
+  }
+
   /** The maintained compressed index, tombstones NOT applied — the raw
     * store view compaction and the rebuild-equivalence specs compare. */
   def codes(spark: SparkSession, root: String): DataFrame =

@@ -301,6 +301,20 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(res.nonEmpty && res.forall(r => !dead.contains(r.getLong(1))))
   }
 
+  test("recommendCodec: isotropic testdata → sq8; clustered mixture → residual") {
+    // the testdata embeddings are isotropic noise — k-means explains ~0
+    assert(IncrementalIvfPq.recommendCodec(all, k = 8, iters = 2) == "sq8")
+    // the structured-ladder transform (70% shared center per vec_id%32
+    // cluster + 30% noise) — the coarse quantizer explains most variance
+    val structured = all
+      .withColumn("c", (col("vec_id") % 32).cast("int"))
+      .withColumn("embedding", transform(col("embedding"), (x, d) =>
+        (lit(0.7) * (pmod(xxhash64(col("c"), d), lit(2000001L)).cast("double")
+          / lit(1000000.0) - lit(1.0)) + lit(0.3) * x).cast("float")))
+      .select("vec_id", "embedding")
+    assert(IncrementalIvfPq.recommendCodec(structured, k = 32, iters = 2) == "residual")
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

@@ -315,6 +315,21 @@ class IncrementalIvfPqSpec extends SparkSpec {
     assert(IncrementalIvfPq.recommendCodec(structured, k = 32, iters = 2) == "residual")
   }
 
+  test("inverted-list layout: a selective probe set dynamically prunes the cid partitions") {
+    val root = tmpRoot("dpp")
+    clean(root)
+    IncrementalIvfPq.writeIndex(all, root, dim = 64, k = 8, iters = 2)
+    // production shape: FEW probes against the big index — the ranked
+    // probe cells broadcast, and DPP must push their cid values into
+    // the codes scan's partition filters (the layout claim made real)
+    val probes = all.filter(col("vec_id") < 5)
+    val res = IncrementalIvfPq.search(spark, root, probes, nprobe = 2, topK = 3)
+    res.collect() // AQE finalizes the plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"selective probes must prune cid= directories via DPP:\n${plan.take(3000)}")
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

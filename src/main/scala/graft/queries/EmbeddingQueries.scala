@@ -1696,7 +1696,8 @@ object EmbeddingQueries {
       nprobe = 2, topK = 3)
   }
 
-  val q135IvfSq8IncrementalSql: String = {
+  private def ivfSq8SeedSql(coarseKLimit: String = SemK.toString,
+                            headCtes: String = ""): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
@@ -1704,7 +1705,7 @@ object EmbeddingQueries {
     s"""WITH emb_seed AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
        |),
-       |${kmeansTrainSqlCtesOver("emb_seed")},
+       |$headCtes${kmeansTrainSqlCtesOver("emb_seed", kLimit = coarseKLimit)},
        |stats AS (
        |  SELECT t.i AS i,
        |    min(e.embedding[t.i + 1]::DOUBLE) AS mn,
@@ -1750,6 +1751,38 @@ object EmbeddingQueries {
        |  FROM sims
        |) WHERE rank <= 3""".stripMargin
   }
+
+  val q135IvfSq8IncrementalSql: String = ivfSq8SeedSql()
+
+  /** q136: q135's incremental SQ8 at PRODUCTION-DERIVED coarse width —
+    * the q127 lever applied to the SQ8 store. q135 pins k = SemK for
+    * the gate (cells of N/32 → candidate join nprobe·N²/32); q136 runs
+    * `writeIndexSq8`'s default `kFor(seedN)` (√N cells → nprobe·N·√N),
+    * the oracle deriving the same k via a scalar-subquery √N. Every
+    * pinned gate query in the maintained-ANN family now has its derived
+    * production twin (q124→q127, q130→q133/q134, q135→q136). */
+  private val ivfSq8ScaledRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q136IvfSq8Scaled(spark: SparkSession, dir: String): DataFrame = {
+    val root = ivfSq8ScaledRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incivfsq8sc", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      graft.operators.IncrementalIvfPq.writeIndexSq8(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, iters = SemKIters)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(spark, root,
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      nprobe = 2, topK = 3)
+  }
+
+  val q136IvfSq8ScaledSql: String = ivfSq8SeedSql(
+    coarseKLimit = "(SELECT k FROM kv)",
+    headCtes =
+      """kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM emb_seed),
+        |""".stripMargin)
 
   /** The q130/q131 oracle: q125's residual replay with SEED-ONLY
     * training. Coarse chain on `emb_seed`, ksv from the seed count, rk =
@@ -2033,7 +2066,8 @@ object EmbeddingQueries {
     "q131_ivfpq_res_refine" -> (q131IvfPqResRefine _),
     "q132_ivfpq_filtered" -> (q132IvfPqFiltered _),
     "q133_ivfpq_production" -> (q133IvfPqProduction _),
-    "q135_ivfsq8_incremental" -> (q135IvfSq8Incremental _)
+    "q135_ivfsq8_incremental" -> (q135IvfSq8Incremental _),
+    "q136_ivfsq8_scaled" -> (q136IvfSq8Scaled _)
   )
 
   def sql: Map[String, String] = Map(
@@ -2063,6 +2097,7 @@ object EmbeddingQueries {
     "q131_ivfpq_res_refine" -> q131IvfPqResRefineSql,
     "q132_ivfpq_filtered" -> q132IvfPqFilteredSql,
     "q133_ivfpq_production" -> q133IvfPqProductionSql,
-    "q135_ivfsq8_incremental" -> q135IvfSq8IncrementalSql
+    "q135_ivfsq8_incremental" -> q135IvfSq8IncrementalSql,
+    "q136_ivfsq8_scaled" -> q136IvfSq8ScaledSql
   )
 }

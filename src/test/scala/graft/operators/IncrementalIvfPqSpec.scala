@@ -330,6 +330,32 @@ class IncrementalIvfPqSpec extends SparkSpec {
       s"selective probes must prune cid= directories via DPP:\n${plan.take(3000)}")
   }
 
+  test("compression is real on disk: PQ codes tree ≪ SQ8 codes tree ≪ float source") {
+    val rootPq = tmpRoot("sizePq"); val rootSq = tmpRoot("sizeSq")
+    clean(rootPq, rootSq)
+    IncrementalIvfPq.writeIndex(all, rootPq, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.writeIndexSq8(all, rootSq, dim = 64, k = 8, iters = 2)
+    val n = all.count().toDouble
+    // float source baseline: re-write the embeddings alone (same codec
+    // config as the stores) so the comparison is parquet-vs-parquet
+    val rootF = tmpRoot("sizeFloat")
+    clean(rootF)
+    all.write.mode("overwrite").parquet(rootF)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: String) = Compaction.treeBytes(spark, p)
+    val (bF, bSq, bPq) = (bytes(rootF), bytes(s"$rootSq/codes"), bytes(s"$rootPq/codes"))
+    // nominal: 256 B vs 64 B vs 8 B per vector. Parquet bit-packs the
+    // int codes (≤8 bits each) and the float arrays are incompressible
+    // noise, so the measured ratios land near nominal; assert the
+    // conservative floors 2× and 4× so codec/footer overhead at this
+    // corpus size can't flake the test.
+    assert(bSq.toDouble < bF / 2.0,
+      f"sq8 codes must be well under half the float bytes: $bSq vs $bF (n=$n%.0f)")
+    assert(bPq.toDouble < bSq / 4.0,
+      f"pq codes must be well under a quarter of sq8's: $bPq vs $bSq")
+    fs.delete(new org.apache.hadoop.fs.Path(rootF), true)
+  }
+
   test("search over the maintained store: sane shape, no cartesian, codes-only payload") {
     val root = tmpRoot("search")
     clean(root)

@@ -43,6 +43,10 @@ object Bench {
       // surface as a GC pause inside the next one's measurement (r4: q52
       // showed 2.9 s for a 0.4 s aggregate — cross-query GC billing)
       spark.catalog.clearCache()
+      // the noop save above fully evaluated the plan, so any BlockTopK
+      // probe broadcasts it captured are safe to destroy — without this,
+      // every rep of q92/q120 leaks one probe broadcast on the executors
+      graft.ml.BlockTopK.releaseBroadcasts()
       System.gc()
       if (ok) Some(dt) else None
     }

@@ -91,14 +91,20 @@ object BloomFns {
     * The default sizes from `approx_count_distinct(key)` (±~2 % HLL), not
     * row count: [[semiPrune]] permits duplicated build keys, and sizing
     * from rows would oversize proportionally to the duplication factor.
-    * Bloom capacity only needs an upper bound, so HLL error is absorbed by
-    * the fpp margin. Callers who already know the cardinality pass
-    * `expectedKeys` and skip the extra build-side scan entirely. */
+    * Bloom capacity needs an UPPER bound, and HLL can err LOW (~±2 %
+    * rsd) — an undersized filter silently pushes the effective
+    * false-positive rate past the requested `fpp` — so the estimate is
+    * inflated 10 % before sizing (≈5σ of HLL's error at the default
+    * precision; a 10 % oversize costs ~10 % filter bytes, an undersize
+    * breaks the documented fpp bound). Callers who already know the
+    * cardinality pass `expectedKeys` and skip the extra build-side scan
+    * entirely. */
   def buildKeyFilter(build: DataFrame, key: String,
                      expectedKeys: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
     val n = if (expectedKeys > 0) expectedKeys
             else math.max(1L << 18,
-              build.select(approx_count_distinct(col(key))).first().getLong(0))
+              (build.select(approx_count_distinct(col(key))).first().getLong(0)
+                * 1.1).toLong)
     val bf = build.stat.bloomFilter(key, n, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)

@@ -26,6 +26,34 @@ case class NeighborRow(vec_id: Long, neighbor_id: Long, rank: Int, cosine_sim: D
   */
 object BlockTopK {
 
+  /** Broadcasts created by the LAZY entry points ([[cosineTopK]],
+    * [[probeTopKCandidates]]) must outlive the plan that captures them,
+    * so they cannot be destroyed inside the builder — unlike
+    * [[cosineTopKSharded]]'s eager per-shard passes, which destroy each
+    * shard's broadcast as soon as its pass is localCheckpoint'ed.
+    * Repeated calls (bench reps, parity re-runs) would otherwise leak
+    * one broadcast per call on the executors, so every such broadcast is
+    * REGISTERED here; [[releaseBroadcasts]] destroys and clears them.
+    * Call it ONLY at a boundary where every plan built from these entry
+    * points has been fully evaluated (end of a bench rep, end of a
+    * parity run) — evaluating such a plan afterwards fails loudly with a
+    * destroyed-broadcast error, never silently. */
+  private val liveBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+
+  private def track[T](bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    liveBroadcasts.add(bc)
+    bc
+  }
+
+  /** Destroy every broadcast registered by [[cosineTopK]] /
+    * [[probeTopKCandidates]] since the last release (see
+    * [[liveBroadcasts]] for the safety contract). */
+  def releaseBroadcasts(): Unit = {
+    var b = liveBroadcasts.poll()
+    while (b != null) { b.destroy(); b = liveBroadcasts.poll() }
+  }
+
   private def withNorm(id: Long, v: Seq[Float]): (Long, Array[Float], Double) = {
     val arr = v.toArray
     var n = 0.0
@@ -68,9 +96,10 @@ object BlockTopK {
     import spark.implicits._
     val rows = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
-    // build side: primitive vectors + norms, broadcast once
-    val bc = spark.sparkContext.broadcast(
-      rows.collect().map { case (id, v) => withNorm(id, v) })
+    // build side: primitive vectors + norms, broadcast once (tracked —
+    // must outlive the lazy plan; released via releaseBroadcasts)
+    val bc = track(spark.sparkContext.broadcast(
+      rows.collect().map { case (id, v) => withNorm(id, v) }))
     shardPass(rows, bc, k)
   }
 
@@ -114,8 +143,8 @@ object BlockTopK {
     // array serves all shards
     val idxByShard: Map[Int, Array[Int]] =
       probeRows.zipWithIndex.groupBy(_._1._1).map { case (s, ps) => s -> ps.map(_._2) }
-    val bcProbes = spark.sparkContext.broadcast(probeRows)
-    val bcIdx = spark.sparkContext.broadcast(idxByShard)
+    val bcProbes = track(spark.sparkContext.broadcast(probeRows))
+    val bcIdx = track(spark.sparkContext.broadcast(idxByShard))
     corpus.select(col("shard").cast("int"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Seq[Float])]
       .mapPartitions { it =>

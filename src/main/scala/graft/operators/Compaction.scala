@@ -33,8 +33,34 @@ object Compaction {
     * A CRASHED maintainer leaves the marker behind by design (fail-stop):
     * the operator confirms no maintenance process is live, then calls
     * [[breakLease]] before rerunning — the rerun's recovery branch restores
-    * the store. */
+    * the store.
+    *
+    * LOCK GRANULARITY: maintainers that can touch the WHOLE store (a
+    * retrain renames `root` itself) and maintainers that fold one
+    * sub-directory must contend on the SAME marker, so every store
+    * operator derives its lease from the STORE ROOT (`IncrementalIvf
+    * .retrain` and `.compactIndex` both lock `root__maintenance_lock`,
+    * not `root/index__...`) — otherwise a retrain can rename the root
+    * away mid-fold and the fold's recovery branch resurrects a nested
+    * mixed store.
+    *
+    * BACKEND RESTRICTION: the lease is only sound where `createNewFile`
+    * is ATOMIC — HDFS, local FS, and real-filesystem semantics in
+    * general. S3-style object stores implement create as a plain PUT
+    * (last-writer-wins, no create-exclusive), so two maintainers could
+    * both "win" the marker and the destroy-the-only-copy race returns
+    * silently; those schemes are rejected loudly here. Run store
+    * maintenance against HDFS (or any FS with atomic create) — which is
+    * also the only class of FS whose `rename` gives the fail-stop swap
+    * its atomicity. */
+  private val NonAtomicCreateSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "wasb", "wasbs")
+
   def acquireLease(fs: org.apache.hadoop.fs.FileSystem, dir: String): Path = {
+    require(!NonAtomicCreateSchemes.contains(fs.getScheme),
+      s"store maintenance lease is unsound on '${fs.getScheme}' (object-store create " +
+        "is not atomic — two maintainers could both win the marker); run maintenance " +
+        "against HDFS or another filesystem with atomic create/rename")
     val lock = new Path(dir.stripSuffix("/") + "__maintenance_lock")
     require(fs.createNewFile(lock),
       s"maintenance lease $lock already held — another fold/retrain is live on $dir, " +
@@ -125,23 +151,55 @@ object Compaction {
     * instead of serving a half-swapped store — and the next fold call
     * restores the intact pre-fold copy from `__folded_old` before doing
     * anything else; the old delete-then-rename left the same missing-dir
-    * window with no recovery path). */
+    * window with no recovery path).
+    *
+    * `lockDir` is the lease target (default: `dir` itself). Store
+    * operators whose root has OTHER maintainers (a retrain that renames
+    * the whole root) must pass the STORE ROOT here so all maintenance on
+    * the store contends on one marker — see [[acquireLease]].
+    *
+    * `transform` rewrites the folded frame before it lands (default:
+    * identity) — the hook delete-aware folds purge tombstoned rows
+    * through ([[IncrementalIvfPq.compactIndex]]). Returns TRUE iff the
+    * swap actually happened (an empty store — before OR after the
+    * transform — is a no-op and returns false), so a caller with
+    * post-fold bookkeeping (tombstone truncation) knows whether its
+    * transform was applied. */
   def foldIngestBatches(spark: SparkSession, dir: String,
                         innerPartCols: Seq[String], rangeCols: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None,
-                        targetBytes: Long = 128L << 20): Unit = {
+                        targetBytes: Long = 128L << 20,
+                        lockDir: Option[String] = None,
+                        transform: DataFrame => DataFrame = identity): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = acquireLease(fs, dir)
-    try foldLocked(spark, dir, innerPartCols, rangeCols, schema, targetBytes, p, fs)
+    val lock = acquireLease(fs, lockDir.getOrElse(dir))
+    try foldLocked(spark, dir, innerPartCols, rangeCols, schema, targetBytes, p, fs, transform)
     finally { fs.delete(lock, false); () }
+  }
+
+  /** [[foldIngestBatches]] WITHOUT lease acquisition — for a caller that
+    * already holds the STORE-ROOT lease across several sub-directory
+    * folds (e.g. [[IncrementalDedup.compactStore]] folding `bands/`,
+    * `sets/` and `edges/` as one maintenance pass: per-fold leases would
+    * let another maintainer interleave between the folds). Callers MUST
+    * hold a [[acquireLease]] on the store root for the duration. */
+  def foldIngestBatchesLeased(spark: SparkSession, dir: String,
+                              innerPartCols: Seq[String], rangeCols: Seq[String],
+                              schema: Option[org.apache.spark.sql.types.StructType] = None,
+                              targetBytes: Long = 128L << 20,
+                              transform: DataFrame => DataFrame = identity): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldLocked(spark, dir, innerPartCols, rangeCols, schema, targetBytes, p, fs, transform)
   }
 
   private def foldLocked(spark: SparkSession, dir: String,
                          innerPartCols: Seq[String], rangeCols: Seq[String],
                          schema: Option[org.apache.spark.sql.types.StructType],
                          targetBytes: Long, p: Path,
-                         fs: org.apache.hadoop.fs.FileSystem): Unit = {
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         transform: DataFrame => DataFrame): Boolean = {
     val old = new Path(dir.stripSuffix("/") + "__folded_old")
     // crash recovery: a previous fold died between its two renames
     // (store missing, pre-fold copy parked) — restore, then proceed
@@ -149,14 +207,18 @@ object Compaction {
       require(fs.rename(old, p), s"fold recovery rename $old -> $p failed")
     else if (fs.exists(old)) fs.delete(old, true) // died after rename 2
     val bytes = treeBytes(spark, dir)
-    if (bytes == 0L) return
+    if (bytes == 0L) return false
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    val df = reader.parquet(dir).withColumn("ingest_batch", lit(-1L))
+    val df = transform(reader.parquet(dir).withColumn("ingest_batch", lit(-1L)))
     // zero-ROW guard for both branches: byte-counted part files can hold
     // only parquet footers (zero rows) — rewriting that to a bare dir
-    // breaks subsequent schema-less reads of the store
+    // breaks subsequent schema-less reads of the store. A transform that
+    // drops EVERY row (all vectors tombstoned) also lands here: the fold
+    // declines (returns false) rather than truncate the store to a bare
+    // dir — the caller must then keep its tombstones so reads stay
+    // filtered.
     val total = df.count()
-    if (total == 0L) return
+    if (total == 0L) return false
     val arranged =
       if (innerPartCols.nonEmpty) {
         // one write task per (inner value, salt): small inner values
@@ -195,7 +257,7 @@ object Compaction {
     require(fs.rename(p, old), s"fold swap rename $p -> $old failed")
     require(fs.rename(new Path(tmp), p), s"fold swap rename $tmp -> $p failed")
     fs.delete(old, true)
-    ()
+    true
   }
 
   /** Rewrite `dir` into ≈`targetBytes` parquet files. Returns the new

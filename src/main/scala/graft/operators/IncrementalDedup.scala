@@ -239,16 +239,25 @@ object IncrementalDedup {
     * firing post-compaction (spec-asserted). */
   def compactStore(spark: SparkSession, root: String,
                    targetBytes: Long = 128L << 20): Unit = {
-    Compaction.foldIngestBatches(spark, s"$root/bands",
-      innerPartCols = Seq("band_bucket"), rangeCols = Nil,
-      targetBytes = targetBytes)
-    Compaction.foldIngestBatches(spark, s"$root/sets",
-      innerPartCols = Nil, rangeCols = Seq("doc_id"),
-      targetBytes = targetBytes)
-    Compaction.foldIngestBatches(spark, s"$root/edges",
-      innerPartCols = Nil, rangeCols = Seq("doc_a"),
-      schema = Some(EdgesSchema),
-      targetBytes = targetBytes)
+    // one STORE-ROOT lease across all three folds: per-subdir leases would
+    // let another maintainer interleave between the folds (and would not
+    // contend with any future whole-root maintainer — the retrain lesson,
+    // see Compaction.acquireLease's granularity contract)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = Compaction.acquireLease(fs, root)
+    try {
+      Compaction.foldIngestBatchesLeased(spark, s"$root/bands",
+        innerPartCols = Seq("band_bucket"), rangeCols = Nil,
+        targetBytes = targetBytes)
+      Compaction.foldIngestBatchesLeased(spark, s"$root/sets",
+        innerPartCols = Nil, rangeCols = Seq("doc_id"),
+        targetBytes = targetBytes)
+      Compaction.foldIngestBatchesLeased(spark, s"$root/edges",
+        innerPartCols = Nil, rangeCols = Seq("doc_a"),
+        schema = Some(EdgesSchema),
+        targetBytes = targetBytes)
+    } finally { fs.delete(lock, false); () }
   }
 
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving

@@ -213,11 +213,15 @@ object IncrementalIvf {
   /** Index maintenance: fold every `ingest_batch=N` partition into the
     * base partition, keeping `cid` as the inner level (cell-targeted
     * reads stay file-pruned). Same safe-point contract as
-    * [[IncrementalDedup.compactStore]]. */
+    * [[IncrementalDedup.compactStore]]. The lease is taken on the STORE
+    * ROOT (not `root/index`) so the fold and [[retrain]] — which renames
+    * the whole root — contend on the same marker; a retrain can never
+    * rename the store away mid-fold. */
   def compactIndex(spark: SparkSession, root: String,
                    targetBytes: Long = 128L << 20): Unit =
     Compaction.foldIngestBatches(spark, s"$root/index",
-      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes)
+      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes,
+      lockDir = Some(root))
 
   /** IVF top-k cosine search over the maintained index with the frozen
     * quantizer: each probe ranks its `nprobe` nearest cells (broadcast

@@ -191,14 +191,54 @@ object IncrementalIvfPq {
   /** Fold the per-batch partitions into the base — [[Compaction
     * .foldIngestBatches]] under the same safe-point contract as the
     * dedup/IVF stores (call only with every folded batch's offset
-    * committed). The `cid` inner level survives the fold, so the
-    * inverted-list layout — probes pruning to their nprobe cells'
-    * directories — is preserved while the per-batch small files
-    * consolidate. */
+    * committed, ingest AND delete). The `cid` inner level survives the
+    * fold, so the inverted-list layout — probes pruning to their nprobe
+    * cells' directories — is preserved while the per-batch small files
+    * consolidate.
+    *
+    * DELETE-AWARE (the FAISS `remove_ids` physical analogue): the fold
+    * PURGES tombstoned vec_ids from the rewritten base partition and
+    * truncates the tombstone batches it applied — without this, deletes
+    * are forever: dead rows occupy the inverted lists (every probe scans
+    * them just to drop them post-anti-join) and the tombstone side of
+    * [[liveCodes]]' anti-join grows without bound on a churn-heavy
+    * store. The crash contract stays fail-stop/idempotent: tombstones
+    * truncate only AFTER the swap commits, so a crash between swap and
+    * truncation leaves tombstones that re-apply as a no-op (the ids are
+    * already gone) and truncate on the next fold. Tombstone batches are
+    * SNAPSHOT by directory listing before the purge — a delete recorded
+    * mid-fold (contract violation, but cheap to tolerate) is not
+    * truncated and stays visible to [[liveCodes]]. If the purge would
+    * empty the store entirely the fold declines (see
+    * [[Compaction.foldIngestBatches]]) and tombstones are kept, so
+    * reads remain filtered. */
   def compactIndex(spark: SparkSession, root: String,
-                   targetBytes: Long = 128L << 20): Unit =
-    Compaction.foldIngestBatches(spark, s"$root/codes",
-      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes)
+                   targetBytes: Long = 128L << 20): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs =
+      if (fs.exists(tomb))
+        fs.listStatus(tomb).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("delete_batch=")).map(_.getPath)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    val purge: DataFrame => DataFrame =
+      if (batchDirs.isEmpty) identity
+      else {
+        val dead = spark.read.parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
+          .select("vec_id").distinct()
+        df => df.join(dead, Seq("vec_id"), "left_anti")
+      }
+    val folded = Compaction.foldIngestBatches(spark, s"$root/codes",
+      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes,
+      lockDir = Some(root), transform = purge)
+    if (folded && batchDirs.nonEmpty) {
+      batchDirs.foreach(fs.delete(_, true))
+      // remove the dir itself when no new delete batch arrived mid-fold,
+      // so liveCodes' existence check skips the anti-join entirely
+      if (fs.listStatus(tomb).isEmpty) fs.delete(tomb, true)
+      ()
+    }
+  }
 
   /** Codec advisor — the measured recall ladder's conclusion as a
     * decision procedure. The ladder (BASELINE.md §"Structured-corpus
@@ -212,8 +252,21 @@ object IncrementalIvfPq {
     * "residual" past `threshold`, else "sq8". Cost = one k-means fit
     * plus two broadcast-assign passes over the sample — run it on the
     * same sample `writeIndex` would train on. */
+  /** Default explained-variance cut for [[recommendCodec]] — from the
+    * measured ladder: the clustered corpus (where residual-PQ wins) sits
+    * far above it, the isotropic one (where SQ8 wins) far below. */
+  val CodecThreshold = 0.2
+
   def recommendCodec(sample: DataFrame, k: Int = -1, iters: Int = 2,
-                     threshold: Double = 0.2): String = {
+                     threshold: Double = CodecThreshold): String =
+    if (explainedVariance(sample, k, iters) >= threshold) "residual" else "sq8"
+
+  /** The advisor's measured statistic on its own:
+    * `1 − E‖x − c(x)‖² / E‖x − mean‖²` — the fraction of the sample's
+    * variance the coarse quantizer explains (≈0 on isotropic corpora,
+    * high on clustered ones). Exposed separately so the q137 oracle
+    * query can gate the NUMBER, not just the threshold comparison. */
+  def explainedVariance(sample: DataFrame, k: Int = -1, iters: Int = 2): Double = {
     val spark = sample.sparkSession
     val n = sample.count()
     val kk = if (k > 0) k else IncrementalIvf.kFor(n)
@@ -235,8 +288,7 @@ object IncrementalIvfPq {
             org.apache.spark.sql.types.DoubleType)))))
     val totVar = graft.ml.KMeans.assign(sample, one)
       .agg(avg("dist_sq")).first().getDouble(0)
-    val explained = if (totVar <= 0.0) 0.0 else 1.0 - resVar / totVar
-    if (explained >= threshold) "residual" else "sq8"
+    if (totVar <= 0.0) 0.0 else 1.0 - resVar / totVar
   }
 
   /** The maintained compressed index, tombstones NOT applied — the raw
@@ -266,7 +318,10 @@ object IncrementalIvfPq {
     * build), so the q124/q126/q127 plans — and their parity hashes — are
     * untouched. With tombstones present this is one left-anti equi-join
     * on vec_id: linear, and AQE broadcasts the (typically tiny) tombstone
-    * side at runtime. */
+    * side at runtime. Neither side grows without bound: [[compactIndex]]
+    * physically purges tombstoned rows from the lists and truncates the
+    * applied tombstone batches, so a long-lived churn-heavy store pays
+    * the anti-join only for deletes since its last compaction. */
   def liveCodes(spark: SparkSession, root: String): DataFrame = {
     val t = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -90,6 +90,10 @@ object ClusterParity {
           s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
         }
       spark.catalog.clearCache()
+      // fingerprint() fully evaluated the plan — release any BlockTopK
+      // probe broadcasts it captured (one leak per q92/q120-style query
+      // per run otherwise)
+      graft.ml.BlockTopK.releaseBroadcasts()
       out
     }
     val json = s"""{"master":"$master","sf":"$sfDir","queries":{${rows.mkString(",")}}}"""

@@ -128,6 +128,68 @@ class IncrementalIvfPqSpec extends SparkSpec {
       "tombstone view must equal a rebuild over the surviving corpus")
   }
 
+  test("delete-aware compaction: fold purges tombstoned rows and truncates applied tombstones") {
+    val root = tmpRoot("purge")
+    clean(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    IncrementalIvfPq.writeIndex(all.filter(col("vec_id") % 10 =!= 7), root, dim = 64, k = 8, iters = 2)
+    IncrementalIvfPq.ingestBatch(spark, root, all.filter(col("vec_id") % 10 === 7), batchId = 1L)
+    IncrementalIvfPq.deleteBatch(spark, root,
+      all.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+    def liveSet() = IncrementalIvfPq.liveCodes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    def res() = IncrementalIvfPq.search(spark, root,
+        all.filter(col("vec_id") % 9 =!= 4), nprobe = 2, topK = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3))).toSet
+    val (liveBefore, resBefore) = (liveSet(), res())
+    IncrementalIvfPq.compactIndex(spark, root)
+    // dead rows are physically GONE: the raw store now equals the live view
+    val rawAfter = IncrementalIvfPq.codes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(rawAfter == liveBefore, "purge must drop exactly the tombstoned rows")
+    // applied tombstones truncated — liveCodes no longer pays the anti-join
+    assert(!fs.exists(tomb), "applied tombstone batches must truncate after the swap commits")
+    assert(liveSet() == liveBefore && res() == resBefore,
+      "purge must not change the live view or search results")
+    // the cid inverted-list layout survives the delete-aware fold
+    val inner = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/codes/ingest_batch=-1"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(inner.nonEmpty && inner.forall(_.startsWith("cid=")), s"cid layout lost: $inner")
+    // crash-window idempotence: tombstones that survive a crash between
+    // swap and truncation re-apply as a no-op on the already-purged store
+    IncrementalIvfPq.deleteBatch(spark, root,
+      all.filter(col("vec_id") % 9 === 4).select("vec_id"), batchId = 1L)
+    assert(liveSet() == liveBefore)
+    IncrementalIvfPq.compactIndex(spark, root)
+    assert(!fs.exists(tomb) && liveSet() == liveBefore)
+    // churn continues: fresh ingest + a NEW delete after the purge
+    IncrementalIvfPq.deleteBatch(spark, root,
+      all.filter(col("vec_id") % 9 === 5).select("vec_id"), batchId = 2L)
+    IncrementalIvfPq.compactIndex(spark, root)
+    val live2 = liveSet()
+    assert(!fs.exists(tomb))
+    assert(live2 == liveBefore.filterNot { case (id, _, _) => id % 9 == 5 })
+  }
+
+  test("purge declines when it would empty the store: tombstones kept, reads stay filtered") {
+    val root = tmpRoot("purgeAll")
+    clean(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val small = all.filter(col("vec_id") % 50 === 0)
+    IncrementalIvfPq.writeIndex(small, root, dim = 64, k = 4, iters = 1)
+    val rawBefore = IncrementalIvfPq.codes(spark, root).count()
+    assert(rawBefore > 0)
+    IncrementalIvfPq.deleteBatch(spark, root, small.select("vec_id"), batchId = 1L)
+    IncrementalIvfPq.compactIndex(spark, root)
+    // the fold declined (would truncate the store to a bare dir), so the
+    // tombstones MUST survive — otherwise deleted rows would resurrect
+    assert(fs.exists(tomb), "declined purge must keep its tombstones")
+    assert(IncrementalIvfPq.codes(spark, root).count() == rawBefore)
+    assert(IncrementalIvfPq.liveCodes(spark, root).count() == 0)
+  }
+
   test("searchRefined: exact re-rank of the ADC shortlist, refine-equals-brute-force") {
     val root = tmpRoot("refine")
     clean(root)

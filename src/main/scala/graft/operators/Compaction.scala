@@ -260,6 +260,42 @@ object Compaction {
     true
   }
 
+  /** SINGLE-RENAME batch commit — the reader-consistency primitive the
+    * incremental stores ingest through: stage `df` as a sibling of
+    * `table` (`table__staging_<batchId>`, partitioned by
+    * `innerPartCols`; the batch level itself comes from the committed
+    * directory name, so the on-disk layout matches a
+    * `partitionBy(partCol, innerPartCols…)` write exactly), then commit
+    * with ONE atomic rename to `table/<partCol>=<batchId>`. A reader
+    * listing the table concurrently sees the whole batch or none of it;
+    * the dynamic-partition-overwrite commit this replaces renamed one
+    * staged dir per (batch, innerValue) pair, exposing torn subsets of
+    * a batch mid-commit (ConcurrentIngestSpec drives the guarantee).
+    *
+    * Replays replace their own batch: an existing target is deleted
+    * before the rename (a concurrent reader may transiently miss the
+    * REPLAYED batch — pre-replay rows, never a mix — until the commit
+    * restores it). A crash mid-stage leaves only the staging sibling,
+    * which the next attempt deletes before writing; a crash between
+    * delete and rename re-runs under at-least-once delivery. */
+  def commitBatch(spark: SparkSession, table: String, df: DataFrame,
+                  partCol: String, batchId: Long,
+                  innerPartCols: Seq[String] = Nil): Unit = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(s"${table.stripSuffix("/")}__staging_$batchId")
+    val target = new Path(s"${table.stripSuffix("/")}/$partCol=$batchId")
+    if (fs.exists(staged)) fs.delete(staged, true) // crashed prior attempt
+    val w = df.write.mode("overwrite")
+    (if (innerPartCols.nonEmpty) w.partitionBy(innerPartCols: _*) else w)
+      .parquet(staged.toString)
+    if (!fs.exists(p)) fs.mkdirs(p) // first batch of a fresh table
+    if (fs.exists(target)) fs.delete(target, true) // replay replaces its batch
+    require(fs.rename(staged, target),
+      s"batch commit rename $staged -> $target failed")
+    ()
+  }
+
   /** Rewrite `dir` into ≈`targetBytes` parquet files. Returns the new
     * file count. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,

@@ -74,17 +74,24 @@ object IncrementalDedup {
     * store under `ingest_batch=<id>`. */
   def ingestBatch(spark: SparkSession, root: String, pairsOut: String,
                   batch: DataFrame, batchId: Long): Unit = {
-    dedupeDelta(spark, root, batch)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(pairsOut)
+    // each table commits its batch by ONE atomic rename
+    // (Compaction.commitBatch — readers see a batch entirely or not at
+    // all, never a torn subset of its band_bucket dirs). CROSS-TABLE
+    // the commit order is pairs → bands → sets: a reader that catches
+    // the store between two of these renames sees the batch's bands
+    // without its sets (or neither) — for the dedup candidate path both
+    // states degrade to "batch absent" (candidates need bands AND the
+    // exact-rerank needs sets; an inner join drops half-present docs),
+    // never to wrong pairs. Per-table atomicity is the contract;
+    // cross-table snapshot isolation would need a manifest layer.
+    Compaction.commitBatch(spark, pairsOut,
+      dedupeDelta(spark, root, batch), "batch_id", batchId)
     val sigs = TextQueries.minHashSignatures(spark, batch).persist()
-    withBucket(TextQueries.bandRows(sigs)).withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "band_bucket").parquet(s"$root/bands")
-    sigs.select("doc_id", "sh_set").withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(s"$root/sets")
+    Compaction.commitBatch(spark, s"$root/bands",
+      withBucket(TextQueries.bandRows(sigs)),
+      "ingest_batch", batchId, innerPartCols = Seq("band_bucket"))
+    Compaction.commitBatch(spark, s"$root/sets",
+      sigs.select("doc_id", "sh_set"), "ingest_batch", batchId)
     sigs.unpersist()
     ()
   }
@@ -188,16 +195,15 @@ object IncrementalDedup {
                            batch: DataFrame, batchId: Long,
                            threshold: Double = EdgeThreshold): Unit = {
     ingestBatch(spark, root, pairsOut, batch, batchId)
-    spark.read.schema(PairsSchema).parquet(pairsOut)
-      .filter(col("batch_id") === batchId)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .withColumn("ingest_batch", lit(batchId))
-      // no coalesce: the write inherits the just-written pairs partition's
-      // file parallelism — one task for a small micro-batch, many for a
-      // bulk backfill batch, with no single-task funnel either way
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(s"$root/edges")
+    // no coalesce: the write inherits the just-written pairs partition's
+    // file parallelism — one task for a small micro-batch, many for a
+    // bulk backfill batch, with no single-task funnel either way
+    Compaction.commitBatch(spark, s"$root/edges",
+      spark.read.schema(PairsSchema).parquet(pairsOut)
+        .filter(col("batch_id") === batchId)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b")),
+      "ingest_batch", batchId)
     ()
   }
 

@@ -98,19 +98,22 @@ object IncrementalIvf {
       .select("vec_id", "embedding", "nrm", "cid")
 
   /** Ingest one delta batch IDEMPOTENTLY and WITHOUT retraining: assign
-    * the delta to the frozen quantizer's cells and dynamic-overwrite
-    * exactly this batch's partitions — an at-least-once replay replaces
-    * its own rows instead of appending a second copy. Cost per ingest:
-    * O(|delta| · k) distance evaluations + a delta-sized write; the
-    * existing index is never read, shuffled, or rewritten. */
+    * the delta to the frozen quantizer's cells and replace exactly this
+    * batch's partition — an at-least-once replay replaces its own rows
+    * instead of appending a second copy. Cost per ingest: O(|delta| · k)
+    * distance evaluations + a delta-sized write; the existing index is
+    * never read, shuffled, or rewritten.
+    *
+    * Commits by [[IncrementalIvfPq.ingestBatch]]'s single-rename
+    * protocol (stage `index__staging_N` partitioned by cid, one atomic
+    * rename into `index/ingest_batch=N`): concurrent readers see the
+    * batch entirely or not at all — never a torn subset of its cid
+    * directories. Same replay/crash windows as documented there. */
   def ingestBatch(spark: SparkSession, root: String, delta: DataFrame,
-                  batchId: Long): Unit = {
-    assignTo(delta, centroids(spark, root))
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cid").parquet(s"$root/index")
-    ()
-  }
+                  batchId: Long): Unit =
+    Compaction.commitBatch(spark, s"$root/index",
+      assignTo(delta, centroids(spark, root)),
+      "ingest_batch", batchId, innerPartCols = Seq("cid"))
 
   /** The maintained inverted index: every ingested vector with its cell. */
   def index(spark: SparkSession, root: String): DataFrame =

@@ -179,14 +179,28 @@ object IncrementalIvfPq {
 
   /** Ingest one delta batch idempotently, retraining NOTHING: both
     * quantizers stay frozen, the delta encodes to (cid, codes) and
-    * dynamic-overwrites exactly its own batch partition. */
+    * replaces exactly its own batch partition.
+    *
+    * READER-CONSISTENCY CONTRACT (single-rename commit): the batch is
+    * staged as a SIBLING directory (`codes__staging_N`, partitioned by
+    * cid — the ingest_batch level comes from the committed directory
+    * name, so the on-disk layout is unchanged) and committed by ONE
+    * atomic rename into `codes/ingest_batch=N`. A search that lists the
+    * store concurrently therefore sees the batch entirely or not at all
+    * — never a torn subset of its cid partitions, which the previous
+    * dynamic-partition-overwrite commit (one rename per (batch, cid)
+    * dir) could expose mid-commit. Proven by ConcurrentIngestSpec:
+    * every count observed during a live ingest stream lands exactly on
+    * a batch boundary. Residual windows, both bounded and recovered:
+    * a REPLAY of an already-visible batch deletes the old copy before
+    * renaming the new one in (a concurrent reader may transiently miss
+    * that batch — the pre-replay rows, not a mix; the replayed commit
+    * restores them), and a crash mid-stage leaves only the staging
+    * sibling, cleaned up by the next attempt before it writes. */
   def ingestBatch(spark: SparkSession, root: String, delta: DataFrame,
-                  batchId: Long): Unit = {
-    encodeTo(delta, root).withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cid").parquet(s"$root/codes")
-    ()
-  }
+                  batchId: Long): Unit =
+    Compaction.commitBatch(spark, s"$root/codes", encodeTo(delta, root),
+      "ingest_batch", batchId, innerPartCols = Seq("cid"))
 
   /** Fold the per-batch partitions into the base — [[Compaction
     * .foldIngestBatches]] under the same safe-point contract as the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -670,18 +670,20 @@ object EmbeddingQueries {
     * in `c2` (the trained centroid table) — the oracle twin of
     * [[ivfProbeRerank]]; shared by q89 (full-fit chain) and q118
     * (sampled corpus-derived chain). */
-  private def ivfSearchSqlOver(trainCtes: String): String = {
+  private def ivfSearchSqlOver(trainCtes: String,
+                               corpusSrc: String = "embeddings",
+                               headCtes: String = ""): String = {
     val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
     val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH $trainCtes,
+    s"""WITH $headCtes$trainCtes,
        |rk AS (
        |  SELECT vec_id, embedding, cid, rn FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY $dist ASC, c.cid ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c2 c
+       |    FROM $corpusSrc e CROSS JOIN c2 c
        |  ) WHERE rn <= 2
        |),
        |sims AS (
@@ -1557,7 +1559,14 @@ object EmbeddingQueries {
     * whole coarse chain per reference) moves AHEAD of the codebook
     * chains so `resf` (residuals) can be their training/encode source,
     * and reconstruction re-adds the cell centroid (`rcf`). */
-  val q125IvfPqResidualSql: String = {
+  val q125IvfPqResidualSql: String = ivfPqResidualFullSql("embeddings")
+
+  /** The q125 oracle body over a pluggable corpus relation — q138 reuses
+    * it verbatim over the structured-mixture corpus (`corpusSrc` =
+    * `emb_struct`, defined in `headCtes`); with the defaults the emitted
+    * string is exactly q125's. */
+  private def ivfPqResidualFullSql(corpusSrc: String,
+                                   headCtes: String = ""): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
@@ -1577,14 +1586,14 @@ object EmbeddingQueries {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $kmeansTrainSqlCtes,
-       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM embeddings),
+    s"""WITH $headCtes${kmeansTrainSqlCtesOver(corpusSrc)},
+       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM $corpusSrc),
        |rk AS MATERIALIZED (
        |  SELECT vec_id, embedding, cid, rn FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c2 c
+       |    FROM $corpusSrc e CROSS JOIN c2 c
        |  ) WHERE rn <= 2
        |),
        |resf AS MATERIALIZED (
@@ -2039,6 +2048,251 @@ object EmbeddingQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
+  /** q137: the CODEC ADVISOR under the oracle gate — [[graft.operators
+    * .IncrementalIvfPq.recommendCodec]]'s full decision procedure as a
+    * driver-checked query, so the number that steers the whole codec
+    * ladder (which compression a 100 TB store should deploy) is itself
+    * hash-proven, not just spec-asserted. The procedure is exactly the
+    * advisor's contract run on the sample `writeIndex` would train on:
+    * the deterministic 1-in-4 multiplicative-hash sample, coarse
+    * k = `kFor(|sample|)` (√N of the SAMPLE — recommendCodec's own
+    * default for the frame it is handed), two Lloyd rounds, then
+    * `explained = 1 − E‖x − c(x)‖² / E‖x − mean‖²` over the sample.
+    * Output: (explained_bp = round(explained·10⁴) — basis points, an
+    * integer so cross-engine double-summation wobble (~1e-12 relative)
+    * cannot surface in the hash — and the codec decision at
+    * [[graft.operators.IncrementalIvfPq.CodecThreshold]]). The DuckDB
+    * oracle replays the sampled training (the q118 CTE recipe with k
+    * derived from the sample), the nearest-centroid residual variance,
+    * the per-dimension mean vector, and the same threshold. */
+  def q137CodecAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val smp = e.filter(
+      pmod(pmod(col("vec_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)) % 4 === 0)
+    val ev = graft.operators.IncrementalIvfPq.explainedVariance(smp, iters = SemKIters)
+    val codec =
+      if (ev >= graft.operators.IncrementalIvfPq.CodecThreshold) "residual" else "sq8"
+    import spark.implicits._
+    Seq((math.round(ev * 10000), codec)).toDF("explained_bp", "codec")
+  }
+
+  val q137CodecAdvisorSql: String = {
+    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val mdist = VecFns.ddbL2DistSq("e.embedding", "g.centroid", Dim)
+    s"""WITH smp AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM smp),
+       |${kmeansTrainSqlCtesOver("smp", kLimit = "(SELECT k FROM kv)")},
+       |asg AS (
+       |  SELECT vec_id, dist FROM (
+       |    SELECT e.vec_id, $dist AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dist ASC, c.cid ASC) AS rn
+       |    FROM smp e CROSS JOIN c2 c
+       |  ) WHERE rn = 1
+       |),
+       |rv AS (SELECT avg(dist) AS v FROM asg),
+       |gm AS (
+       |  SELECT list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT pos, avg(x) AS cx FROM (
+       |      SELECT unnest(embedding)::DOUBLE AS x,
+       |             generate_subscripts(embedding, 1) AS pos FROM smp)
+       |    GROUP BY pos)
+       |),
+       |tv AS (SELECT avg($mdist) AS v FROM smp e CROSS JOIN gm g)
+       |SELECT CAST(round((1.0 - rv.v / tv.v) * 10000, 0) AS BIGINT) AS explained_bp,
+       |  CASE WHEN (1.0 - rv.v / tv.v) >= 0.2 THEN 'residual' ELSE 'sq8' END AS codec
+       |FROM rv, tv""".stripMargin
+  }
+
+  /** Deterministic structured-mixture corpus — the measured recall
+    * ladder's clustered test case (tools.PqRecallProbe `structured`
+    * mode), derived from the SAME testdata rows: cluster = vec_id mod
+    * 32, center = a fixed multiplicative hash of (cluster, dim) scaled
+    * to [−1, 1], vector = 0.7·center + 0.3·original — the
+    * mixture-of-Gaussians shape real embedding encoders produce (the
+    * testdata embeddings themselves are isotropic: PQ's worst case).
+    * The hash is `((c·dim + d) · 2654435761) mod 2000001` — plain
+    * 64-bit integer arithmetic, bit-identical in Spark and DuckDB (the
+    * probe's original xxhash64 had no cross-engine twin, which is what
+    * kept this corpus out of the oracle gate until now). */
+  private def mixtureCorpus(e0: DataFrame, cluster: Column): DataFrame =
+    e0.withColumn("c", cluster)
+      .withColumn("embedding", transform(col("embedding"), (x, d) =>
+        (lit(0.7) * (pmod((col("c") * Dim + d.cast("long")) * lit(2654435761L),
+            lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))
+          + lit(0.3) * x).cast("float")))
+      .select("vec_id", "embedding")
+
+  private[graft] def structuredCorpus(e0: DataFrame): DataFrame =
+    mixtureCorpus(e0, pmod(col("vec_id"), lit(32L)))
+
+  /** [[structuredCorpus]] with a HOT cell: cluster 0 (vec_id % 5 == 0
+    * collapsed in, ≈22% of the corpus incl. its uniform share) carries
+    * NO noise — every cluster-0 vector IS the center, exactly. This is
+    * the duplicate-heavy shape web-scale corpora actually have (boiler-
+    * plate pages, repeated templates), and it is the hot-cell case
+    * training cannot dissolve: a noisy dense region attracts several
+    * centroids and k-means splits it (measured — a 0.7/0.3 hot mixture
+    * trained to a max cell share of only 7%), but exact duplicates all
+    * land in ONE cell by the deterministic (dist, cid) tiebreak no
+    * matter how many centroids sit on the point (the extra seeds go
+    * member-less). The result: the search's cid equi-join sees a real
+    * hot key — the q139/AnnSkewGateSpec corpus. */
+  private[graft] def hotCellCorpus(e0: DataFrame): DataFrame = {
+    val cluster = when(pmod(col("vec_id"), lit(5L)) === 0L, lit(0L))
+      .otherwise(pmod(col("vec_id"), lit(32L)))
+    e0.withColumn("c", cluster)
+      .withColumn("embedding", transform(col("embedding"), (x, d) => {
+        val center = pmod((col("c") * Dim + d.cast("long")) * lit(2654435761L),
+          lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0)
+        when(col("c") === 0L, center.cast("float"))
+          .otherwise((lit(0.7) * center + lit(0.3) * x).cast("float"))
+      }))
+      .select("vec_id", "embedding")
+  }
+
+  /** The mixture CTE twin of [[mixtureCorpus]] (same ops, same
+    * parenthesization — double arithmetic is IEEE-deterministic given
+    * the same tree, and the final FLOAT cast rounds identically).
+    * `clusterSql` is the cluster-id expression over `vec_id`. */
+  private def mixtureCorpusCte(name: String, clusterSql: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range($Dim), d ->
+       |      CAST(0.7 * (((((($clusterSql) * $Dim + d) * 2654435761) % 2000001)::DOUBLE / 1000000.0) - 1.0)
+       |           + 0.3 * embedding[d+1]::DOUBLE AS FLOAT)) AS embedding
+       |  FROM embeddings
+       |)""".stripMargin
+
+  private val structuredCorpusCte: String =
+    mixtureCorpusCte("emb_struct", "vec_id % 32")
+
+  /** CTE twin of [[hotCellCorpus]] — cluster-0 rows are the exact
+    * center (the pure-hash branch), others the 0.7/0.3 mixture; same
+    * expression trees as the Spark side. */
+  private val hotCellCorpusCte: String = {
+    val cSql = "CASE WHEN vec_id % 5 = 0 THEN 0 ELSE vec_id % 32 END"
+    s"""emb_hot AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range($Dim), d ->
+       |      CASE WHEN ($cSql) = 0
+       |        THEN CAST((((($cSql) * $Dim + d) * 2654435761) % 2000001)::DOUBLE / 1000000.0 - 1.0 AS FLOAT)
+       |        ELSE CAST(0.7 * ((((($cSql) * $Dim + d) * 2654435761) % 2000001)::DOUBLE / 1000000.0 - 1.0)
+       |             + 0.3 * embedding[d+1]::DOUBLE AS FLOAT) END) AS embedding
+       |  FROM embeddings
+       |)""".stripMargin
+  }
+
+  /** q138: RESIDUAL IVF-PQ ON THE STRUCTURED CORPUS — the query that
+    * puts the recall ladder's HEADLINE ("residual-PQ triples raw-PQ's
+    * recall on clustered corpora — the case IVF-PQ exists for") under
+    * the driver gate: until now that claim lived in tools.PqRecallProbe,
+    * outside the oracle. The corpus is the pinned deterministic
+    * mixture ([[structuredCorpus]]); the pipeline is q125's exactly —
+    * full-corpus coarse training (k = SemK, matching the probe's 32
+    * clusters), residual codebooks on the 1-in-4 sample, encode, cid
+    * equi-join probe, LUT reconstruction + centroid re-add, ADC top-3.
+    * The DuckDB oracle replays q125's whole replay over the same
+    * generated corpus — so both the generator AND the codec pipeline
+    * are hash-proven end-to-end, and the ladder's structured numbers
+    * (BASELINE.md) now reproduce from a gated query. */
+  private val pqrStructRoots = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private def pqrStructStore(spark: SparkSession, dir: String): (String, String, String) =
+    pqrStructRoots.computeIfAbsent(dir, { d =>
+      val rk = graft.core.StorePaths.root("structcents", d)
+      val rb = graft.core.StorePaths.root("pqrsbook", d)
+      val rc = graft.core.StorePaths.root("pqrscodes", d)
+      val e = structuredCorpus(Tables.embeddings(spark, d).select("vec_id", "embedding"))
+      val (cents0, _) = graft.ml.KMeans.fit(e, SemK, SemKIters)
+      cents0.coalesce(1).write.mode("overwrite").parquet(rk)
+      cents0.unpersist()
+      val cents = spark.read.parquet(rk)
+      val asg = graft.ml.KMeans.assign(e, cents).select(col("vec_id"), col("cid"))
+      val res = e.join(asg, Seq("vec_id"))
+        .join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => x.cast("double") - c).as("embedding"))
+      val ks = graft.ml.ProductQuantizer.ksFor(e.count())
+      graft.ml.ProductQuantizer
+        .train(res.select("vec_id", "embedding"), Dim, PqM, ks, SemKIters, denom = 4)
+        .coalesce(1).write.mode("overwrite").parquet(rb)
+      val book = spark.read.parquet(rb)
+      graft.ml.ProductQuantizer.encode(res.select("vec_id", "embedding"), book, Dim, PqM)
+        .join(res.select("vec_id", "cid"), Seq("vec_id"))
+        .write.mode("overwrite").parquet(rc)
+      (rk, rb, rc)
+    })
+
+  def q138IvfPqStructured(spark: SparkSession, dir: String): DataFrame = {
+    val (rk, rb, rc) = pqrStructStore(spark, dir)
+    val book = spark.read.parquet(rb)
+    val cents = spark.read.parquet(rk)
+    val dec = graft.ml.ProductQuantizer.decodeExpr(spark, book, PqM)
+    val cand = spark.read.parquet(rc)
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("recon", zip_with(col("centroid"), dec(col("codes")), (c, r) => c + r))
+      .withColumn("rnrm", NativeVecFns.norm(spark, col("recon")))
+      .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
+    ivfRanked(structuredCorpus(Tables.embeddings(spark, dir)), cents, nprobe = 2)
+      .select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(cand, Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("recon")) / (col("a_nrm") * col("rnrm")))
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id").as("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("t.score"), 4).as("adc_sim"))
+  }
+
+  val q138IvfPqStructuredSql: String =
+    ivfPqResidualFullSql("emb_struct", headCtes = structuredCorpusCte + ",\n")
+
+  /** q139: ANN SEARCH UNDER A HOT CELL — the skew twin for the ANN tier
+    * (the q115/q116 treatment): real clustered corpora have Zipf cell
+    * occupancy, and a cell holding ~20% of the vectors turns the search's
+    * cid equi-join into exactly the hot-key shuffle q116 guards against —
+    * both join sides carry the hot cid, so the naive layout funnels
+    * ~hot² candidate pairs through one task. The corpus is the pinned
+    * deterministic mixture with vec_id % 5 collapsed into cluster 0
+    * ([[hotCellCorpus]]); training (k = SemK full fit) and search
+    * (nprobe = 2, top-3) are q89's exactly, so the oracle replays the
+    * same chain over the hot corpus. Correctness is the gate here;
+    * the SKEW evidence lives in AnnSkewGateSpec (measured per-task
+    * shares on this very join + the AQE skew-split plan assertion) and
+    * the per-round bench row. */
+  private val hotCentStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hotCellCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val root = hotCentStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("hotcents", d)
+      val vecs = hotCellCorpus(Tables.embeddings(spark, d).select("vec_id", "embedding"))
+      val (cents, _) = graft.ml.KMeans.fit(vecs, SemK, SemKIters)
+      cents.coalesce(1).write.mode("overwrite").parquet(r)
+      cents.unpersist()
+      r
+    })
+    spark.read.parquet(root)
+  }
+
+  def q139AnnHotCell(spark: SparkSession, dir: String): DataFrame = {
+    val e = hotCellCorpus(Tables.embeddings(spark, dir).select("vec_id", "embedding"))
+    ivfProbeRerank(spark,
+      ivfRanked(e, hotCellCentroids(spark, dir), nprobe = 2).persist())
+  }
+
+  val q139AnnHotCellSql: String =
+    ivfSearchSqlOver(kmeansTrainSqlCtesOver("emb_hot"),
+      corpusSrc = "emb_hot", headCtes = hotCellCorpusCte + ",\n")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
@@ -2067,7 +2321,10 @@ object EmbeddingQueries {
     "q132_ivfpq_filtered" -> (q132IvfPqFiltered _),
     "q133_ivfpq_production" -> (q133IvfPqProduction _),
     "q135_ivfsq8_incremental" -> (q135IvfSq8Incremental _),
-    "q136_ivfsq8_scaled" -> (q136IvfSq8Scaled _)
+    "q136_ivfsq8_scaled" -> (q136IvfSq8Scaled _),
+    "q137_codec_advisor" -> (q137CodecAdvisor _),
+    "q138_ivfpq_structured" -> (q138IvfPqStructured _),
+    "q139_ann_hot_cell" -> (q139AnnHotCell _)
   )
 
   def sql: Map[String, String] = Map(
@@ -2098,6 +2355,9 @@ object EmbeddingQueries {
     "q132_ivfpq_filtered" -> q132IvfPqFilteredSql,
     "q133_ivfpq_production" -> q133IvfPqProductionSql,
     "q135_ivfsq8_incremental" -> q135IvfSq8IncrementalSql,
-    "q136_ivfsq8_scaled" -> q136IvfSq8ScaledSql
+    "q136_ivfsq8_scaled" -> q136IvfSq8ScaledSql,
+    "q137_codec_advisor" -> q137CodecAdvisorSql,
+    "q138_ivfpq_structured" -> q138IvfPqStructuredSql,
+    "q139_ann_hot_cell" -> q139AnnHotCellSql
   )
 }

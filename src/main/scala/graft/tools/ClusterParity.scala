@@ -70,6 +70,22 @@ object ClusterParity {
     sys.env.get("SPARK_GRAFT_JAR").foreach(j => b = b.config("spark.jars", j))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill accounting for the memory-pressure gate: the sf10 small-
+    // executor runs must PROVE the spill regime engaged (spilledBytes >
+    // 0) while hashes stay identical — a "spill parity" claim without
+    // this number would be unfalsifiable
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled)
+          diskSpilled.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
     graft.core.Tables.lineitem(spark, sfDir).limit(1).count() // JVM/exec warm-up
     val queries = graft.SparkEntry.queries
     // an explicit regex selects from the FULL query inventory (so any
@@ -80,11 +96,13 @@ object ClusterParity {
     }
     val rows = names.map { name =>
       val t0 = System.nanoTime()
+      val sp0 = memSpilled.get() + diskSpilled.get()
       val out =
         try {
           val (h, n) = fingerprint(queries(name)(spark, sfDir))
           val dt = (System.nanoTime() - t0) / 1e9
-          s""""$name":{"hash":"$h","rows":$n,"sec":${f"$dt%.3f"}}"""
+          val sp = memSpilled.get() + diskSpilled.get() - sp0
+          s""""$name":{"hash":"$h","rows":$n,"sec":${f"$dt%.3f"},"spilledBytes":$sp}"""
         } catch { case e: Throwable =>
           System.err.println(s"[parity] $name failed: ${e.getMessage}")
           s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
@@ -96,7 +114,7 @@ object ClusterParity {
       graft.ml.BlockTopK.releaseBroadcasts()
       out
     }
-    val json = s"""{"master":"$master","sf":"$sfDir","queries":{${rows.mkString(",")}}}"""
+    val json = s"""{"master":"$master","sf":"$sfDir","memSpilledBytes":${memSpilled.get()},"diskSpilledBytes":${diskSpilled.get()},"queries":{${rows.mkString(",")}}}"""
     val w = new java.io.PrintWriter(outJson)
     try w.println(json) finally w.close()
     println(json)

@@ -43,14 +43,11 @@ object PqRecallProbe {
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     val e0 = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val e = if (!structured) e0 else
-      // deterministic mixture-of-clusters: 70% synthetic center (a fixed
-      // xxhash64 of (cluster, dim) scaled to [-1, 1]), 30% original noise
-      e0.withColumn("c", (col("vec_id") % 32).cast("int"))
-        .withColumn("embedding", transform(col("embedding"), (x, d) =>
-          (lit(0.7) * (pmod(xxhash64(col("c"), d), lit(2000001L)).cast("double")
-            / lit(1000000.0) - lit(1.0)) + lit(0.3) * x).cast("float")))
-        .select("vec_id", "embedding")
+    // the structured corpus is the SHARED pinned generator (also the
+    // q138 oracle query's corpus — cross-engine multiplicative hash, so
+    // the ladder rows and the gated query measure the same vectors)
+    val e = if (!structured) e0
+            else graft.queries.EmbeddingQueries.structuredCorpus(e0)
     val n = e.count()
 
     // exact ground truth (the honest O(N²) pass — a probe tool, not a query)

@@ -136,14 +136,31 @@ object PqRecallProbe {
       .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
         NativeVecFns.norm(spark, col("b_rep")).as("b_nrm"))
 
+    // OPQ (Ge 2013): learned-rotation PQ at the same 8 B/vector —
+    // encode in R's space, decode, rotate BACK so the shared ADC/top-3
+    // machinery scores in the original space unchanged
+    val (rMat, obook) = graft.ml.Opq.fit(e, 64, 8, ks, 2, sweeps = 3)
+    val odec = graft.ml.ProductQuantizer.decodeExpr(spark, obook, 8)
+    val oBack = graft.ml.Opq.rotateBack(
+      graft.ml.ProductQuantizer.encode(graft.ml.Opq.rotate(e, rMat), obook, 64, 8)
+        .withColumn("embedding", odec(col("codes")))
+        .select("vec_id", "embedding"),
+      rMat)
+    val opqSide = oBack
+      .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("cid"),
+        col("embedding").as("b_rep"),
+        NativeVecFns.norm(spark, col("embedding")).as("b_nrm"))
+
     val rFull = recallAt3(top3(fullSide), exact)
     val rSq8 = recallAt3(top3(sq8Side), exact)
     val rPq = recallAt3(top3(pqSide), exact)
     val rPqr = recallAt3(top3(pqrSide), exact)
+    val rOpq = recallAt3(top3(opqSide), exact)
     val rPqRef = recallAt3(refineTop3(pqSide), exact)
     val rPqrRef = recallAt3(refineTop3(pqrSide), exact)
     // bytes per vector: 64 floats / 64 byte-codes / 8 byte-codes
-    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"structured":$structured,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"recall_pq_refined":$rPqRef%.4f,"recall_pqr_refined":$rPqrRef%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
+    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"structured":$structured,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"recall_opq":$rOpq%.4f,"recall_pq_refined":$rPqRef%.4f,"recall_pqr_refined":$rPqrRef%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
     spark.stop()
   }
 }

@@ -46,7 +46,7 @@ object Bench {
       // the noop save above fully evaluated the plan, so any BlockTopK
       // probe broadcasts it captured are safe to destroy — without this,
       // every rep of q92/q120 leaks one probe broadcast on the executors
-      graft.ml.BlockTopK.releaseBroadcasts()
+      graft.ml.BlockTopK.releaseBroadcasts(spark)
       System.gc()
       if (ok) Some(dt) else None
     }

@@ -33,25 +33,52 @@ object BlockTopK {
     * shard's broadcast as soon as its pass is localCheckpoint'ed.
     * Repeated calls (bench reps, parity re-runs) would otherwise leak
     * one broadcast per call on the executors, so every such broadcast is
-    * REGISTERED here; [[releaseBroadcasts]] destroys and clears them.
-    * Call it ONLY at a boundary where every plan built from these entry
-    * points has been fully evaluated (end of a bench rep, end of a
-    * parity run) — evaluating such a plan afterwards fails loudly with a
-    * destroyed-broadcast error, never silently. */
-  private val liveBroadcasts =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
+    * REGISTERED here — keyed by the owning SparkContext's applicationId,
+    * so releasing one harness's broadcasts can never destroy a broadcast
+    * captured by an unrelated concurrent session's still-unevaluated
+    * plan. [[releaseBroadcasts]] destroys and clears one session's
+    * entries; call it ONLY at a boundary where every plan built from
+    * these entry points IN THAT SESSION has been fully evaluated (end of
+    * a bench rep, end of a parity run) — evaluating such a plan
+    * afterwards fails loudly with a destroyed-broadcast error, never
+    * silently. Within one session, concurrent threads still share a key
+    * (applicationId is per-context): the single-threaded-harness caveat
+    * continues to apply per session. */
+  private val liveBroadcasts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]]()
 
-  private def track[T](bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
-    liveBroadcasts.add(bc)
+  private def track[T](spark: org.apache.spark.sql.SparkSession,
+                       bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    liveBroadcasts
+      .computeIfAbsent(spark.sparkContext.applicationId,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]())
+      .add(bc)
     bc
   }
 
   /** Destroy every broadcast registered by [[cosineTopK]] /
-    * [[probeTopKCandidates]] since the last release (see
-    * [[liveBroadcasts]] for the safety contract). */
+    * [[probeTopKCandidates]] under `spark`'s context since the last
+    * release (see [[liveBroadcasts]] for the safety contract). */
+  def releaseBroadcasts(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = liveBroadcasts.remove(spark.sparkContext.applicationId)
+    if (q != null) {
+      var b = q.poll()
+      while (b != null) { b.destroy(); b = q.poll() }
+    }
+  }
+
+  /** Release across ALL registered sessions — only for single-session
+    * processes (Bench/Verify mains) where no other session can hold an
+    * unevaluated plan. */
   def releaseBroadcasts(): Unit = {
-    var b = liveBroadcasts.poll()
-    while (b != null) { b.destroy(); b = liveBroadcasts.poll() }
+    val it = liveBroadcasts.keys()
+    while (it.hasMoreElements) {
+      val q = liveBroadcasts.remove(it.nextElement())
+      if (q != null) {
+        var b = q.poll()
+        while (b != null) { b.destroy(); b = q.poll() }
+      }
+    }
   }
 
   private def withNorm(id: Long, v: Seq[Float]): (Long, Array[Float], Double) = {
@@ -98,7 +125,7 @@ object BlockTopK {
       .as[(Long, Seq[Float])]
     // build side: primitive vectors + norms, broadcast once (tracked —
     // must outlive the lazy plan; released via releaseBroadcasts)
-    val bc = track(spark.sparkContext.broadcast(
+    val bc = track(spark, spark.sparkContext.broadcast(
       rows.collect().map { case (id, v) => withNorm(id, v) }))
     shardPass(rows, bc, k)
   }
@@ -143,8 +170,8 @@ object BlockTopK {
     // array serves all shards
     val idxByShard: Map[Int, Array[Int]] =
       probeRows.zipWithIndex.groupBy(_._1._1).map { case (s, ps) => s -> ps.map(_._2) }
-    val bcProbes = track(spark.sparkContext.broadcast(probeRows))
-    val bcIdx = track(spark.sparkContext.broadcast(idxByShard))
+    val bcProbes = track(spark, spark.sparkContext.broadcast(probeRows))
+    val bcIdx = track(spark, spark.sparkContext.broadcast(idxByShard))
     corpus.select(col("shard").cast("int"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Seq[Float])]
       .mapPartitions { it =>

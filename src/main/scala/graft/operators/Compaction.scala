@@ -57,8 +57,13 @@ object Compaction {
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift", "wasb", "wasbs")
 
   def acquireLease(fs: org.apache.hadoop.fs.FileSystem, dir: String): Path = {
-    require(!NonAtomicCreateSchemes.contains(fs.getScheme),
-      s"store maintenance lease is unsound on '${fs.getScheme}' (object-store create " +
+    // fs.getUri.getScheme, NOT fs.getScheme: the FileSystem base class's
+    // getScheme default THROWS UnsupportedOperationException, so an
+    // otherwise-fine FS that never overrode it would crash maintenance
+    // here; the URI scheme is always available
+    val scheme = fs.getUri.getScheme
+    require(!NonAtomicCreateSchemes.contains(scheme),
+      s"store maintenance lease is unsound on '$scheme' (object-store create " +
         "is not atomic — two maintainers could both win the marker); run maintenance " +
         "against HDFS or another filesystem with atomic create/rename")
     val lock = new Path(dir.stripSuffix("/") + "__maintenance_lock")
@@ -158,19 +163,32 @@ object Compaction {
     * the whole root) must pass the STORE ROOT here so all maintenance on
     * the store contends on one marker — see [[acquireLease]].
     *
-    * `transform` rewrites the folded frame before it lands (default:
-    * identity) — the hook delete-aware folds purge tombstoned rows
-    * through ([[IncrementalIvfPq.compactIndex]]). Returns TRUE iff the
-    * swap actually happened (an empty store — before OR after the
-    * transform — is a no-op and returns false), so a caller with
-    * post-fold bookkeeping (tombstone truncation) knows whether its
-    * transform was applied. */
+    * `transform` rewrites the folded frame before it lands — the hook
+    * delete-aware folds purge tombstoned rows through
+    * ([[IncrementalIvfPq.compactIndex]], [[IncrementalDedup
+    * .compactStore]]). The transform receives the store rows with their
+    * ORIGINAL `ingest_batch` values and is responsible for the OUTPUT
+    * `ingest_batch` values (the default maps every row to the base −1).
+    * Row-level tombstone semantics need the original batch twice: the
+    * purge predicate compares a row's batch against its doc's tombstone
+    * batch, and SURVIVORS of a superseded doc must KEEP their original
+    * batch in the folded output — folding them to −1 while their
+    * tombstone is still on disk (the crash window between swap and
+    * tombstone truncation) would make the liveness filter re-kill them,
+    * and a re-run of the fold would purge them permanently. Keeping the
+    * batch makes purge + truncation IDEMPOTENT: a stale tombstone
+    * re-applies as a no-op, and the kept rows fold to −1 on the next
+    * pass once the tombstone is gone. Returns TRUE iff the swap
+    * actually happened (an empty store — before OR after the transform
+    * — is a no-op and returns false), so a caller with post-fold
+    * bookkeeping (tombstone truncation) knows whether its transform was
+    * applied. */
   def foldIngestBatches(spark: SparkSession, dir: String,
                         innerPartCols: Seq[String], rangeCols: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None,
                         targetBytes: Long = 128L << 20,
                         lockDir: Option[String] = None,
-                        transform: DataFrame => DataFrame = identity): Boolean = {
+                        transform: DataFrame => DataFrame = FoldToBase): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = acquireLease(fs, lockDir.getOrElse(dir))
@@ -184,11 +202,17 @@ object Compaction {
     * `sets/` and `edges/` as one maintenance pass: per-fold leases would
     * let another maintainer interleave between the folds). Callers MUST
     * hold a [[acquireLease]] on the store root for the duration. */
+  /** The default fold transform: every surviving row lands in the base
+    * partition. Custom transforms replace this wholesale and must set
+    * `ingest_batch` themselves — see [[foldIngestBatches]]. */
+  val FoldToBase: DataFrame => DataFrame =
+    _.withColumn("ingest_batch", lit(-1L))
+
   def foldIngestBatchesLeased(spark: SparkSession, dir: String,
                               innerPartCols: Seq[String], rangeCols: Seq[String],
                               schema: Option[org.apache.spark.sql.types.StructType] = None,
                               targetBytes: Long = 128L << 20,
-                              transform: DataFrame => DataFrame = identity): Boolean = {
+                              transform: DataFrame => DataFrame = FoldToBase): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     foldLocked(spark, dir, innerPartCols, rangeCols, schema, targetBytes, p, fs, transform)
@@ -209,7 +233,9 @@ object Compaction {
     val bytes = treeBytes(spark, dir)
     if (bytes == 0L) return false
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    val df = transform(reader.parquet(dir).withColumn("ingest_batch", lit(-1L)))
+    // the transform sees ORIGINAL ingest_batch values and sets the output
+    // ones (default: everything → −1) — see the contract on foldIngestBatches
+    val df = transform(reader.parquet(dir))
     // zero-ROW guard for both branches: byte-counted part files can hold
     // only parquet footers (zero rows) — rewriting that to a bare dir
     // breaks subsequent schema-less reads of the store. A transform that
@@ -289,7 +315,20 @@ object Compaction {
     val w = df.write.mode("overwrite")
     (if (innerPartCols.nonEmpty) w.partitionBy(innerPartCols: _*) else w)
       .parquet(staged.toString)
-    if (!fs.exists(p)) fs.mkdirs(p) // first batch of a fresh table
+    if (!fs.exists(p)) {
+      // distinguish "genuinely fresh table" from "a fold renamed the table
+      // away mid-swap": the fold's fail-stop window parks the pre-fold
+      // copy as `table__folded_old`, so its presence means a maintenance
+      // swap is in flight — recreating the dir here would make the fold's
+      // rename(tmp, p) nest the new store INSIDE the recreated dir
+      // (Hadoop rename-into-existing-dir semantics): silent corruption
+      // where the safe-point contract violation should fail loudly.
+      require(!fs.exists(new Path(table.stripSuffix("/") + "__folded_old")),
+        s"table $table is missing but its __folded_old sibling exists — a fold " +
+          "swap is in flight (or crashed mid-swap); ingest during maintenance " +
+          "violates the safe-point contract. Re-run the fold to recover first.")
+      fs.mkdirs(p) // first batch of a genuinely fresh table
+    }
     if (fs.exists(target)) fs.delete(target, true) // replay replaces its batch
     require(fs.rename(staged, target),
       s"batch commit rename $staged -> $target failed")

@@ -225,33 +225,53 @@ object IncrementalIvfPq {
     * truncated and stays visible to [[liveCodes]]. If the purge would
     * empty the store entirely the fold declines (see
     * [[Compaction.foldIngestBatches]]) and tombstones are kept, so
-    * reads remain filtered. */
+    * reads remain filtered.
+    *
+    * The WHOLE pass — tombstone snapshot, fold, truncation — runs under
+    * ONE store-root lease (acquired here, fold via the leased variant):
+    * snapshotting before / truncating after the lease would let another
+    * maintainer interleave between the listing and the purge. Concurrent
+    * [[deleteBatch]] calls (ingest-path, deliberately lease-free) are
+    * safe against the snapshot because each delete batch COMMITS BY ONE
+    * ATOMIC RENAME — a listed batch dir is always complete — and
+    * truncation deletes only the snapshotted dirs plus a NON-recursive
+    * delete of the tombstone root, which simply fails (left in place)
+    * when a new delete batch landed mid-fold, keeping it visible to
+    * [[liveCodes]] until the next compaction applies it. */
   def compactIndex(spark: SparkSession, root: String,
                    targetBytes: Long = 128L << 20): Unit = {
     val tomb = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs =
-      if (fs.exists(tomb))
-        fs.listStatus(tomb).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("delete_batch=")).map(_.getPath)
-      else Array.empty[org.apache.hadoop.fs.Path]
-    val purge: DataFrame => DataFrame =
-      if (batchDirs.isEmpty) identity
-      else {
-        val dead = spark.read.parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
-          .select("vec_id").distinct()
-        df => df.join(dead, Seq("vec_id"), "left_anti")
+    val lock = Compaction.acquireLease(fs, root)
+    try {
+      val batchDirs =
+        if (fs.exists(tomb))
+          fs.listStatus(tomb).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("delete_batch=")).map(_.getPath)
+        else Array.empty[org.apache.hadoop.fs.Path]
+      val purge: DataFrame => DataFrame =
+        if (batchDirs.isEmpty) Compaction.FoldToBase
+        else {
+          val dead = spark.read.parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
+            .select("vec_id").distinct()
+          // tombstones here are doc-final (vec_id anti-join, batch-blind),
+          // so survivors all fold to the base — re-applying a stale
+          // tombstone post-crash is a no-op (the ids are already gone)
+          df => Compaction.FoldToBase(df.join(dead, Seq("vec_id"), "left_anti"))
+        }
+      val folded = Compaction.foldIngestBatchesLeased(spark, s"$root/codes",
+        innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes,
+        transform = purge)
+      if (folded && batchDirs.nonEmpty) {
+        batchDirs.foreach(fs.delete(_, true))
+        // non-recursive: succeeds only when empty, so a delete batch that
+        // landed mid-fold survives (visible to liveCodes) instead of
+        // being wiped unapplied; when it succeeds, liveCodes' existence
+        // check skips the anti-join entirely
+        fs.delete(tomb, false)
+        ()
       }
-    val folded = Compaction.foldIngestBatches(spark, s"$root/codes",
-      innerPartCols = Seq("cid"), rangeCols = Nil, targetBytes = targetBytes,
-      lockDir = Some(root), transform = purge)
-    if (folded && batchDirs.nonEmpty) {
-      batchDirs.foreach(fs.delete(_, true))
-      // remove the dir itself when no new delete batch arrived mid-fold,
-      // so liveCodes' existence check skips the anti-join entirely
-      if (fs.listStatus(tomb).isEmpty) fs.delete(tomb, true)
-      ()
-    }
+    } finally { fs.delete(lock, false); () }
   }
 
   /** Codec advisor — the measured recall ladder's conclusion as a
@@ -312,20 +332,21 @@ object IncrementalIvfPq {
 
   /** Record a delete batch as TOMBSTONES — the standard immutable-segment
     * delete (FAISS `remove_ids` semantics on a store whose code files are
-    * write-once): deleted ids land in `tombstones/` PARTITIONED BY
-    * (delete_batch), so a replayed delete dynamic-overwrites exactly its
-    * own partition (the same exactly-once recipe as [[ingestBatch]]) and
+    * write-once): deleted ids land in `tombstones/delete_batch=<id>`,
+    * committed by ONE atomic rename ([[Compaction.commitBatch]] — the
+    * same single-rename recipe as [[ingestBatch]]): a replayed delete
+    * replaces exactly its own partition, and a concurrent reader or
+    * [[compactIndex]] tombstone snapshot sees a delete batch entirely or
+    * not at all, never a half-written directory (the pre-r13 dynamic
+    * overwrite could expose one mid-write to the compaction listing);
     * the code files never rewrite on the delete path. Tombstones are
     * global and final for a vec_id: re-admitting one means a new vec_id
     * (or an offline rewrite), matching the append-only id contract of
     * every store in this repo. */
   def deleteBatch(spark: SparkSession, root: String, ids: DataFrame,
-                  batchId: Long): Unit = {
-    ids.select("vec_id").withColumn("delete_batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("delete_batch").parquet(s"$root/tombstones")
-    ()
-  }
+                  batchId: Long): Unit =
+    Compaction.commitBatch(spark, s"$root/tombstones", ids.select("vec_id"),
+      "delete_batch", batchId)
 
   /** The LIVE index: [[codes]] minus tombstoned ids. Stores that never
     * saw a delete skip the anti-join entirely (existence check at plan

@@ -86,6 +86,25 @@ object ClusterParity {
         }
       }
     })
+    // task-end events arrive ASYNCHRONOUSLY on the listener bus, so
+    // sampling the counters right after an action can undercount (a
+    // query that spilled could read 0, and its spill could be billed to
+    // the next query). Drain by polling until the counters are stable
+    // for two consecutive samples (bounded wait) — attribution remains
+    // approximate by nature (best-effort listener delivery), which is
+    // fine for this gate: the contract is spilledBytes > 0 on the heavy
+    // rows plus the run-level totals, not exact per-query accounting.
+    def drainSpillCounters(): Unit = {
+      var prev = -1L
+      var cur = memSpilled.get() + diskSpilled.get()
+      var waited = 0
+      while (prev != cur && waited < 2000) {
+        Thread.sleep(100)
+        waited += 100
+        prev = cur
+        cur = memSpilled.get() + diskSpilled.get()
+      }
+    }
     graft.core.Tables.lineitem(spark, sfDir).limit(1).count() // JVM/exec warm-up
     val queries = graft.SparkEntry.queries
     // an explicit regex selects from the FULL query inventory (so any
@@ -95,12 +114,14 @@ object ClusterParity {
       case None     => Tier
     }
     val rows = names.map { name =>
+      drainSpillCounters() // flush the previous query's late task-end events
       val t0 = System.nanoTime()
       val sp0 = memSpilled.get() + diskSpilled.get()
       val out =
         try {
           val (h, n) = fingerprint(queries(name)(spark, sfDir))
           val dt = (System.nanoTime() - t0) / 1e9
+          drainSpillCounters()
           val sp = memSpilled.get() + diskSpilled.get() - sp0
           s""""$name":{"hash":"$h","rows":$n,"sec":${f"$dt%.3f"},"spilledBytes":$sp}"""
         } catch { case e: Throwable =>
@@ -111,9 +132,10 @@ object ClusterParity {
       // fingerprint() fully evaluated the plan — release any BlockTopK
       // probe broadcasts it captured (one leak per q92/q120-style query
       // per run otherwise)
-      graft.ml.BlockTopK.releaseBroadcasts()
+      graft.ml.BlockTopK.releaseBroadcasts(spark)
       out
     }
+    drainSpillCounters() // run-level totals: flush stragglers before emit
     val json = s"""{"master":"$master","sf":"$sfDir","memSpilledBytes":${memSpilled.get()},"diskSpilledBytes":${diskSpilled.get()},"queries":{${rows.mkString(",")}}}"""
     val w = new java.io.PrintWriter(outJson)
     try w.println(json) finally w.close()

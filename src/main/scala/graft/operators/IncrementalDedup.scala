@@ -208,11 +208,97 @@ object IncrementalDedup {
   }
 
   /** The maintained similarity-graph edge set (doc_a < doc_b), the union
-    * of the base partition and every ingested batch's partition. Reads
-    * with an explicit schema so an edge-free store (duplicate-free
+    * of the base partition and every ingested batch's partition —
+    * tombstones NOT applied (the raw store view the compaction and
+    * rebuild-equivalence specs compare; consumers read [[liveEdges]]).
+    * Reads with an explicit schema so an edge-free store (duplicate-free
     * corpus) is an empty frame, not a read error. */
   def edges(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(EdgesSchema).parquet(s"$root/edges").select("doc_a", "doc_b")
+
+  private val TombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("delete_batch", org.apache.spark.sql.types.LongType)))
+
+  /** Record a delete batch as ROW-LEVEL TOMBSTONES: `ids` (doc_id) land
+    * in `root/tombstones/delete_batch=<id>` by one atomic rename
+    * ([[Compaction.commitBatch]], the ingest commit primitive). A
+    * tombstone (doc, D) kills that doc's signature rows whose
+    * `ingest_batch` < D and its edge rows whose partition < D — NOT rows
+    * ingested AT or AFTER D. That one refinement over a doc-final kill
+    * is what makes SUPERSEDE (a changed document re-ingested under its
+    * own doc_id) a composition instead of a new operation:
+    *
+    *   supersede(docs, D) = deleteBatch(ids, D); ingestBatchWithEdges(docs, D)
+    *
+    * — the old signature rows (strictly earlier batches) die, the new
+    * ones (batch D) live, and because [[dedupeDelta]] reads the LIVE
+    * store, the re-ingest regenerates EVERY current near-dup pair
+    * involving the new version at partition D, exactly replacing the
+    * retracted stale edges (edges are pure functions of the two
+    * signatures, so retract-all + regenerate-all is exact — the
+    * composed diff→apply≡recompute equivalence is spec-proven, and q140
+    * hash-proves the pure-delete path through PageRank against a
+    * filtered-corpus recompute oracle).
+    *
+    * Batch ids must come from the SAME monotone sequence as ingests
+    * (true for streaming micro-batch ids): a delete's batchId must be
+    * strictly greater than the victim rows' ingest batch — equal means
+    * "superseded by this batch's re-ingest", earlier means no-op.
+    * q105's diff classes map directly: `removed` → deleteBatch,
+    * `changed` → supersede (delete + re-ingest, same batch), `added` →
+    * plain [[ingestBatchWithEdges]]. */
+  def deleteBatch(spark: SparkSession, root: String, ids: DataFrame,
+                  batchId: Long): Unit =
+    Compaction.commitBatch(spark, s"$root/tombstones", ids.select("doc_id"),
+      "delete_batch", batchId)
+
+  /** (doc_id, del = max delete_batch) per tombstoned doc, from the given
+    * tombstone batch directories — the liveness join's broadcast side
+    * (kills are `ingest_batch < D`, so the max batch subsumes the rest).
+    * `basePath` is load-bearing: reading a `delete_batch=N` dir directly
+    * (the compaction's snapshot) would otherwise NOT discover the
+    * partition column — it lives in the directory name, not the files —
+    * and every `del` would read NULL, turning the purge into a silent
+    * no-op whose "applied" fold then truncates the unapplied tombstones. */
+  private def maxTombstonesFrom(spark: SparkSession, tombRoot: String,
+                                batchDirs: Seq[String]): DataFrame =
+    spark.read.option("basePath", tombRoot).schema(TombSchema).parquet(batchDirs: _*)
+      .groupBy("doc_id").agg(max("delete_batch").as("del"))
+
+  /** (doc_id, del) for the whole tombstone dir, or None when the store
+    * never saw a delete — the None path leaves every consumer's plan
+    * (and parity hash) byte-identical to the pre-delete code. */
+  private def maxTombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val t = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) Some(maxTombstonesFrom(spark, t.toString, Seq(t.toString)))
+    else None
+  }
+
+  /** The LIVE edge set: [[edges]] minus rows retracted by tombstones —
+    * an edge row in partition E dies when EITHER endpoint has a
+    * tombstone with delete_batch > E (stale: it was computed against a
+    * signature that batch deleted or superseded; a supersede's re-ingest
+    * wrote the current replacement pairs at its own partition ≥ the
+    * tombstone, which survive). Tombstone-free stores skip the joins
+    * entirely. With tombstones this is two broadcast left joins against
+    * the (tiny, delete-sized) max-tombstone frame — linear, no shuffle
+    * of the edge set; [[compactStore]] physically purges dead rows and
+    * truncates applied tombstones so the join side never grows. */
+  def liveEdges(spark: SparkSession, root: String): DataFrame =
+    maxTombstones(spark, root) match {
+      case None => edges(spark, root)
+      case Some(mt) =>
+        spark.read.schema(EdgesSchema).parquet(s"$root/edges")
+          .join(broadcast(mt.select(col("doc_id").as("doc_a"), col("del").as("del_a"))),
+            Seq("doc_a"), "left")
+          .join(broadcast(mt.select(col("doc_id").as("doc_b"), col("del").as("del_b"))),
+            Seq("doc_b"), "left")
+          .filter((col("del_a").isNull || col("ingest_batch") >= col("del_a"))
+            && (col("del_b").isNull || col("ingest_batch") >= col("del_b")))
+          .select("doc_a", "doc_b")
+    }
 
   /** [[dedupeStream]] with edge maintenance: every micro-batch also
     * appends its ≥ threshold pairs to the maintained edge table (the
@@ -253,23 +339,96 @@ object IncrementalDedup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = Compaction.acquireLease(fs, root)
     try {
-      Compaction.foldIngestBatchesLeased(spark, s"$root/bands",
+      // DELETE-AWARE: snapshot the tombstone batch dirs under the lease
+      // (each was committed by one atomic rename, so a listed dir is
+      // complete), purge dead rows through the fold transforms, and
+      // truncate exactly the snapshotted dirs after all three swaps.
+      // CRASH IDEMPOTENCE hinges on the transforms' batch handling: a
+      // surviving row of a TOMBSTONED doc (a supersede's re-ingest)
+      // keeps its ORIGINAL ingest_batch in the folded output, so if the
+      // process dies between the swaps and the truncation, the stale
+      // tombstone re-applies as a no-op — dead rows are already gone,
+      // kept rows still satisfy `ingest_batch >= del` — instead of
+      // re-killing rows the previous pass folded to the base. Those
+      // kept rows fold to −1 on the next pass, once their tombstone is
+      // gone. (Mid-fold delete batches are NOT truncated — the
+      // non-recursive root delete fails while they exist — and stay
+      // visible to the live views until the next compaction.)
+      val tomb = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+      val batchDirs =
+        if (fs.exists(tomb))
+          fs.listStatus(tomb).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("delete_batch=")).map(_.getPath)
+        else Array.empty[org.apache.hadoop.fs.Path]
+      val mt =
+        if (batchDirs.isEmpty) None
+        else Some(maxTombstonesFrom(spark, tomb.toString,
+          batchDirs.map(_.toString).toIndexedSeq))
+      val sigPurge: DataFrame => DataFrame = mt match {
+        case None => Compaction.FoldToBase
+        case Some(m) => df =>
+          df.join(broadcast(m), Seq("doc_id"), "left")
+            .filter(col("del").isNull || col("ingest_batch") >= col("del"))
+            .withColumn("ingest_batch",
+              when(col("del").isNull, lit(-1L)).otherwise(col("ingest_batch")))
+            .drop("del")
+      }
+      val edgePurge: DataFrame => DataFrame = mt match {
+        case None => Compaction.FoldToBase
+        case Some(m) => df =>
+          df.join(broadcast(m.select(col("doc_id").as("doc_a"), col("del").as("del_a"))),
+              Seq("doc_a"), "left")
+            .join(broadcast(m.select(col("doc_id").as("doc_b"), col("del").as("del_b"))),
+              Seq("doc_b"), "left")
+            .filter((col("del_a").isNull || col("ingest_batch") >= col("del_a"))
+              && (col("del_b").isNull || col("ingest_batch") >= col("del_b")))
+            .withColumn("ingest_batch",
+              when(col("del_a").isNull && col("del_b").isNull, lit(-1L))
+                .otherwise(col("ingest_batch")))
+            .drop("del_a", "del_b")
+      }
+      val fb = Compaction.foldIngestBatchesLeased(spark, s"$root/bands",
         innerPartCols = Seq("band_bucket"), rangeCols = Nil,
-        targetBytes = targetBytes)
-      Compaction.foldIngestBatchesLeased(spark, s"$root/sets",
+        targetBytes = targetBytes, transform = sigPurge)
+      val fs2 = Compaction.foldIngestBatchesLeased(spark, s"$root/sets",
         innerPartCols = Nil, rangeCols = Seq("doc_id"),
-        targetBytes = targetBytes)
-      Compaction.foldIngestBatchesLeased(spark, s"$root/edges",
+        targetBytes = targetBytes, transform = sigPurge)
+      val fe = Compaction.foldIngestBatchesLeased(spark, s"$root/edges",
         innerPartCols = Nil, rangeCols = Seq("doc_a"),
         schema = Some(EdgesSchema),
-        targetBytes = targetBytes)
+        targetBytes = targetBytes, transform = edgePurge)
+      // truncate only if every table either swapped (purge applied) or
+      // held no rows to purge — a fold that DECLINED on a non-empty
+      // table (purge would empty it entirely) must keep its tombstones,
+      // or the live views would resurrect the dead rows
+      def purgedOrEmpty(applied: Boolean, dir: String): Boolean =
+        applied || Compaction.treeBytes(spark, dir) == 0L
+      if (batchDirs.nonEmpty
+          && purgedOrEmpty(fb, s"$root/bands")
+          && purgedOrEmpty(fs2, s"$root/sets")
+          && purgedOrEmpty(fe, s"$root/edges")) {
+        batchDirs.foreach(fs.delete(_, true))
+        // non-recursive: succeeds only when no mid-fold delete landed
+        fs.delete(tomb, false)
+        ()
+      }
     } finally { fs.delete(lock, false); () }
   }
 
   /** Near-dup pairs (doc_a < doc_b, with exact-Jaccard rerank) involving
     * the delta: delta×state via the store (broadcast delta bands + DPP on
     * the store scan) plus delta×delta via a self-join of the delta's own
-    * band rows (a new batch can carry internal duplicates). */
+    * band rows (a new batch can carry internal duplicates).
+    *
+    * Reads the LIVE store: tombstoned signature rows (deleted or
+    * superseded docs — see [[deleteBatch]]) cannot produce candidates or
+    * rerank sets. The liveness filter lands AFTER the band equi-join, on
+    * the (batch-sized) candidate rows, as one broadcast left join
+    * against the tiny max-tombstone frame — deliberately NOT on the
+    * store scan, where an interposed join could break the
+    * dynamic-partition-pruning rule this operator's cost model depends
+    * on. Tombstone-free stores (q69/q91/q93) skip every liveness node:
+    * plan, DPP assertion, and parity hashes are untouched. */
   def dedupeDelta(spark: SparkSession, root: String, delta: DataFrame): DataFrame = {
     // deliberately NOT cached: persisting makes the delta an opaque
     // InMemoryRelation, which hides its selective filter from the
@@ -279,14 +438,22 @@ object IncrementalDedup {
     val dSigs = TextQueries.minHashSignatures(spark, delta)
     val dBands = withBucket(TextQueries.bandRows(dSigs))
     val storeBands = spark.read.parquet(s"$root/bands")
+    val mt = maxTombstones(spark, root)
     // state × delta: equi-join on the full band key INCLUDING the
     // partition column, so DPP can prune store partitions
-    val viaStore = storeBands.as("s")
+    val viaStoreRaw = storeBands.as("s")
       .join(broadcast(dBands).as("d"),
         col("s.band_bucket") === col("d.band_bucket")
           && col("s.band") === col("d.band")
           && col("s.k1") === col("d.k1") && col("s.k2") === col("d.k2")
           && col("s.doc_id") =!= col("d.doc_id"))
+    val viaStore = (mt match {
+      case None => viaStoreRaw
+      case Some(m) => viaStoreRaw
+        .join(broadcast(m.select(col("doc_id").as("__sdoc"), col("del"))),
+          col("s.doc_id") === col("__sdoc"), "left")
+        .filter(col("del").isNull || col("s.ingest_batch") >= col("del"))
+    })
       .select(least(col("s.doc_id"), col("d.doc_id")).as("doc_a"),
         greatest(col("s.doc_id"), col("d.doc_id")).as("doc_b"))
     val withinDelta = dBands.as("a")
@@ -296,12 +463,21 @@ object IncrementalDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = viaStore.unionByName(withinDelta).distinct()
     // exact rerank: sh_sets from the store for state docs, from the delta
-    // pipeline for delta docs — only candidate ids are touched
+    // pipeline for delta docs — only candidate ids are touched.
+    // Liveness BEFORE dropDuplicates: a superseded doc has a dead old
+    // row and a live new row in `sets`, and the rerank must see the new
+    // one, not whichever dropDuplicates happened to keep.
     // dropDuplicates: after an at-least-once replay the batch's docs are
     // in BOTH the store and the delta; a doc appearing twice in `sets`
     // would duplicate every rerank row it joins (sh_set is a pure
     // function of the doc, so either copy is equivalent)
-    val sets = spark.read.parquet(s"$root/sets").select("doc_id", "sh_set")
+    val storeSets = mt match {
+      case None => spark.read.parquet(s"$root/sets")
+      case Some(m) => spark.read.parquet(s"$root/sets")
+        .join(broadcast(m), Seq("doc_id"), "left")
+        .filter(col("del").isNull || col("ingest_batch") >= col("del"))
+    }
+    val sets = storeSets.select("doc_id", "sh_set")
       .unionByName(dSigs.select("doc_id", "sh_set"))
       .dropDuplicates("doc_id")
     cand

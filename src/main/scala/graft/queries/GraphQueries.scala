@@ -246,7 +246,7 @@ object GraphQueries {
         spark, r, s"${r}_pairs", all.filter(col("doc_id") % 10 === 7), batchId = 1L)
       r
     })
-    pageRankOf(graft.operators.IncrementalDedup.edges(spark, root))
+    pageRankOf(graft.operators.IncrementalDedup.liveEdges(spark, root))
   }
 
   private val incStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -288,17 +288,68 @@ object GraphQueries {
       } finally q.stop()
       r
     })
-    pageRankOf(graft.operators.IncrementalDedup.edges(spark, root))
+    pageRankOf(graft.operators.IncrementalDedup.liveEdges(spark, root))
   }
 
   private val streamStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q140: DELETES IN THE DEDUP STORE under the oracle gate — the r12
+    * verdict's top ask: q105's `removed` class finally has somewhere to
+    * go. The q91 lifecycle plus a delete and a compaction: seed the
+    * signature + edge store from 90% of the corpus, ingest the held-out
+    * 10% (batch 1), then DELETE every `doc_id % 7 = 3` document
+    * ([[graft.operators.IncrementalDedup.deleteBatch]], batch 2 —
+    * row-level tombstones + edge retraction: an edge dies when either
+    * endpoint's signature was tombstoned after the edge's partition),
+    * run [[graft.operators.IncrementalDedup.compactStore]] (tombstoned
+    * rows PHYSICALLY purge from bands/sets/edges, applied tombstones
+    * truncate), and run q79's PageRank over the live edge table.
+    *
+    * The DuckDB oracle is q79's recompute over the corpus WITH THE
+    * DELETED DOCS REMOVED (`WITH documents AS (SELECT … FROM
+    * main.documents WHERE doc_id % 7 <> 3)` shadowing the base table) —
+    * so the driver hash-proves `pageRank(live(state − removed)) ≡
+    * recompute(corpus − removed)` end-to-end THROUGH the purge: exact
+    * edge retraction (edges are pure functions of the two signatures,
+    * so dropping every edge that touches a removed doc is the recompute,
+    * not an approximation), tombstone liveness, and delete-aware
+    * compaction, all in one fixed-point-rank hash. The pre-compaction
+    * live view and the supersede (changed-doc) path are spec-proven
+    * equal to the same recompute in IncrementalDedupSpec. */
+  def q140DedupDeletePageRank(spark: SparkSession, dir: String): DataFrame = {
+    val root = delStoreRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("delpr", d)
+      val all = graft.core.Tables.documents(spark, d)
+      graft.operators.IncrementalDedup.writeEdgeStore(
+        spark, all.filter(col("doc_id") % 10 =!= 7), r)
+      graft.operators.IncrementalDedup.ingestBatchWithEdges(
+        spark, r, s"${r}_pairs", all.filter(col("doc_id") % 10 === 7), batchId = 1L)
+      graft.operators.IncrementalDedup.deleteBatch(
+        spark, r, all.filter(col("doc_id") % 7 === 3).select("doc_id"), batchId = 2L)
+      graft.operators.IncrementalDedup.compactStore(spark, r)
+      r
+    })
+    pageRankOf(graft.operators.IncrementalDedup.liveEdges(spark, root))
+  }
+
+  private val delStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q140 oracle: q79's full recompute with the deleted slice
+    * removed at the source — the CTE shadows the base `documents` view
+    * (DuckDB resolves the inner reference via the explicit `main.`
+    * schema qualifier), so the entire MinHash → LSH → PageRank replay
+    * underneath runs on the post-delete corpus unchanged. */
+  val q140DedupDeletePageRankSql: String =
+    "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 7 <> 3),\n" +
+      q79PageRankSql.stripPrefix("WITH ")
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_pagerank" -> (q79PageRank _),
     "q83_triangles" -> (q83Triangles _),
     "q86_pagerank_directed" -> (q86PageRankDirected _),
     "q91_incremental_pagerank" -> (q91IncrementalPageRank _),
-    "q93_streaming_pagerank" -> (q93StreamingPageRank _)
+    "q93_streaming_pagerank" -> (q93StreamingPageRank _),
+    "q140_dedup_delete_pagerank" -> (q140DedupDeletePageRank _)
   )
 
   def sql: Map[String, String] = Map(
@@ -309,6 +360,7 @@ object GraphQueries {
     // incremental path end-to-end
     "q91_incremental_pagerank" -> q79PageRankSql,
     // likewise for the streaming path: stream ≡ batch ≡ recompute
-    "q93_streaming_pagerank" -> q79PageRankSql
+    "q93_streaming_pagerank" -> q79PageRankSql,
+    "q140_dedup_delete_pagerank" -> q140DedupDeletePageRankSql
   )
 }

@@ -335,6 +335,123 @@ class IncrementalDedupSpec extends SparkSpec {
       "edges after a live-load fold + further ingest must equal the full recompute")
   }
 
+  test("deleteBatch: live edges ≡ recompute on corpus − removed; compaction purges; stale tombstones no-op") {
+    val all = graft.core.Tables.documents(spark, sfDir)
+    val root = tmpRoot("delete"); val pairsOut = tmpRoot("delete_pairs")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(root, pairsOut).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IncrementalDedup.writeEdgeStore(spark, all.filter(col("doc_id") % 10 =!= 7), root)
+    IncrementalDedup.ingestBatchWithEdges(
+      spark, root, pairsOut, all.filter(col("doc_id") % 10 === 7), batchId = 1L)
+    val removedIds = all.filter(col("doc_id") % 7 === 3).select("doc_id")
+    IncrementalDedup.deleteBatch(spark, root, removedIds, batchId = 2L)
+    def liveSet = IncrementalDedup.liveEdges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute on the post-delete corpus
+    val sigs = graft.queries.TextQueries.minHashSignatures(
+      spark, all.filter(col("doc_id") % 7 =!= 3))
+    val recomputed = graft.queries.TextQueries.lshRerankedPairs(sigs)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preCompact = liveSet
+    assert(preCompact == recomputed,
+      s"live view before compaction must equal recompute: only-live=" +
+        s"${preCompact -- recomputed}, only-recompute=${recomputed -- preCompact}")
+    // raw view still carries the dead edges (tombstones unapplied)
+    assert(IncrementalDedup.edges(spark, root).count() > preCompact.size,
+      "this corpus slice must actually retract some edges for the test to bite")
+    // physical purge: raw view == live view == recompute, tombstones gone
+    IncrementalDedup.compactStore(spark, root)
+    assert(liveSet == recomputed)
+    assert(IncrementalDedup.edges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == recomputed,
+      "compaction must purge retracted edges from the raw store")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")),
+      "applied tombstones must truncate")
+    val deadSet = removedIds.collect().map(_.getLong(0)).toSet
+    val setDocs = spark.read.parquet(s"$root/sets").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(setDocs.intersect(deadSet).isEmpty, "purge must drop dead signature rows")
+    // STALE TOMBSTONE (the crash window between swap and truncation,
+    // simulated by re-recording the already-applied delete): reads stay
+    // correct and a re-run of the compaction is a no-op that truncates
+    IncrementalDedup.deleteBatch(spark, root, removedIds, batchId = 2L)
+    assert(liveSet == recomputed, "stale tombstone must re-apply as a no-op")
+    IncrementalDedup.compactStore(spark, root)
+    assert(liveSet == recomputed)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+  }
+
+  test("supersede (q105 composed): diff classes → delete/supersede/ingest ≡ recompute on the post-diff corpus") {
+    // the q105 snapshot pair: old = all but %20=5; new = all but %20=11,
+    // with %20=3 rewritten — so added = %20=5, removed = %20=11,
+    // changed = %20=3, and each class drives its store operation
+    val all = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val oldCorpus = all.filter(col("doc_id") % 20 =!= 5)
+    val newText = when(col("doc_id") % 20 === 3, concat(col("text"), lit(" [rev2]")))
+      .otherwise(col("text"))
+    val newCorpus = all.filter(col("doc_id") % 20 =!= 11)
+      .select(col("doc_id"), newText.as("text"))
+    val root = tmpRoot("supersede"); val pairsOut = tmpRoot("supersede_pairs")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(root, pairsOut).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    IncrementalDedup.writeEdgeStore(spark, oldCorpus, root)
+    // apply the diff as ONE batch: removed ∪ changed-old tombstone at
+    // batch 1, added ∪ changed-new ingest at the SAME batch 1 — the
+    // supersede composition from deleteBatch's contract (tombstones kill
+    // strictly-earlier rows, so the re-ingest survives its own delete)
+    IncrementalDedup.deleteBatch(spark, root,
+      all.filter(col("doc_id") % 20 === 11 || col("doc_id") % 20 === 3)
+        .select("doc_id"), batchId = 1L)
+    IncrementalDedup.ingestBatchWithEdges(spark, root, pairsOut,
+      newCorpus.filter(col("doc_id") % 20 === 5 || col("doc_id") % 20 === 3),
+      batchId = 1L)
+    def liveSet = IncrementalDedup.liveEdges(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = graft.queries.TextQueries.lshRerankedPairs(
+        graft.queries.TextQueries.minHashSignatures(spark, newCorpus))
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveSet == recomputed,
+      s"diff→apply must equal recompute on the new snapshot: only-live=" +
+        s"${liveSet -- recomputed}, only-recompute=${recomputed -- liveSet}")
+    // physical purge keeps the superseded docs' SURVIVING rows at their
+    // original batch (NOT the base) while their tombstone could still be
+    // on disk — the idempotence property that makes a crash between the
+    // fold swaps and the truncation recoverable by just re-running
+    IncrementalDedup.compactStore(spark, root)
+    assert(liveSet == recomputed)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    val bandDirs1 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/bands"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(bandDirs1 == Set("ingest_batch=-1", "ingest_batch=1"),
+      s"superseded docs' surviving rows must keep their batch through a " +
+        s"delete-aware fold: $bandDirs1")
+    // the crash window itself: stale tombstones re-appear AFTER the fold
+    // (as if truncation never ran) — reads stay correct because the kept
+    // batch-1 rows still satisfy ingest_batch >= delete_batch, and the
+    // re-run fold is a no-op purge that truncates and then folds clean
+    IncrementalDedup.deleteBatch(spark, root,
+      all.filter(col("doc_id") % 20 === 11 || col("doc_id") % 20 === 3)
+        .select("doc_id"), batchId = 1L)
+    assert(liveSet == recomputed,
+      "stale supersede tombstone must not re-kill the re-ingested rows")
+    IncrementalDedup.compactStore(spark, root)
+    assert(liveSet == recomputed)
+    IncrementalDedup.compactStore(spark, root) // tombstone-free: fold all to base
+    val bandDirs2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/bands"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(bandDirs2 == Set("ingest_batch=-1"),
+      s"once tombstones truncate, the next fold consolidates fully: $bandDirs2")
+    assert(liveSet == recomputed)
+    // and the store keeps composing: a further delta dedupes against the
+    // post-diff state (live reads proven through the ingest path itself)
+    val setDocs = spark.read.parquet(s"$root/sets").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expectDocs = newCorpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(setDocs == expectDocs, "post-purge signature rows = exactly the new snapshot")
+  }
+
   test("ingesting the delta's rows into the store makes the next delta see them") {
     // two-step ingest: store(state) + delta1, then store(state ∪ delta1)
     // + delta2 — a pair (delta1, delta2) must surface in step 2

@@ -118,6 +118,21 @@ object Opq {
       }.toDF("vec_id", "embedding")
   }
 
+  /** The rotation as a PLAN-LITERAL column expression — R flattened
+    * row-major into a 4096-double literal riding the task binary (the
+    * PQ-LUT / Bloom-literal house pattern), output[i] = Σⱼ R[i·d+j]·x[j]
+    * as a sequential left fold with an explicit 0.0 init, bit-identical
+    * to [[rotate]]'s mapPartitions GEMV kernel (same term order, same
+    * accumulation). Used on the SEARCH probe side, where a plan literal
+    * beats shuffling probes through a kernel + re-join; the bulk encode
+    * path keeps the kernel. */
+  def rotateColumn(rFlat: org.apache.spark.sql.Column, dim: Int,
+                   x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d), (acc, j) =>
+        acc + element_at(rFlat, i * lit(dim) + j + lit(1))
+          * element_at(x, j + lit(1)).cast("double")))
+
   /** Apply Rᵀ (the inverse rotation — R is orthogonal): maps codec
     * reconstructions of R·x back to the original space, so downstream
     * ADC scoring against UNROTATED probes needs no other change

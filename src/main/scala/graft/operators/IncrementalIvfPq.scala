@@ -76,8 +76,9 @@ object IncrementalIvfPq {
   }
 
   /** The store's codec, from `meta/`: "raw" (PQ on absolute vectors),
-    * "residual" (PQ on x − c(cell(x))), or "sq8" (per-dim byte grid).
-    * Absent meta = "raw", covering pre-meta stores. */
+    * "residual" (PQ on x − c(cell(x))), "sq8" (per-dim byte grid), or
+    * "opq" (PQ on R·x against the frozen learned rotation —
+    * [[writeIndexOpq]]). Absent meta = "raw", covering pre-meta stores. */
   def encoding(spark: SparkSession, root: String): String = {
     val m = new org.apache.hadoop.fs.Path(s"$root/meta")
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,6 +125,53 @@ object IncrementalIvfPq {
     ()
   }
 
+  /** Seed an OPQ-coded store — [[graft.ml.Opq]]'s learned rotation as a
+    * codec mode of the maintained index (Ge et al. 2013 wired into the
+    * FAISS-style `OPQ,IVF,PQ` stack): the coarse quantizer trains on the
+    * RAW seed exactly like [[writeIndex]] (cells stay raw-space, so
+    * probe cell ranking never changes), the rotation R and the PQ
+    * codebooks come from [[graft.ml.Opq.fit]]'s alternation on the seed,
+    * and the payload is `PQ(R·x)` — same 8 B/vector as raw PQ, with the
+    * corpus's inter-dimension correlation moved INSIDE the subspaces
+    * where the codebooks can spend codes on it. R freezes with the
+    * other quantizers (`rotation/`, d rows of d doubles), so a delta's
+    * (cid, codes) stays a pure function of (vector, frozen quantizers)
+    * and the q124 maintenance invariant carries over unchanged.
+    *
+    * Search needs NO decode-side inverse: reconstructions live in
+    * rotated space and the probe rotates instead — cos(Ra, b̂) =
+    * cos(a, Rᵀb̂) because R is orthogonal (the [[graft.ml.Opq
+    * .rotateBack]] identity), and rotating |probes| rows (a plan-literal
+    * GEMV) is cheaper than rotating every candidate reconstruction. */
+  def writeIndexOpq(state: DataFrame, root: String, dim: Int,
+                    k: Int = -1, ks: Int = -1, iters: Int = 2,
+                    sweeps: Int = 2): Unit = {
+    val spark = state.sparkSession
+    val n = state.count()
+    val kk = if (k > 0) k else IncrementalIvf.kFor(n)
+    val kss = if (ks > 0) ks else ProductQuantizer.ksFor(n)
+    val (cents, _) = graft.ml.KMeans.fit(state, kk, iters)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    import spark.implicits._
+    Seq("opq").toDF("encoding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val (r, book) = graft.ml.Opq.fit(state, dim, M, kss, iters, sweeps)
+    r.toIndexedSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+      .toDF("i", "row").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/rotation")
+    book.coalesce(1).write.mode("overwrite").parquet(s"$root/pqbook")
+    encodeTo(state, root).withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch", "cid")
+      .parquet(s"$root/codes")
+    cents.unpersist()
+    ()
+  }
+
+  /** The frozen rotation (row-major d×d) of an OPQ store. */
+  def rotationOf(spark: SparkSession, root: String): Array[Array[Double]] =
+    spark.read.parquet(s"$root/rotation").orderBy("i").collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** (vec_id, cid, embedding = x − c(cell(x))): the residual frame —
     * float-corpus minus double-centroid, bit-identical in Spark and the
     * DuckDB oracle. One broadcast k-row join. */
@@ -167,6 +215,14 @@ object IncrementalIvfPq {
         val res = residualsOf(vecs, cents)
         ProductQuantizer.encode(res.select("vec_id", "embedding"), book, dim, M)
           .join(res.select("vec_id", "cid"), Seq("vec_id"))
+          .select("vec_id", "cid", "codes")
+      case "opq" =>
+        val book = spark.read.parquet(s"$root/pqbook")
+        val dim = M * book.head().getSeq[Double](2).length
+        val cids = graft.ml.KMeans.assign(vecs, cents).select(col("vec_id"), col("cid"))
+        val rot = graft.ml.Opq.rotate(
+          vecs.select("vec_id", "embedding"), rotationOf(spark, root))
+        ProductQuantizer.encode(rot, book, dim, M).join(cids, Seq("vec_id"))
           .select("vec_id", "cid", "codes")
       case _ =>
         val book = spark.read.parquet(s"$root/pqbook")
@@ -424,7 +480,24 @@ object IncrementalIvfPq {
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
     val live = allowed.foldLeft(liveCodes(spark, root))((c, a) =>
       c.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
-    val cand = (encoding(spark, root) match {
+    val enc = encoding(spark, root)
+    // OPQ: candidates reconstruct in ROTATED space (same LUT decode as
+    // raw — "opq" falls into the raw branch below), so the probe side
+    // rotates to match: cos(Ra, b̂) = cos(a, Rᵀb̂), and rotating the
+    // probe is |probes| plan-literal GEMVs instead of |candidates|
+    val probeSide =
+      if (enc == "opq") {
+        val r = rotationOf(spark, root)
+        val rl = typedLit(r.flatten.toIndexedSeq)
+        ranked
+          .withColumn("a_rot", graft.ml.Opq.rotateColumn(rl, r.length, col("embedding")))
+          .select(col("cid"), col("vec_id").as("a_id"),
+            col("a_rot").as("a_emb"),
+            NativeVecFns.norm(spark, col("a_rot")).as("a_nrm"))
+      } else
+        ranked.select(col("cid"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val cand = (enc match {
       case "sq8" =>
         // frozen grid as plan literals (2·dim doubles) — no join
         val st = spark.read.parquet(s"$root/sqstats").head()
@@ -448,8 +521,7 @@ object IncrementalIvfPq {
         ProductQuantizer.withRecon(spark, live, spark.read.parquet(s"$root/pqbook"), M)
     })
       .select(col("cid"), col("vec_id").as("b_id"), col("recon"), col("rnrm"))
-    ranked.select(col("cid"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    probeSide
       .join(cand, Seq("cid"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim",

@@ -2293,6 +2293,138 @@ object EmbeddingQueries {
     ivfSearchSqlOver(kmeansTrainSqlCtesOver("emb_hot"),
       corpusSrc = "emb_hot", headCtes = hotCellCorpusCte + ",\n")
 
+  /** q141: OPQ IN THE MAINTAINED STORE under the oracle gate — the last
+    * codec-ladder member without an oracle query (r12 verdict #3). The
+    * q124 lifecycle at the "opq" codec on the STRUCTURED corpus (the
+    * inter-dimension-correlated case the learned rotation exists for,
+    * and the corpus behind the ladder's OPQ row): seed 90% through
+    * [[graft.operators.IncrementalIvfPq.writeIndexOpq]] (coarse cells
+    * raw-space; R + codebooks from Ge et al.'s alternation, then
+    * frozen), ingest the held-out 10% against the frozen quantizers,
+    * search with LUT reconstruction in rotated space + plan-literal
+    * probe rotation (cos(Ra, b̂) = cos(a, Rᵀb̂)).
+    *
+    * The ORACLE pins R — the one artifact whose training loop (polar
+    * Newton on the Procrustes cross matrix) is not SQL-replayable — as
+    * a 4096-double literal captured from the store built by THIS
+    * process ([[graft.Verify]] dumps `oracleSql` AFTER running the
+    * queries, so the literal is always the learned R, per scale
+    * factor), and REPLAYS everything else from scratch: seed-only
+    * coarse training, the deterministic rotation of the full corpus
+    * (same left-fold GEMV term order), codebook training on the rotated
+    * seed's 1-in-4 sample, full-corpus encode, and the probe/rerank —
+    * the q124 maintenance invariant at the rotated codec, with only R
+    * itself staged (the q138 pinned-input recipe). */
+  private val opqStructRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val opqStructR = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+
+  private def opqStructStore(spark: SparkSession, dir: String): String =
+    opqStructRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("incopq", d)
+      val e = structuredCorpus(Tables.embeddings(spark, d).select("vec_id", "embedding"))
+      graft.operators.IncrementalIvfPq.writeIndexOpq(
+        e.filter(col("vec_id") % 10 =!= 7), r, Dim, k = SemK, iters = SemKIters,
+        sweeps = 2)
+      graft.operators.IncrementalIvfPq.ingestBatch(
+        spark, r, e.filter(col("vec_id") % 10 === 7), batchId = 1L)
+      opqStructR.put(d,
+        graft.operators.IncrementalIvfPq.rotationOf(spark, r).flatten.toIndexedSeq)
+      r
+    })
+
+  def q141OpqIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IncrementalIvfPq.search(spark, opqStructStore(spark, dir),
+      structuredCorpus(Tables.embeddings(spark, dir).select("vec_id", "embedding")),
+      nprobe = 2, topK = 3)
+
+  /** The q141 oracle, interpolating the learned R captured at store
+    * build. Verify always runs the query before dumping SQL; a filtered
+    * local run that skips q141 gets a loudly-failing placeholder rather
+    * than a silently-wrong replay. */
+  def q141OpqIncrementalSql: String = {
+    val it = opqStructR.values().iterator()
+    if (!it.hasNext)
+      "SELECT 'q141 must run before its oracle dumps (R is captured from the store)' AS error"
+    else ivfPqOpqSeedSql(it.next())
+  }
+
+  private def ivfPqOpqSeedSql(rFlat: Seq[Double]): String = {
+    val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
+    val dot = VecFns.ddbDot("pr.embedding", "r.recon", Dim)
+    val np = VecFns.ddbNorm("pr.embedding", Dim)
+    val nr = VecFns.ddbNorm("r.recon", Dim)
+    // Double.toString emits the shortest decimal that round-trips, and
+    // DuckDB's cast parses correctly-rounded — the literal IS the double
+    val rLit = rFlat.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val chains = (0 until PqM).map { s =>
+      val lo = s * PqSub + 1; val hi = (s + 1) * PqSub
+      val encDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", PqSub)
+      s"""sub${s}s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM smp),
+         |${kmeansTrainSqlCtesOver(s"sub${s}s", kLimit = "(SELECT ks FROM ksv)", dim = PqSub, suffix = s"_p$s")},
+         |sub${s}f AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM rotf),
+         |enc$s AS (
+         |  SELECT vec_id, $s AS s, centroid FROM (
+         |    SELECT e.vec_id, c.centroid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $encDist ASC, c.cid ASC) AS rn
+         |    FROM sub${s}f e CROSS JOIN c2_p$s c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $structuredCorpusCte,
+       |emb_seed AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM emb_struct WHERE vec_id % 10 <> 7
+       |),
+       |${kmeansTrainSqlCtesOver("emb_seed")},
+       |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM emb_seed),
+       |rmat AS (SELECT $rLit::DOUBLE[] AS r),
+       |rotf AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    list_transform(range($Dim), i ->
+       |      list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range($Dim), j -> m.r[i*$Dim + j + 1] * e.embedding[j+1]::DOUBLE)),
+       |        (a, b) -> a + b)) AS embedding
+       |  FROM emb_struct e CROSS JOIN rmat m
+       |),
+       |smp AS (
+       |  SELECT vec_id, embedding FROM rotf
+       |  WHERE vec_id % 10 <> 7
+       |    AND ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |$chains,
+       |rc AS MATERIALIZED (
+       |  SELECT vec_id, flatten(list(centroid ORDER BY s)) AS recon
+       |  FROM (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1 UNION ALL
+       |        SELECT * FROM enc2 UNION ALL SELECT * FROM enc3 UNION ALL
+       |        SELECT * FROM enc4 UNION ALL SELECT * FROM enc5 UNION ALL
+       |        SELECT * FROM enc6 UNION ALL SELECT * FROM enc7)
+       |  GROUP BY vec_id
+       |),
+       |rk AS MATERIALIZED (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $coarseDist ASC, c.cid ASC) AS rn
+       |    FROM emb_struct e CROSS JOIN c2 c
+       |  ) WHERE rn <= 2
+       |),
+       |sims AS (
+       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    $dot / ($np * $nr) AS sim
+       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
+       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
+       |  JOIN rc r ON r.vec_id = b.vec_id
+       |  JOIN rotf pr ON pr.vec_id = p.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS adc_sim
+       |FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims
+       |) WHERE rank <= 3""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
@@ -2324,7 +2456,8 @@ object EmbeddingQueries {
     "q136_ivfsq8_scaled" -> (q136IvfSq8Scaled _),
     "q137_codec_advisor" -> (q137CodecAdvisor _),
     "q138_ivfpq_structured" -> (q138IvfPqStructured _),
-    "q139_ann_hot_cell" -> (q139AnnHotCell _)
+    "q139_ann_hot_cell" -> (q139AnnHotCell _),
+    "q141_opq_incremental" -> (q141OpqIncremental _)
   )
 
   def sql: Map[String, String] = Map(
@@ -2358,6 +2491,7 @@ object EmbeddingQueries {
     "q136_ivfsq8_scaled" -> q136IvfSq8ScaledSql,
     "q137_codec_advisor" -> q137CodecAdvisorSql,
     "q138_ivfpq_structured" -> q138IvfPqStructuredSql,
-    "q139_ann_hot_cell" -> q139AnnHotCellSql
+    "q139_ann_hot_cell" -> q139AnnHotCellSql,
+    "q141_opq_incremental" -> q141OpqIncrementalSql
   )
 }

@@ -432,4 +432,55 @@ class IncrementalIvfPqSpec extends SparkSpec {
     val cols = IncrementalIvfPq.codes(spark, root).columns.toSet
     assert(cols == Set("vec_id", "cid", "codes"))
   }
+
+  test("opq mode: frozen-R ingest ≡ rebuild; stored R orthogonal; store's codec beats plain PQ on the correlated corpus") {
+    // the corpus OPQ exists for: the pinned structured mixture (q138's
+    // generator) — shared cluster centers put correlation across all 64
+    // dims that fixed dimension-blocks cannot exploit
+    val corr = graft.queries.EmbeddingQueries.structuredCorpus(all)
+    val seed = corr.filter(col("vec_id") % 10 =!= 7)
+    val delta = corr.filter(col("vec_id") % 10 === 7)
+    val rootInc = tmpRoot("opq_inc"); val rootFull = tmpRoot("opq_full")
+    clean(rootInc, rootFull)
+    IncrementalIvfPq.writeIndexOpq(seed, rootInc, dim = 64, k = 8, iters = 2, sweeps = 2)
+    IncrementalIvfPq.ingestBatch(spark, rootInc, delta, batchId = 1L)
+    // the q124 maintenance invariant at the rotated codec: ingest against
+    // the frozen (cells, R, codebooks) lands every vector exactly where a
+    // from-scratch re-encode of the whole corpus would
+    IncrementalIvfPq.writeIndexOpq(seed, rootFull, dim = 64, k = 8, iters = 2, sweeps = 2)
+    IncrementalIvfPq.ingestBatch(spark, rootFull, corr, batchId = 9L)
+    def codeSet(root: String) = IncrementalIvfPq.codes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(codeSet(rootInc) == codeSet(rootFull),
+      "frozen-R ingest must equal the rebuild (R, cells, and books are all pure functions)")
+    // the frozen rotation is really orthogonal (search's cos(Ra, b̂) =
+    // cos(a, Rᵀb̂) identity depends on it)
+    val r = IncrementalIvfPq.rotationOf(spark, rootInc)
+    assert(graft.ml.Opq.orthogonalityDefect(r) < 1e-9)
+    // the LADDER ROW from the gated store's own artifacts: quantization
+    // MSE through the STORE's R + codebook beats a plain-PQ codebook of
+    // identical size trained on the same seed — the reason this codec
+    // mode exists, measured from what q141's pipeline actually persisted
+    val book = spark.read.parquet(s"$rootInc/pqbook")
+    val ks = book.filter(col("s") === 0).count().toInt
+    val mseOpq = graft.ml.Opq.quantizationMse(
+      graft.ml.Opq.rotate(corr, r), book, 64, IncrementalIvfPq.M)
+    val plainBook = graft.ml.ProductQuantizer.train(seed, 64, IncrementalIvfPq.M, ks, 2, denom = 4)
+    val msePlain = graft.ml.Opq.quantizationMse(corr, plainBook, 64, IncrementalIvfPq.M)
+    info(f"store-codec MSE: plain $msePlain%.6f -> opq $mseOpq%.6f (x${msePlain / mseOpq}%.2f)")
+    assert(mseOpq < msePlain,
+      s"the maintained store's OPQ codec must beat plain PQ on the correlated corpus: $mseOpq vs $msePlain")
+    // search shape: no cartesian, candidates carry codes not floats
+    val res = IncrementalIvfPq.search(spark, rootInc, corr, nprobe = 2, topK = 3)
+    res.write.mode("overwrite").format("noop").save()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "opq search must stay equi-join shaped")
+    // deletes compose with the rotated codec (same tombstone machinery)
+    val dead = corr.filter(col("vec_id") % 10 === 4).select("vec_id")
+    IncrementalIvfPq.deleteBatch(spark, rootInc, dead, batchId = 2L)
+    val deadSet = dead.collect().map(_.getLong(0)).toSet
+    val hit = IncrementalIvfPq.search(spark, rootInc, corr, nprobe = 2, topK = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hit.intersect(deadSet).isEmpty, "tombstoned ids must not surface from an opq store")
+  }
 }

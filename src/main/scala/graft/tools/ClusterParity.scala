@@ -48,7 +48,8 @@ object ClusterParity {
     "q130_ivfpq_res_incremental", "q131_ivfpq_res_refine",
     "q132_ivfpq_filtered", "q133_ivfpq_production",
     "q134_filestream_ivfpq_res", "q135_ivfsq8_incremental",
-    "q136_ivfsq8_scaled")
+    "q136_ivfsq8_scaled", "q140_dedup_delete_pagerank",
+    "q141_opq_incremental")
 
   def fingerprint(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))

@@ -12,6 +12,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // corpus-derived shuffle width (floored at cpus → identical to the
+    // pinned layout at gate SFs, scale-safe beyond them)
+    graft.core.Sessions.deriveShuffle(spark, sfDir, cpus.toInt)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }

@@ -34,4 +34,40 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Corpus-derived shuffle width: `ceil(inputBytes / 256 MiB)`, floored
+    * at `cores` — the `bucketsFor(N)`/`kFor(N)` sizing pattern applied to
+    * the one knob that was still a fixed pin. A fixed `cores`-wide
+    * shuffle is correct while per-partition working sets fit one task
+    * (true through sf10 here), but at sf100 it put >100M-row working
+    * sets on single tasks (BASELINE.md "maintained-ANN at sf100" — the
+    * q127/q136 failure mechanism), which a data-scaled width dissolves
+    * (the q136 retry measurement). 256 MiB per post-shuffle partition is
+    * the classic budget (same constant as
+    * `spark.sql.files.maxPartitionBytes`'s spirit); AQE coalescing
+    * shrinks over-wide small stages back down at runtime, so a generous
+    * width costs little. At the gate SFs (≤ sf0.1, ≤ 20 MB on disk) the
+    * data term is 1 and the floor wins — the width IS the pinned core
+    * count, so every oracle/parity hash is byte-identical to the pinned
+    * layout. Capped at 65536 (the shuffle-partition practical ceiling;
+    * 16 TiB input before the cap binds). */
+  def partitionsFor(inputBytes: Long, cores: Int): Int = {
+    val target = 256L << 20
+    val byData = ((inputBytes + target - 1) / target).min(65536L).max(1L).toInt
+    math.max(cores, byData)
+  }
+
+  /** Apply the derived width to a live session from the data dir's actual
+    * on-disk footprint (recursive parquet bytes). Precedence:
+    * `SPARK_GRAFT_SHUFFLE` pins the width outright (the explicit-retry
+    * recipe); otherwise the width is `max(cores, derived)` so an operator
+    * never runs NARROWER than the core count it was given. Returns the
+    * width applied. Runtime `conf.set` is sufficient — shuffle width is
+    * a per-query planning config, not a session-construction one. */
+  def deriveShuffle(spark: SparkSession, dataDir: String, cores: Int): Int = {
+    val w = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(
+      partitionsFor(graft.operators.Compaction.treeBytes(spark, dataDir), cores))
+    spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    w
+  }
 }

@@ -82,6 +82,24 @@ object Compaction {
     ()
   }
 
+  /** Delete `dir` only when it is empty; a concurrent write that lands
+    * mid-call leaves the directory in place instead of crashing. The
+    * non-recursive `fs.delete(dir, false)` is NOT safe for this: on a
+    * non-empty directory it THROWS IOException (PathIsNotEmptyDirectory
+    * on HDFS, "Directory not empty" locally) rather than returning
+    * false, so a delete batch landing mid-fold would crash the caller
+    * after its swaps — with state already consistent, swallowing the
+    * race is the correct outcome (the surviving batch stays visible to
+    * the live views and the next compaction applies it). Emptiness check
+    * + delete is not atomic, so a writer can still slip between the two
+    * calls — hence the additional catch. */
+  def deleteIfEmpty(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    try fs.listStatus(dir).isEmpty && fs.delete(dir, false)
+    catch {
+      case _: java.io.FileNotFoundException => true // already gone
+      case _: java.io.IOException           => false // filled mid-call: keep it
+    }
+
   /** Total bytes of data files under `dir` (non-recursive parquet dirs). */
   def dirBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)

@@ -106,9 +106,14 @@ object IncrementalDedup {
     * store, not in Spark streaming state, so it survives restarts and is
     * shared with batch ingests. */
   def dedupeStream(docsStream: DataFrame, root: String, pairsOut: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   policy: MaintenancePolicy = MaintenancePolicy.Off): org.apache.spark.sql.streaming.StreamingQuery =
     streamIngest(docsStream, checkpoint) { (batch, batchId) =>
       ingestBatch(batch.sparkSession, root, pairsOut, batch, batchId)
+      if (policy.compactDue(batchId)) {
+        compactStoreBounded(batch.sparkSession, root, maxBatchExclusive = batchId)
+        ()
+      }
     }
 
   /** Shared streaming scaffolding: checkpointed foreachBatch over the
@@ -310,9 +315,14 @@ object IncrementalDedup {
     * [[writeEdgeStore]] first. */
   def dedupeStreamWithEdges(docsStream: DataFrame, root: String, pairsOut: String,
                             checkpoint: String,
-                            threshold: Double = EdgeThreshold): org.apache.spark.sql.streaming.StreamingQuery =
+                            threshold: Double = EdgeThreshold,
+                            policy: MaintenancePolicy = MaintenancePolicy.Off): org.apache.spark.sql.streaming.StreamingQuery =
     streamIngest(docsStream, checkpoint) { (batch, batchId) =>
       ingestBatchWithEdges(batch.sparkSession, root, pairsOut, batch, batchId, threshold)
+      if (policy.compactDue(batchId)) {
+        compactStoreBounded(batch.sparkSession, root, maxBatchExclusive = batchId)
+        ()
+      }
     }
 
   /** Store maintenance: fold every ingested `ingest_batch=N` partition of
@@ -408,10 +418,54 @@ object IncrementalDedup {
           && purgedOrEmpty(fs2, s"$root/sets")
           && purgedOrEmpty(fe, s"$root/edges")) {
         batchDirs.foreach(fs.delete(_, true))
-        // non-recursive: succeeds only when no mid-fold delete landed
-        fs.delete(tomb, false)
+        // empty-only delete: a mid-fold delete batch survives (left in
+        // place for the next compaction) instead of crashing the fold
+        Compaction.deleteIfEmpty(fs, tomb)
         ()
       }
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Bounded, purge-free fold for the STREAMING maintenance policy
+    * ([[MaintenancePolicy]]): consolidates every COMMITTED batch
+    * (`ingest_batch < maxBatchExclusive`) of `bands/`, `sets/`, and
+    * `edges/` into the base partition, while partitions at or above the
+    * bound pass through the rewrite in their OWN partition — so a
+    * crash-replay of the in-flight batch still dynamic-overwrites exactly
+    * its rows instead of duplicating them next to a folded copy (the
+    * safe-point contract, met by construction instead of by scheduling).
+    * Tombstones are NOT purged or truncated here — the liveness filters
+    * keep applying, and the physical purge stays [[compactStore]]'s job
+    * at an offline safe point (row-level purge must be able to truncate
+    * the tombstones it applied, which is only sound when EVERY partition
+    * folds). A held store lease skips the pass (returns false): inside
+    * foreachBatch a throw would fail the stream, and a live maintainer
+    * owning the store is exactly when opportunistic maintenance should
+    * stand down. */
+  def compactStoreBounded(spark: SparkSession, root: String,
+                          maxBatchExclusive: Long,
+                          targetBytes: Long = 128L << 20): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock =
+      try Compaction.acquireLease(fs, root)
+      catch { case _: IllegalArgumentException => return false }
+    try {
+      val keep: DataFrame => DataFrame = df =>
+        df.withColumn("ingest_batch",
+          when(col("ingest_batch") >= lit(maxBatchExclusive), col("ingest_batch"))
+            .otherwise(lit(-1L)))
+      Compaction.foldIngestBatchesLeased(spark, s"$root/bands",
+        innerPartCols = Seq("band_bucket"), rangeCols = Nil,
+        targetBytes = targetBytes, transform = keep)
+      Compaction.foldIngestBatchesLeased(spark, s"$root/sets",
+        innerPartCols = Nil, rangeCols = Seq("doc_id"),
+        targetBytes = targetBytes, transform = keep)
+      Compaction.foldIngestBatchesLeased(spark, s"$root/edges",
+        innerPartCols = Nil, rangeCols = Seq("doc_a"),
+        schema = Some(EdgesSchema),
+        targetBytes = targetBytes, transform = keep)
+      true
     } finally { fs.delete(lock, false); () }
   }
 

@@ -72,7 +72,7 @@ object IncrementalIvfPq {
       .write.mode("overwrite").partitionBy("ingest_batch", "cid")
       .parquet(s"$root/codes")
     cents.unpersist()
-    ()
+    writeStats(state, root)
   }
 
   /** The store's codec, from `meta/`: "raw" (PQ on absolute vectors),
@@ -122,7 +122,7 @@ object IncrementalIvfPq {
       .write.mode("overwrite").partitionBy("ingest_batch", "cid")
       .parquet(s"$root/codes")
     cents.unpersist()
-    ()
+    writeStats(state, root)
   }
 
   /** Seed an OPQ-coded store — [[graft.ml.Opq]]'s learned rotation as a
@@ -164,7 +164,114 @@ object IncrementalIvfPq {
       .write.mode("overwrite").partitionBy("ingest_batch", "cid")
       .parquet(s"$root/codes")
     cents.unpersist()
+    writeStats(state, root)
+  }
+
+  /** Per-cell mean assignment distance of the seed corpus under
+    * `root/stats` (cid, mean_dist, n) — the drift baseline for
+    * [[assignmentDrift]], k rows. Written at seed/[[retrain]] time while
+    * the full-precision state is still in hand: the codes store is LOSSY,
+    * so unlike [[IncrementalIvf]]'s float index this baseline cannot be
+    * recomputed from the store later. Coarse assignment is raw-space for
+    * every codec (residual/sq8/opq all key cells on the unrotated
+    * vector), so one recipe serves all four. */
+  private def writeStats(state: DataFrame, root: String): Unit = {
+    val spark = state.sparkSession
+    graft.ml.KMeans.assign(state, spark.read.parquet(s"$root/centroids"))
+      .withColumn("adist", sqrt(col("dist_sq")))
+      .groupBy("cid")
+      .agg(avg("adist").as("mean_dist"), count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     ()
+  }
+
+  /** MEASURED drift signal for the frozen quantizers — the
+    * [[IncrementalIvf.assignmentDrift]] recipe at the compressed codec:
+    * the delta's mean coarse-assignment distance, normalized per cell by
+    * the seed's baseline (`root/stats`); ≈1.0 in-distribution, growing as
+    * ingest leaves the trained cells (recall decays silently — candidates
+    * concentrate in few cells while the frozen codebooks quantize
+    * residuals they never trained on). Cells the seed never populated
+    * normalize by the seed's global mean. Cost: O(|delta| · k) distance
+    * evals + two k-row broadcasts — the ingest assignment's own order.
+    * Compare against [[IncrementalIvf.DriftRetrainThreshold]] and call
+    * [[retrain]] at the next snapshot point when exceeded. */
+  def assignmentDrift(spark: SparkSession, root: String, delta: DataFrame): Double = {
+    val stats = spark.read.parquet(s"$root/stats")
+    val g = stats.select(
+      (sum(col("mean_dist") * col("n")) / sum(col("n"))).as("gm")).first()
+    val globalMean = if (g.isNullAt(0)) 0.0 else g.getDouble(0)
+    if (globalMean <= 0.0) return 1.0 // degenerate seed (all vectors identical)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val r = graft.ml.KMeans.assign(delta, cents)
+      .withColumn("adist", sqrt(col("dist_sq")))
+      .join(broadcast(stats.select(col("cid"), col("mean_dist"))), Seq("cid"), "left_outer")
+      .select(avg(col("adist") /
+        when(col("mean_dist") > 0.0, col("mean_dist")).otherwise(lit(globalMean)))
+        .as("drift")).first()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** Snapshot retrain — the answer to the frozen-quantizer caveat at the
+    * COMPRESSED codec (previously only the uncompressed
+    * [[IncrementalIvf.retrain]] had one): re-learn the coarse quantizer,
+    * the codebooks, and (for opq stores) the rotation on `corpus`,
+    * re-encode everything, and swap the rebuilt store in as ONE unit by
+    * the same fail-stop two-rename protocol (`root` → `root__retrain_old`,
+    * staged sibling → `root`) under the store-root lease — a crash
+    * mid-swap leaves `root` missing (loud), recovered by the next
+    * [[retrain]]/[[recoverSwap]]; never a MIXED store (new codebooks over
+    * old codes would decode plausible-looking wrong neighbors). The
+    * rebuild lands everything in batch −1, so a retrain is also a full
+    * compaction, and the fresh store carries no tombstones.
+    *
+    * `corpus` is the caller's LIVE full-precision corpus (state ∪ every
+    * ingested delta, deleted ids excluded): the codes store is lossy, so
+    * — exactly like [[searchRefined]]'s refine stage — the raw vectors
+    * are the system of record and retraining reads them there, not from
+    * the 8-byte codes. The codec is preserved from `meta/`; widths
+    * re-derive from the POST-drift corpus size when unpinned (`k`/`ks`
+    * ≤ 0), so a store that grew a decade retrains at the decade's √N. */
+  def retrain(spark: SparkSession, root: String, corpus: DataFrame, dim: Int,
+              k: Int = -1, ks: Int = -1, iters: Int = 2, sweeps: Int = 2): Unit = {
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-maintainer lease: a second concurrent retrain's recovery
+    // branch could delete the parked __retrain_old copy while this one
+    // is between its two renames (IncrementalIvf.retrain's contract)
+    val lock = Compaction.acquireLease(fs, root)
+    try {
+      recoverSwap(spark, root)
+      val tmp = s"${root}__retrain"
+      encoding(spark, root) match {
+        case "sq8"      => writeIndexSq8(corpus, tmp, dim, k, iters)
+        case "residual" => writeIndex(corpus, tmp, dim, k, ks, iters, residual = true)
+        case "opq"      => writeIndexOpq(corpus, tmp, dim, k, ks, iters, sweeps)
+        case _          => writeIndex(corpus, tmp, dim, k, ks, iters)
+      }
+      val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
+      // a FALSE rename return unchecked would nest the retrained store
+      // inside the still-live root (the mixed state the protocol forbids)
+      require(fs.rename(fsRoot, old), s"retrain swap rename $fsRoot -> $old failed")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), fsRoot),
+        s"retrain swap rename $tmp -> $fsRoot failed")
+      fs.delete(old, true)
+      ()
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Restore a store whose last [[retrain]] crashed between its two
+    * renames (live root missing, pre-retrain copy parked); clears
+    * leftover staging/parked dirs otherwise. No-op on a healthy store. */
+  def recoverSwap(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"${root}__retrain_old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"retrain recovery rename $old -> $p failed")
+    else if (fs.exists(old)) fs.delete(old, true)
+    val stale = new org.apache.hadoop.fs.Path(s"${root}__retrain")
+    if (fs.exists(stale)) { fs.delete(stale, true); () }
   }
 
   /** The frozen rotation (row-major d×d) of an OPQ store. */
@@ -320,11 +427,11 @@ object IncrementalIvfPq {
         transform = purge)
       if (folded && batchDirs.nonEmpty) {
         batchDirs.foreach(fs.delete(_, true))
-        // non-recursive: succeeds only when empty, so a delete batch that
-        // landed mid-fold survives (visible to liveCodes) instead of
-        // being wiped unapplied; when it succeeds, liveCodes' existence
+        // empty-only delete: a delete batch that landed mid-fold survives
+        // (visible to liveCodes) instead of crashing the fold or being
+        // wiped unapplied; when the delete succeeds, liveCodes' existence
         // check skips the anti-join entirely
-        fs.delete(tomb, false)
+        Compaction.deleteIfEmpty(fs, tomb)
         ()
       }
     } finally { fs.delete(lock, false); () }
@@ -350,6 +457,39 @@ object IncrementalIvfPq {
   def recommendCodec(sample: DataFrame, k: Int = -1, iters: Int = 2,
                      threshold: Double = CodecThreshold): String =
     if (explainedVariance(sample, k, iters) >= threshold) "residual" else "sq8"
+
+  /** Relative quantization-MSE win the learned rotation must deliver
+    * before the three-way advisor prefers "opq" over "residual": the
+    * measured ladder shows the rotation pays for itself only on
+    * corpora with real inter-dimension correlation (structured corpus:
+    * MSE win far above this; isotropic corpus: ≈0 — rotation of white
+    * noise can't help a subspace quantizer). 5% keeps in-the-noise wins
+    * from flipping the codec. */
+  val OpqMseWinThreshold = 0.05
+
+  /** Three-way codec advisor (residual / sq8 / opq) — the two-way
+    * decision extended with the ladder's OTHER measured criterion: on a
+    * clustered corpus, prefer OPQ over residual-PQ exactly when the
+    * learned rotation's quantization-MSE win at EQUAL bit budget (same
+    * m, ks, training sample — [[graft.ml.Opq.fit]] with `sweeps = 0` IS
+    * plain PQ, so the two measurements differ only by R) exceeds
+    * [[OpqMseWinThreshold]]. Unclustered corpora still route to sq8
+    * first (PQ at any rotation cannot rank within-cell white noise).
+    * Cost: the two-way statistic + two 1-sweep codebook fits and two
+    * MSE passes over the sample — advisor-time, not store-time. */
+  def recommendCodec3(sample: DataFrame, dim: Int, k: Int = -1, iters: Int = 2,
+                      threshold: Double = CodecThreshold,
+                      opqWin: Double = OpqMseWinThreshold): String =
+    if (explainedVariance(sample, k, iters) < threshold) "sq8"
+    else {
+      val kss = ProductQuantizer.ksFor(sample.count())
+      val (_, rawBook) = graft.ml.Opq.fit(sample, dim, M, kss, iters, sweeps = 0)
+      val rawMse = graft.ml.Opq.quantizationMse(sample, rawBook, dim, M)
+      val (r, opqBook) = graft.ml.Opq.fit(sample, dim, M, kss, iters, sweeps = 1)
+      val opqMse = graft.ml.Opq.quantizationMse(
+        graft.ml.Opq.rotate(sample, r), opqBook, dim, M)
+      if (opqMse < rawMse * (1.0 - opqWin)) "opq" else "residual"
+    }
 
   /** The advisor's measured statistic on its own:
     * `1 − E‖x − c(x)‖² / E‖x − mean‖²` — the fraction of the sample's
@@ -413,12 +553,22 @@ object IncrementalIvfPq {
     * physically purges tombstoned rows from the lists and truncates the
     * applied tombstone batches, so a long-lived churn-heavy store pays
     * the anti-join only for deletes since its last compaction. */
+  private val TombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("delete_batch", org.apache.spark.sql.types.LongType)))
+
   def liveCodes(spark: SparkSession, root: String): DataFrame = {
     val t = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(t))
+      // explicit schema: in the window where compactIndex has truncated
+      // every delete_batch dir but not yet the root, inference would
+      // throw "Unable to infer schema" — with the schema pinned an empty
+      // tombstone dir is an empty frame and the anti-join is a no-op
+      // (IncrementalDedup.TombSchema plays the same role there)
       codes(spark, root).join(
-        spark.read.parquet(t.toString).select("vec_id").distinct(),
+        spark.read.schema(TombSchema).parquet(t.toString)
+          .select("vec_id").distinct(),
         Seq("vec_id"), "left_anti")
     else codes(spark, root)
   }
@@ -431,13 +581,52 @@ object IncrementalIvfPq {
     * that keeps the streamed store ≡ a from-scratch batch rebuild
     * (q126 hash-proves it against q124's rebuild-replaying oracle). */
   def ingestStream(vecStream: DataFrame, root: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   policy: MaintenancePolicy = MaintenancePolicy.Off): org.apache.spark.sql.streaming.StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) ingestBatch(batch.sparkSession, root, batch, batchId)
+        if (!batch.isEmpty) {
+          ingestBatch(batch.sparkSession, root, batch, batchId)
+          if (policy.driftDue(batchId))
+            policy.onDrift(batchId,
+              assignmentDrift(batch.sparkSession, root, batch))
+          if (policy.compactDue(batchId)) {
+            compactIndexBounded(batch.sparkSession, root, maxBatchExclusive = batchId)
+            ()
+          }
+        }
       }
       .start()
+
+  /** Bounded, tombstone-free fold for the STREAMING maintenance policy
+    * ([[MaintenancePolicy]]): committed batches (`ingest_batch <
+    * maxBatchExclusive`) fold to the base, the in-flight batch passes
+    * through in its own partition (so a crash-replay's dynamic overwrite
+    * replaces exactly it — the safe-point contract met by construction).
+    * Tombstone purge/truncation stays [[compactIndex]]'s offline job; the
+    * [[liveCodes]] anti-join keeps filtering meanwhile. A held store
+    * lease skips the pass (returns false) rather than failing the
+    * stream. */
+  def compactIndexBounded(spark: SparkSession, root: String,
+                          maxBatchExclusive: Long,
+                          targetBytes: Long = 128L << 20): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock =
+      try Compaction.acquireLease(fs, root)
+      catch { case _: IllegalArgumentException => return false }
+    try {
+      val keep: DataFrame => DataFrame = df =>
+        df.withColumn("ingest_batch",
+          when(col("ingest_batch") >= lit(maxBatchExclusive), col("ingest_batch"))
+            .otherwise(lit(-1L)))
+      Compaction.foldIngestBatchesLeased(spark, s"$root/codes",
+        innerPartCols = Seq("cid"), rangeCols = Nil,
+        targetBytes = targetBytes, transform = keep)
+      true
+    } finally { fs.delete(lock, false); () }
+  }
 
   /** IVF-PQ top-k search: probes rank their `nprobe` nearest frozen
     * cells (broadcast k-row frame), candidates come from the cid

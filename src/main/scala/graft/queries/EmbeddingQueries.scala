@@ -1806,7 +1806,10 @@ object EmbeddingQueries {
                                    coarseKLimit: String = SemK.toString,
                                    corpusSrc: String = "embeddings",
                                    candFilter: String = "",
-                                   headCtes: String = ""): String = {
+                                   headCtes: String = "",
+                                   seedBody: String =
+                                     "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7",
+                                   smpSeedFilter: String = "vec_id % 10 <> 7\n    AND "): String = {
     val coarseDist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
     val dot = VecFns.ddbDot("p.embedding", "r.recon", Dim)
     val np = VecFns.ddbNorm("p.embedding", Dim)
@@ -1863,7 +1866,7 @@ object EmbeddingQueries {
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH emb_seed AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+       |  $seedBody
        |),
        |$headCtes${kmeansTrainSqlCtesOver("emb_seed", kLimit = coarseKLimit)},
        |ksv AS (SELECT LEAST(256, GREATEST(16, CAST(FLOOR(COUNT(*) / 32.0) AS BIGINT))) AS ks FROM emb_seed),
@@ -1883,8 +1886,7 @@ object EmbeddingQueries {
        |),
        |smp AS (
        |  SELECT vec_id, embedding FROM resf
-       |  WHERE vec_id % 10 <> 7
-       |    AND ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |  WHERE $smpSeedFilter((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
        |),
        |$chains,
        |rc AS MATERIALIZED (
@@ -2342,6 +2344,14 @@ object EmbeddingQueries {
     * local run that skips q141 gets a loudly-failing placeholder rather
     * than a silently-wrong replay. */
   def q141OpqIncrementalSql: String = {
+    // the dump is process-global (oracleSql has no dir parameter), so a
+    // process that built OPQ stores for TWO data dirs cannot know which
+    // R the driver will replay against — fail loudly rather than pin a
+    // possibly-wrong rotation and produce a spurious oracle mismatch
+    if (opqStructR.size() > 1)
+      throw new IllegalStateException(
+        s"q141 oracle is single-dir per process; stores built for: " +
+          String.join(", ", opqStructR.keySet()))
     val it = opqStructR.values().iterator()
     if (!it.hasNext)
       "SELECT 'q141 must run before its oracle dumps (R is captured from the store)' AS error"
@@ -2425,6 +2435,76 @@ object EmbeddingQueries {
        |) WHERE rank <= 3""".stripMargin
   }
 
+  /** q142: DRIFT-TRIGGERED RETRAIN AT THE PRODUCTION CODEC — q123's
+    * maintenance loop on the COMPRESSED store ([[graft.operators
+    * .IncrementalIvfPq]], residual codec, derived widths — q133's
+    * configuration), closing the r13 verdict's "no retrain path on the
+    * compressed store" gap under the oracle gate. Seed the store on the
+    * 90%, present the deterministic drifted delta (held-out 10% scaled
+    * ×4 — exact in float), MEASURE the drift signal (must exceed
+    * [[graft.operators.IncrementalIvf.DriftRetrainThreshold]] —
+    * require()d, the trigger premise fails loudly), ingest, then
+    * snapshot-[[graft.operators.IncrementalIvfPq.retrain]] on the full
+    * maintained corpus (the raw vectors — the system of record; the
+    * 8-byte codes are lossy, so retraining reads the corpus exactly as
+    * [[graft.operators.IncrementalIvfPq.searchRefined]]'s refine stage
+    * does) and search the retrained store. The oracle replays the
+    * POST-RETRAIN state from scratch: coarse √N training on seed ∪
+    * scaled-delta, residual codebook chains on the full corpus's 1-in-4
+    * sample, full re-encode, ADC probe/rerank — hash-proving
+    * `search(retrain(ingest(drifted)))` ≡ the from-scratch rebuild at
+    * the compressed codec: no residue of the pre-drift quantizers,
+    * codebooks, or stats baseline survives the swap. */
+  private val driftPqRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def driftedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    e.filter(col("vec_id") % 10 =!= 7).unionByName(
+      e.filter(col("vec_id") % 10 === 7)
+        // ×4 is an exponent shift — exact in FLOAT, bit-identical across
+        // engines (the q123 drifted-delta recipe)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(4.0f))))
+  }
+
+  def q142PqDriftRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val root = driftPqRoots.computeIfAbsent(dir, { d =>
+      val r = graft.core.StorePaths.root("driftivfpq", d)
+      val e = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      val seed = e.filter(col("vec_id") % 10 =!= 7)
+      val delta = e.filter(col("vec_id") % 10 === 7)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(4.0f)))
+      graft.operators.IncrementalIvfPq.writeIndex(
+        seed, r, Dim, iters = SemKIters, residual = true)
+      val drift = graft.operators.IncrementalIvfPq.assignmentDrift(spark, r, delta)
+      require(drift > graft.operators.IncrementalIvf.DriftRetrainThreshold,
+        f"q142 premise broken: scaled delta must trip the retrain trigger (drift=$drift%.3f)")
+      graft.operators.IncrementalIvfPq.ingestBatch(spark, r, delta, batchId = 1L)
+      graft.operators.IncrementalIvfPq.retrain(
+        spark, r, corpus = seed.unionByName(delta), dim = Dim, iters = SemKIters)
+      r
+    })
+    graft.operators.IncrementalIvfPq.search(
+      spark, root, driftedCorpus(spark, dir), nprobe = 2, topK = 3)
+  }
+
+  /** The q142 oracle: the residual-seed replay with BOTH training and
+    * corpus swapped to the post-drift union — seed = sample base = the
+    * full drifted corpus (retrain re-derives every width from it: coarse
+    * k = ⌈√N⌉, codebook ks = N/32 clamped). */
+  val q142PqDriftRetrainSql: String = ivfPqResidualSeedSql(
+    refine = 0,
+    coarseKLimit = "(SELECT k FROM kv)",
+    corpusSrc = "emb_seed",
+    headCtes =
+      """kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM emb_seed),
+        |""".stripMargin,
+    seedBody =
+      """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x * 4 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 7""".stripMargin,
+    smpSeedFilter = "")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk" -> (q31CosineTopK _),
     "q32_ann_lsh" -> (q32AnnLsh _),
@@ -2457,7 +2537,8 @@ object EmbeddingQueries {
     "q137_codec_advisor" -> (q137CodecAdvisor _),
     "q138_ivfpq_structured" -> (q138IvfPqStructured _),
     "q139_ann_hot_cell" -> (q139AnnHotCell _),
-    "q141_opq_incremental" -> (q141OpqIncremental _)
+    "q141_opq_incremental" -> (q141OpqIncremental _),
+    "q142_pq_drift_retrain" -> (q142PqDriftRetrain _)
   )
 
   def sql: Map[String, String] = Map(
@@ -2492,6 +2573,7 @@ object EmbeddingQueries {
     "q137_codec_advisor" -> q137CodecAdvisorSql,
     "q138_ivfpq_structured" -> q138IvfPqStructuredSql,
     "q139_ann_hot_cell" -> q139AnnHotCellSql,
-    "q141_opq_incremental" -> q141OpqIncrementalSql
+    "q141_opq_incremental" -> q141OpqIncrementalSql,
+    "q142_pq_drift_retrain" -> q142PqDriftRetrainSql
   )
 }

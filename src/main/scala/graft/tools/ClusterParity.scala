@@ -71,6 +71,10 @@ object ClusterParity {
     sys.env.get("SPARK_GRAFT_JAR").foreach(j => b = b.config("spark.jars", j))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // corpus-derived shuffle width (floored at the pinned core count →
+    // identical to the pinned layout at gate SFs; SPARK_GRAFT_CPUS still
+    // raises the floor for the documented retry recipes)
+    graft.core.Sessions.deriveShuffle(spark, sfDir, shuffleParts.toInt)
     // spill accounting for the memory-pressure gate: the sf10 small-
     // executor runs must PROVE the spill regime engaged (spilledBytes >
     // 0) while hashes stay identical — a "spill parity" claim without

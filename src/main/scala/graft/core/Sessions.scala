@@ -19,6 +19,28 @@ import org.apache.spark.sql.SparkSession
   * pushdown on timestamp columns intact.
   */
 object Sessions {
+  /** Hash-mode key budget for `ObjectHashAggregateExec` (every
+    * TypedImperativeAggregate here: TopKAgg, the sketches). Spark's
+    * default fallback threshold is 128 keys — past it the operator
+    * abandons the hash map and EXTERNALLY SORTS the rest of its input
+    * by group key. For the ADC candidate rerank that input is the
+    * |probes_in_cell|×|cell| join output, so the 128-key default turned
+    * the bounded-state top-k into a full candidate-stream sort (the
+    * 343 GiB disk spill of the r12 sf10 spill gate, and the staged
+    * ~170 GB of the q136 sf100 retry — BASELINE.md). The buffers the
+    * hash map holds are small by construction (a TopKBuffer is
+    * 2·k·8 B + headers ≈ 400 B at the suite's k; sketch buffers are
+    * fixed-size), so the honest memory cap for 512k keys is ~200 MB
+    * per task — far cheaper than sorting billions of candidate rows,
+    * and still a real fallback guard for a pathological group count
+    * (TypedImperativeAggregate buffers are JVM objects the memory
+    * manager does not track, which is why the knob exists at all).
+    * Per-task group counts in this suite stay ≤ ~tens of thousands:
+    * probes spread across cells, so a partial-agg task sees only the
+    * probes that probed ITS cells. Env `SPARK_GRAFT_OHA_FALLBACK`
+    * overrides for A/B measurement. */
+  val ObjectAggFallbackKeys: Int = 524288
+
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -27,6 +49,8 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", ObjectAggFallbackKeys.toString))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

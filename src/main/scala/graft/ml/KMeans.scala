@@ -18,15 +18,32 @@ import graft.expr.NativeVecFns
 object KMeans {
 
   /** Assign each vector to its nearest centroid (squared L2, native
-    * codegen'd kernel; deterministic tiebreak on centroid id). */
+    * codegen'd kernel; deterministic tiebreak on centroid id).
+    *
+    * The argmin is a [[TopKAgg]] at k = 1, NOT a `row_number` window:
+    * the window plan hash-exchanges the ENTIRE N×k cross-join stream on
+    * vec_id and externally sorts it per partition — measured at sf10
+    * under a 16 GiB heap as 18.45 GB of sort spill PER Lloyd pass
+    * (SpillProbe, BASELINE.md r14), ×(iters+1) passes per store build.
+    * The aggregate form map-side-combines the same stream to one
+    * 16-byte (best dist, best cid) state per vector BEFORE any
+    * exchange, so the shuffle moves N one-row buffers instead of N×k
+    * candidate rows and nothing sorts. Score = −dist_sq (IEEE negation
+    * is exact, so the recovered dist_sq is bit-identical), ties by
+    * ascending cid — the window's exact selection semantics. Grouping
+    * carries `embedding` (functionally dependent on vec_id) so the
+    * output needs no join back. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
-    val d = vectors.crossJoin(broadcast(centroids))
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
-    d.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"), col("dist_sq"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(graft.expr.TopKAgg.topKByScore(spark,
+        negate(col("dist_sq")), col("cid").cast("long"), 1).as("top"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("top"), 1).getField("id")
+          .cast(centroids.schema("cid").dataType).as("cid"),
+        negate(element_at(col("top"), 1).getField("score")).as("dist_sq"))
   }
 
   /** One Lloyd update: new centroid = mean of assigned vectors (empty
@@ -153,17 +170,32 @@ object KMeans {
     fit(sample, k, iters)
   }
 
+  /** Each vector's `nProbe` nearest cells as (vec_id, embedding, cid,
+    * rn ∈ 1..nProbe) — the probe-side ranking every IVF search starts
+    * with. Same aggregate-not-window shape as [[assign]] (which is the
+    * nProbe = 1 case): the k-deep (dist asc, cid asc) selection runs as
+    * a map-side-combining [[TopKAgg]] whose per-vector state is nProbe
+    * (score, cid) pairs, so the N×k cross-join stream never reaches an
+    * exchange or a sort. */
+  def probeCells(vectors: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(graft.expr.TopKAgg.topKByScore(spark,
+        negate(col("dist_sq")), col("cid").cast("long"), nProbe).as("top"))
+      .select(col("vec_id"), col("embedding"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("embedding"),
+        col("t.id").cast(centroids.schema("cid").dataType).as("cid"),
+        (col("pos") + 1).as("rn"))
+  }
+
   /** IVF search: restrict the exact search to the `nProbe` centroids
     * nearest the query side — the candidate join keys on cid, replacing
     * the all-pairs cross join. */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val spark = vectors.sparkSession
-    // each vector's nProbe candidate cells
-    val probes = vectors.crossJoin(broadcast(centroids))
-      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-    val pw = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
-    val cand = probes.withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nProbe)
+    val cand = probeCells(vectors, centroids, nProbe)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("cid"))
     val cells = assign(vectors, centroids)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid"))

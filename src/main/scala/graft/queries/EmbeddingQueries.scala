@@ -332,15 +332,19 @@ object EmbeddingQueries {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label").as("c_label"), transform(col("pc"), p => p("c")).as("centroid"))
-    val dists = e.select(col("vec_id"), col("label"), col("embedding"))
+    // aggregate-not-window argmin (the r14 spill fix — KMeans.assign's
+    // shape): map-side combine instead of exchanging + sorting N×k rows
+    val best = e.select(col("vec_id"), col("label"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("c_label").asc)
-    dists.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"),
-        round(col("dist_sq"), 4).as("dist_sq"),
-        (col("c_label") === col("label")).as("is_own_cluster"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(graft.expr.TopKAgg.topKByScore(spark,
+        negate(col("dist_sq")), col("c_label").cast("long"), 1).as("top"))
+    best
+      .select(col("vec_id"), col("label"),
+        element_at(col("top"), 1).getField("id").cast("int").as("nearest_label"),
+        round(negate(element_at(col("top"), 1).getField("score")), 4).as("dist_sq"))
+      .withColumn("is_own_cluster", col("nearest_label") === col("label"))
   }
 
   val q33IvfCentroidSql: String = {
@@ -457,15 +461,12 @@ object EmbeddingQueries {
 
   private def semDedupWith(spark: SparkSession, e: DataFrame,
                            centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids)
-    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
-    val asg = e.select(col("vec_id"), col("embedding"),
-        NativeVecFns.norm(spark, col("embedding")).as("nrm"))
-      .crossJoin(cents)
-      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cluster"))
+    // aggregate-not-window argmin (KMeans.assign — the r14 spill fix):
+    // at q119's k = √N the window form exchanged + sorted N·√N rows
+    val asg = graft.ml.KMeans.assign(
+        e.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("embedding"),
+        NativeVecFns.norm(spark, col("embedding")).as("nrm"), col("cid").as("cluster"))
       // feeds both sides of the intra-cluster pair join
       .persist()
     val pruned = asg.as("a")
@@ -599,14 +600,15 @@ object EmbeddingQueries {
     * probe list). Shared by q89 and the replica-invariance smoke. */
   private[graft] def ivfRanked(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val spark = vecs.sparkSession
-    val w = Window.partitionBy("vec_id").orderBy(col("dist_sq").asc, col("cid").asc)
-    vecs.select(col("vec_id"), col("embedding"),
-        NativeVecFns.norm(spark, col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("rn"))
+    // aggregate-not-window probe ranking (KMeans.probeCells — the r14
+    // spill fix): the N×k centroid-distance stream map-side-combines to
+    // nprobe (score, cid) pairs per vector instead of hash-exchanging
+    // and sorting the whole stream. nrm recomputes from the embedding
+    // after the ranking — bit-identical to computing it before.
+    graft.ml.KMeans.probeCells(
+        vecs.select("vec_id", "embedding"), cents.select("cid", "centroid"), nprobe)
+      .select(col("vec_id"), col("embedding"),
+        NativeVecFns.norm(spark, col("embedding")).as("nrm"), col("cid"), col("rn"))
   }
 
   /** IVF probe/rerank tail shared by q89 and q118: rn = 1 is the

@@ -483,4 +483,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(nlj == 1, s"expected exactly the ground-truth nest-loop join, got $nlj:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
   }
+
+  test("r14 spill fixes hold: no vec_id window sort in the ANN centroid paths, TopKAgg stays hash-mode") {
+    // Mechanism 2 regression gate: the coarse assign / probe ranking must
+    // plan as aggregates (map-side combine of the N×k cross-join stream),
+    // never as a row_number window that exchanges and sorts it — measured
+    // at sf10 as 18.45 GB of sort spill per pass before the r14 rewrite.
+    // q89 exercises ivfRanked+assign; q74 the SemDeDup assign; q33 the
+    // label-centroid argmin.
+    for (name <- Seq("q89_ivf_ann", "q74_semdedup", "q33_ivf_centroid")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name must not plan a window over the centroid-distance stream:\n$p")
+      assert(p.contains("ObjectHashAggregate") && p.contains("top_k_by_score"),
+        s"$name: the argmin/probe ranking must be the TopKAgg aggregate:\n$p")
+    }
+    // Mechanism 1 regression gate: the session must carry the raised
+    // ObjectHashAggregate fallback threshold — at Spark's default 128 every
+    // >128-group task silently externally-sorts its whole input instead.
+    val th = spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    assert(th.toInt == graft.core.Sessions.ObjectAggFallbackKeys,
+      s"fallback threshold must be the engine default, got $th")
+  }
 }

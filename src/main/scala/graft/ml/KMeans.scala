@@ -30,16 +30,20 @@ object KMeans {
     * exchange, so the shuffle moves N one-row buffers instead of N×k
     * candidate rows and nothing sorts. Score = −dist_sq (IEEE negation
     * is exact, so the recovered dist_sq is bit-identical), ties by
-    * ascending cid — the window's exact selection semantics. Grouping
-    * carries `embedding` (functionally dependent on vec_id) so the
-    * output needs no join back. */
+    * ascending cid — the window's exact selection semantics. The group
+    * key is vec_id ALONE — the embedding rides along as `first()`
+    * (constant within a group, so the value is deterministic): grouping
+    * by (vec_id, embedding) would hash-probe a ~0.5 KB key once per
+    * candidate row, k× per vector. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     vectors.crossJoin(broadcast(centroids))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(graft.expr.TopKAgg.topKByScore(spark,
-        negate(col("dist_sq")), col("cid").cast("long"), 1).as("top"))
+      .groupBy(col("vec_id"))
+      .agg(
+        graft.expr.TopKAgg.topKByScore(spark,
+          negate(col("dist_sq")), col("cid").cast("long"), 1).as("top"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         element_at(col("top"), 1).getField("id")
           .cast(centroids.schema("cid").dataType).as("cid"),
@@ -181,9 +185,11 @@ object KMeans {
     val spark = vectors.sparkSession
     vectors.crossJoin(broadcast(centroids))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(graft.expr.TopKAgg.topKByScore(spark,
-        negate(col("dist_sq")), col("cid").cast("long"), nProbe).as("top"))
+      .groupBy(col("vec_id"))
+      .agg(
+        graft.expr.TopKAgg.topKByScore(spark,
+          negate(col("dist_sq")), col("cid").cast("long"), nProbe).as("top"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("vec_id"), col("embedding"),
         col("t.id").cast(centroids.schema("cid").dataType).as("cid"),

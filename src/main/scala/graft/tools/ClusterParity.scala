@@ -49,7 +49,7 @@ object ClusterParity {
     "q132_ivfpq_filtered", "q133_ivfpq_production",
     "q134_filestream_ivfpq_res", "q135_ivfsq8_incremental",
     "q136_ivfsq8_scaled", "q140_dedup_delete_pagerank",
-    "q141_opq_incremental")
+    "q141_opq_incremental", "q142_pq_drift_retrain")
 
   def fingerprint(df: DataFrame): (String, Long) = {
     val cols = df.columns.sorted.map(c => col(s"`$c`"))

@@ -38,7 +38,17 @@ object Sessions {
     * Per-task group counts in this suite stay ≤ ~tens of thousands:
     * probes spread across cells, so a partial-agg task sees only the
     * probes that probed ITS cells. Env `SPARK_GRAFT_OHA_FALLBACK`
-    * overrides for A/B measurement. */
+    * overrides for A/B measurement.
+    *
+    * Scope note: the raised threshold is session-wide, so it also
+    * governs collect_list / sketch / `first(embedding)` ride-along
+    * ObjectHashAggregates whose buffers are likewise untracked JVM
+    * memory (~0.5 KB per group for an embedding `first`, ≈ +270 MB at
+    * the cap on the assign path). Measured green under the 4×4 GiB
+    * spill gate (PARITY_spill_sf10_v3); if a future query family adds a
+    * genuinely large-state object aggregate (multi-KB buffers ×
+    * high group counts), scope the raise to the ANN paths with a
+    * `withSQLConf`-style wrapper instead of the session default. */
   val ObjectAggFallbackKeys: Int = 524288
 
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =

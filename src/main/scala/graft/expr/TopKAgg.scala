@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
 /** Grow-bounded top-k buffer: keeps the k best (score desc, id asc)
-  * pairs. Insertion is O(k) into a sorted array — k is small (≤ ~100). */
+  * pairs. Insertion is O(k) into a sorted array — k is small (≤ ~100).
+  *
+  * NaN scores are rejected at [[insert]] — NaN compares false under
+  * both `>` and `==`, so a NaN admitted while the buffer was not yet
+  * full would park at the tail and (as `scores(k-1)`) veto every later
+  * genuinely-better candidate. Rejecting matches the NaN-LAST ordering
+  * of the `row_number`-window form this aggregate replaced, with one
+  * documented divergence: a group whose candidates are ALL NaN yields
+  * an empty array here where the window would have emitted a NaN row. */
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -25,6 +33,7 @@ final class TopKBuffer(val k: Int) {
     s > s2 || (s == s2 && id < id2)
 
   def insert(s: Double, id: Long): Unit = {
+    if (java.lang.Double.isNaN(s)) return
     if (size == k && !better(s, id, scores(k - 1), ids(k - 1))) return
     var pos = if (size < k) size else k - 1
     while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) {

@@ -34,7 +34,17 @@ object KMeans {
     * key is vec_id ALONE — the embedding rides along as `first()`
     * (constant within a group, so the value is deterministic): grouping
     * by (vec_id, embedding) would hash-probe a ~0.5 KB key once per
-    * candidate row, k× per vector. */
+    * candidate row, k× per vector.
+    *
+    * Null semantics (intentional divergence from the window form): the
+    * aggregate's `update` skips null scores/ids and [[graft.expr.TopKBuffer]]
+    * skips NaN, so a vector whose every candidate distance is null/NaN
+    * (i.e. a null embedding) gets an empty `top` array → null cid and is
+    * effectively dropped, where the old `asc` window would have ranked
+    * the null-distance row FIRST and kept the vector with a garbage
+    * assignment. Dropping is the behavior we want — callers feed
+    * non-null embeddings (the stores validate on ingest), and a silent
+    * garbage cid would poison the centroid update. */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     vectors.crossJoin(broadcast(centroids))

@@ -96,6 +96,22 @@ class TopKAggSpec extends graft.SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("top_k_by_score NaN scores are skipped (NaN-last window semantics)") {
+    // a NaN that lands while the buffer is not yet full must NOT block
+    // later genuinely-better candidates (NaN compares false under > and
+    // ==, so an admitted NaN at the tail would veto everything after it)
+    val df = Seq(
+      (1L, Double.NaN, 1L), (1L, 0.2, 2L), (1L, 0.9, 3L), (1L, Double.NaN, 4L),
+      (2L, Double.NaN, 5L), (2L, Double.NaN, 6L) // all-NaN group → empty array
+    ).toDF("g", "score", "id")
+    val out = df.groupBy("g")
+      .agg(TopKAgg.topKByScore(spark, col("score"), col("id"), 2).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(t => (t.getDouble(0), t.getLong(1)))).toMap
+    assert(out(1L) == Seq((0.9, 3L), (0.2, 2L)))
+    assert(out(2L).isEmpty)
+  }
+
   test("top_k_by_score groups smaller than k return all rows in order") {
     val df = Seq((1L, 0.5, 10L), (1L, 0.9, 11L)).toDF("g", "score", "id")
     val out = df.groupBy("g")

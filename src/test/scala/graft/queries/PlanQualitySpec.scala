@@ -501,8 +501,13 @@ class PlanQualitySpec extends SparkSpec {
     // Mechanism 1 regression gate: the session must carry the raised
     // ObjectHashAggregate fallback threshold — at Spark's default 128 every
     // >128-group task silently externally-sorts its whole input instead.
+    // honor the SPARK_GRAFT_OHA_FALLBACK A/B override Sessions.builder
+    // applies — otherwise this assertion fails spuriously in any
+    // environment where that variable is exported
+    val expected = sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK",
+      graft.core.Sessions.ObjectAggFallbackKeys.toString)
     val th = spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
-    assert(th.toInt == graft.core.Sessions.ObjectAggFallbackKeys,
-      s"fallback threshold must be the engine default, got $th")
+    assert(th.toInt == expected.toInt,
+      s"fallback threshold must be the engine default (or its env override), got $th")
   }
 }

@@ -274,6 +274,76 @@ object IncrementalIvfPq {
     if (fs.exists(stale)) { fs.delete(stale, true); () }
   }
 
+  /** The drift→retrain safe point for the LIVE streaming operating mode
+    * (r14 verdict #2 — the one manual lifecycle step left): [[retrain]]
+    * renames the store root, so it must never run inside `foreachBatch`
+    * ([[MaintenancePolicy.onDrift]] only SIGNALS). The orchestration a
+    * deployment runs on that signal is stop → this method → restart on
+    * the SAME checkpoint, and the subtle part is the stop boundary:
+    * `StreamingQuery.stop()` can interrupt micro-batch N AFTER its
+    * [[ingestBatch]] store write but BEFORE its offset commit. That
+    * partition WILL be replayed on restart (its dynamic overwrite
+    * replaces it — the exactly-once recipe), so folding it into the
+    * rebuilt base would land its rows twice: once in `ingest_batch=-1`
+    * and once in the replayed partition. This method therefore:
+    *
+    *  1. reads the checkpoint's commit log for the last COMMITTED batch,
+    *  2. prunes every `codes/ingest_batch=N` partition with N beyond it
+    *     (the replay will rebuild them against the NEW quantizers),
+    *  3. restricts the retrain corpus to vec_ids the pruned store still
+    *     holds live (`rawCorpus` is the system of record for VALUES —
+    *     retrain's contract — but the committed store decides
+    *     MEMBERSHIP: raw rows whose batch never committed must not leak
+    *     into the rebuild, for the same no-double-land reason), and
+    *  4. runs [[retrain]] (which takes the store lease and swaps by the
+    *     two-rename fail-stop protocol).
+    *
+    * On restart, the stream replays any uncommitted batch and continues
+    * — SafePointRetrainSpec hash-proves the resumed store against a
+    * stop-retrain-rebuild twin, for both the graceful boundary and the
+    * crashed-mid-batch one. Call ONLY after the query has stopped;
+    * deletes flow through [[deleteBatch]] (not the ingest stream), so
+    * tombstones need no commit-log reconciliation — retrain folds them.
+    *
+    * @return the pruned (uncommitted) batch ids, for observability */
+  def retrainAtSafePoint(spark: SparkSession, root: String, checkpoint: String,
+                         rawCorpus: DataFrame, dim: Int,
+                         k: Int = -1, ks: Int = -1, iters: Int = 2,
+                         sweeps: Int = 2): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, root)
+    val committed = lastCommittedBatch(spark, checkpoint)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+    val pruned =
+      if (!fs.exists(codesPath)) Seq.empty[Long]
+      else fs.listStatus(codesPath).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("ingest_batch=") =>
+          n.stripPrefix("ingest_batch=").toLong }
+        .filter(b => b >= 0 && b > committed).sorted.toSeq
+    pruned.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/codes/ingest_batch=$b"), true)
+    }
+    val members = liveCodes(spark, root).select("vec_id").distinct()
+    retrain(spark, root, rawCorpus.join(members, Seq("vec_id"), "left_semi"),
+      dim, k, ks, iters, sweeps)
+    pruned
+  }
+
+  /** Highest batch id with a COMMITTED offset in a Structured Streaming
+    * checkpoint (−1 if none): the files under `<checkpoint>/commits` are
+    * named by batch id, written only after the batch's `foreachBatch`
+    * body returned — batches above this mark are replayed on restart. */
+  def lastCommittedBatch(spark: SparkSession, checkpoint: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).filter(_.isFile)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
   /** The frozen rotation (row-major d×d) of an OPQ store. */
   def rotationOf(spark: SparkSession, root: String): Array[Array[Double]] =
     spark.read.parquet(s"$root/rotation").orderBy("i").collect()
@@ -459,37 +529,60 @@ object IncrementalIvfPq {
     if (explainedVariance(sample, k, iters) >= threshold) "residual" else "sq8"
 
   /** Relative quantization-MSE win the learned rotation must deliver
-    * before the three-way advisor prefers "opq" over "residual": the
-    * measured ladder shows the rotation pays for itself only on
-    * corpora with real inter-dimension correlation (structured corpus:
-    * MSE win far above this; isotropic corpus: ≈0 — rotation of white
-    * noise can't help a subspace quantizer). 5% keeps in-the-noise wins
-    * from flipping the codec. */
+    * before the three-way advisor prefers "opq" over "residual". 5%
+    * keeps in-the-noise wins from flipping the codec. */
   val OpqMseWinThreshold = 0.05
 
   /** Three-way codec advisor (residual / sq8 / opq) — the two-way
-    * decision extended with the ladder's OTHER measured criterion: on a
-    * clustered corpus, prefer OPQ over residual-PQ exactly when the
-    * learned rotation's quantization-MSE win at EQUAL bit budget (same
-    * m, ks, training sample — [[graft.ml.Opq.fit]] with `sweeps = 0` IS
-    * plain PQ, so the two measurements differ only by R) exceeds
-    * [[OpqMseWinThreshold]]. Unclustered corpora still route to sq8
-    * first (PQ at any rotation cannot rank within-cell white noise).
-    * Cost: the two-way statistic + two 1-sweep codebook fits and two
-    * MSE passes over the sample — advisor-time, not store-time. */
+    * decision extended with a second measured criterion: on a clustered
+    * corpus, prefer OPQ over residual-PQ exactly when OPQ's
+    * quantization MSE beats RESIDUAL-PQ's by [[OpqMseWinThreshold]] at
+    * the same bit budget (same m, ks, training sample).
+    *
+    * r15 fix, caught by CodecParetoSpec's measured-ladder cross-check:
+    * the advisor used to compare OPQ against PLAIN raw-space PQ — a
+    * codec that is not even on the store's menu — and so routed the
+    * structured ladder corpus to "opq" although the committed ladder
+    * itself has residual-PQ at ~2× OPQ's recall there (BASELINE.md r12
+    * table: 0.456 vs 0.217 at sf0.01; measured MSEs r15: residual
+    * 0.111 vs OPQ 0.870 — the coarse centroids remove the between-
+    * cluster variance that raw-space rotation spends its codes on). The
+    * comparison now prices the actual alternative: residual-PQ's MSE is
+    * measured through the SAME coarse quantizer the store would use
+    * (reconstruction = centroid + decode, so MSE in residual space IS
+    * reconstruction MSE in corpus space). OPQ keeps its place for
+    * corpora whose within-cell correlation a rotation can exploit
+    * beyond what centroid subtraction removes; on every suite shape
+    * measured so far the answer is "residual", and the OPQ store
+    * surface (q141's lifecycle, writeIndexOpq) remains independently
+    * gated. Unclustered corpora still route to sq8 first (PQ at any
+    * rotation cannot rank within-cell white noise). Cost: the two-way
+    * statistic + two codebook fits and two MSE passes over the sample —
+    * advisor-time, not store-time. */
   def recommendCodec3(sample: DataFrame, dim: Int, k: Int = -1, iters: Int = 2,
                       threshold: Double = CodecThreshold,
-                      opqWin: Double = OpqMseWinThreshold): String =
-    if (explainedVariance(sample, k, iters) < threshold) "sq8"
+                      opqWin: Double = OpqMseWinThreshold): String = {
+    val n = sample.count()
+    val kk = if (k > 0) k else IncrementalIvf.kFor(n)
+    if (explainedVariance(sample, kk, iters) < threshold) "sq8"
     else {
-      val kss = ProductQuantizer.ksFor(sample.count())
-      val (_, rawBook) = graft.ml.Opq.fit(sample, dim, M, kss, iters, sweeps = 0)
-      val rawMse = graft.ml.Opq.quantizationMse(sample, rawBook, dim, M)
+      val kss = ProductQuantizer.ksFor(n)
+      // residual-PQ MSE through the same coarse quantizer the store uses
+      val (cents, _) = graft.ml.KMeans.fit(sample, kk, iters)
+      val res = sample
+        .join(graft.ml.KMeans.assign(sample, cents).select("vec_id", "cid"), Seq("vec_id"))
+        .join(broadcast(cents.select(col("cid"), col("centroid").as("ccent"))), Seq("cid"))
+        .select(col("vec_id"), zip_with(col("embedding"), col("ccent"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+      val (_, resBook) = graft.ml.Opq.fit(res, dim, M, kss, iters, sweeps = 0)
+      val resMse = graft.ml.Opq.quantizationMse(res, resBook, dim, M)
+      cents.unpersist()
       val (r, opqBook) = graft.ml.Opq.fit(sample, dim, M, kss, iters, sweeps = 1)
       val opqMse = graft.ml.Opq.quantizationMse(
         graft.ml.Opq.rotate(sample, r), opqBook, dim, M)
-      if (opqMse < rawMse * (1.0 - opqWin)) "opq" else "residual"
+      if (opqMse < resMse * (1.0 - opqWin)) "opq" else "residual"
     }
+  }
 
   /** The advisor's measured statistic on its own:
     * `1 − E‖x − c(x)‖² / E‖x − mean‖²` — the fraction of the sample's

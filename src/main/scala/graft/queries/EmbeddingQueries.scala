@@ -291,32 +291,74 @@ object EmbeddingQueries {
 
   val q53EmbedNearDupSql: String = {
     val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
-    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
-    val na = VecFns.ddbNorm("a.embedding", Dim)
-    val nb = VecFns.ddbNorm("b.embedding", Dim)
-    s"""WITH RECURSIVE e AS (
-       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings
+    // fast shapes (r15): pre-cast DOUBLE[Dim] arrays + per-vector norms
+    // + array-kernel dots make the 78M-pair bucket join feasible at
+    // sf10 (the inline-norm lambda form was 3 folds per pair — over
+    // the 1500 s cap). The RHP bucket alone keeps the bit-exact lambda
+    // fold: a hyperplane sign boundary has no margin guarantee.
+    // Closure: two EXACT min-contraction rounds (m1/m2 — map every
+    // vertex to the min of its closed neighborhood; components and
+    // their minima are invariant under this, since the mapped label is
+    // inside the component and the component minimum maps to itself)
+    // run BEFORE the recursive reach. Without them the reach table is
+    // Σ|comp|² pairs — at sf10 the near-dup graph is 341 components,
+    // the largest 5.4k vertices (~10⁹ pairs, infeasible); dense
+    // components collapse to a handful of local minima per round, so
+    // the recursion closes over the tiny quotient and the per-vertex
+    // canonical composes back through lab = m2 ∘ m1.
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[$Dim] AS emb,
+       |    sqrt(array_inner_product(embedding::DOUBLE[$Dim], embedding::DOUBLE[$Dim])) AS nrm,
+       |    $bucket AS bucket
+       |  FROM embeddings
        |),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.vec_id AS va, b.vec_id AS vb
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  WHERE $dot / ($na * $nb) > 0.28
+       |  WHERE array_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) > 0.28
        |),
-       |bi AS (
+       |bi AS MATERIALIZED (
        |  SELECT va AS s, vb AS t FROM cand
        |  UNION
        |  SELECT vb AS s, va AS t FROM cand
        |),
+       |m1 AS MATERIALIZED (
+       |  SELECT v.vec_id AS v, least(v.vec_id, coalesce(min(bi.t), v.vec_id)) AS l
+       |  FROM embeddings v LEFT JOIN bi ON bi.s = v.vec_id
+       |  GROUP BY v.vec_id
+       |),
+       |e1 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l AS s, b.l AS t
+       |  FROM bi JOIN m1 a ON bi.s = a.v JOIN m1 b ON bi.t = b.v
+       |  WHERE a.l <> b.l
+       |),
+       |m2 AS MATERIALIZED (
+       |  SELECT n.v AS v, least(n.v, coalesce(min(e1.t), n.v)) AS l
+       |  FROM (SELECT DISTINCT l AS v FROM m1) n LEFT JOIN e1 ON e1.s = n.v
+       |  GROUP BY n.v
+       |),
+       |e2 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l AS s, b.l AS t
+       |  FROM e1 JOIN m2 a ON e1.s = a.v JOIN m2 b ON e1.t = b.v
+       |  WHERE a.l <> b.l
+       |),
        |reach(s, t) AS (
-       |  SELECT s, t FROM bi
+       |  SELECT s, t FROM e2
        |  UNION
-       |  SELECT r.s, bi.t FROM reach r JOIN bi ON r.t = bi.s
+       |  SELECT r.s, e2.t FROM reach r JOIN e2 ON r.t = e2.s
+       |),
+       |lab AS MATERIALIZED (
+       |  SELECT m1.v AS v, m2.l AS l FROM m1 JOIN m2 ON m2.v = m1.l
+       |),
+       |cq AS MATERIALIZED (
+       |  SELECT n.l AS l, least(n.l, coalesce(min(r.t), n.l)) AS c
+       |  FROM (SELECT DISTINCT l FROM lab) n LEFT JOIN reach r ON r.s = n.l
+       |  GROUP BY n.l
        |)
        |SELECT v.vec_id,
-       |  least(v.vec_id, coalesce(min(r.t), v.vec_id)) AS canonical_id,
-       |  v.vec_id <> least(v.vec_id, coalesce(min(r.t), v.vec_id)) AS is_duplicate
-       |FROM embeddings v LEFT JOIN reach r ON r.s = v.vec_id
-       |GROUP BY v.vec_id""".stripMargin
+       |  cq.c AS canonical_id,
+       |  v.vec_id <> cq.c AS is_duplicate
+       |FROM embeddings v JOIN lab ON lab.v = v.vec_id JOIN cq ON cq.l = lab.l""".stripMargin
   }
 
   /** IVF-style coarse quantization: per-label centroids (posexplode →
@@ -544,6 +586,165 @@ object EmbeddingQueries {
        |),
        |${kmeansTrainSqlCtesOver("smp", kLimit = "(SELECT k FROM kv)")}""".stripMargin
 
+  // ────────── fast-shape oracle twins (r15: the sf10 feasibility fix) ──────────
+
+  /** DuckDB fast-shape builders for the four oracles that were "oracle
+    * infeasible at sf10" (q53/q94/q118/q119, CORRECTNESS_sf10 r13/r14).
+    * The straight relational replay died on SHAPE, not on fundamental
+    * cost: (1) the Lloyd/assignment windows dragged the 64-float
+    * embedding list through a `row_number` partition over the N×k
+    * candidate stream (the q92 wide-row-window lesson — ~500 B/row
+    * through DuckDB's external sort was the "allocator OOM at 200k
+    * vectors"), and (2) every distance was a `list_reduce` lambda fold
+    * (~1.1M evals/s system-wide), which at q94's 2.5B-pair tail is
+    * ~40 min alone. The fast twins fix the shape: embeddings cast ONCE
+    * to a fixed-size `DOUBLE[dim]` ARRAY in a MATERIALIZED CTE with the
+    * norm precomputed per vector (not per pair), distances through
+    * DuckDB's native `array_distance`/`array_inner_product` kernels,
+    * and every window fed a NARROW (vec_id, cid, dist) projection with
+    * the embedding joined back afterwards. Measured at sf10 (200k
+    * vectors): q118's FULL training+search replay drops from OOM to
+    * 89 s; q94's 2.5B-pair rerank from ~2200 s to ~620 s.
+    *
+    * Float-safety: the array kernels sum in a different association
+    * order than the left-fold lambdas (which mirror the Spark fold
+    * bit-exactly), so distances/sims wobble ~1e-13 relative. That is
+    * 5-9 orders below every margin the cross-engine analysis already
+    * relies on (assignment argmin ≥ 6.7e-4, probe boundary ≥ 1.1e-4,
+    * threshold clearance ≥ 1.5e-7) and smaller in kind than the
+    * avg()-order wobble the training replay has always tolerated
+    * (centroid sums are engine-ordered on both engines). The ONE
+    * computation kept in lambda form is q53's RHP bucket: a hyperplane
+    * sign boundary has no margin guarantee, so its dot keeps the
+    * bit-exact fold order. The slow twins stay in place for every
+    * other consumer (q74/q89/the PQ subspace chains) — fast/slow pairs
+    * must stay semantically identical; the gate cross-checks both
+    * against the same Spark results at every SF. */
+  private def embdFastCte(dim: Int, src: String = "embeddings"): String =
+    s"""embd AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[$dim] AS emb,
+       |    sqrt(array_inner_product(embedding::DOUBLE[$dim], embedding::DOUBLE[$dim])) AS nrm
+       |  FROM $src
+       |)""".stripMargin
+
+  /** Fast twin of [[kmeansTrainSqlCtesOver]]: `src` must provide
+    * (vec_id, emb DOUBLE[dim]); ends in `c2` with `centroid` as a
+    * DOUBLE[dim] array. Carryover of empty clusters is UNION ALL +
+    * ANTI JOIN because DuckDB 1.0's `coalesce` is unimplemented for
+    * fixed-size arrays — same set as the slow twin's LEFT JOIN +
+    * coalesce (cid is unique on both sides). */
+  private def kmeansTrainFastSqlCtesOver(src: String, kLimit: String, dim: Int): String = {
+    def lloyd(prev: String, n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM (SELECT e.vec_id, c.cid, array_distance(e.emb, c.centroid) AS d
+         |          FROM $src e CROSS JOIN $prev c) nd
+         |  ) WHERE rn = 1
+         |),
+         |f$n AS (
+         |  SELECT cid, list(c ORDER BY pos)::DOUBLE[$dim] AS centroid FROM (
+         |    SELECT cid, pos, avg(x) AS c FROM (
+         |      SELECT a.cid AS cid, unnest(e.emb::DOUBLE[]) AS x,
+         |             generate_subscripts(e.emb::DOUBLE[], 1) AS pos
+         |      FROM a$n a JOIN $src e ON e.vec_id = a.vec_id) u
+         |    GROUP BY cid, pos) g
+         |  GROUP BY cid
+         |),
+         |c$n AS MATERIALIZED (
+         |  SELECT cid, centroid FROM f$n
+         |  UNION ALL
+         |  SELECT p.cid, p.centroid FROM c${n - 1} p ANTI JOIN f$n f ON p.cid = f.cid
+         |)""".stripMargin
+    s"""c0 AS MATERIALIZED (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, emb AS centroid
+       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $kLimit) s0
+       |),
+       |${lloyd("c0", 1)},
+       |${lloyd("c1", 2)}""".stripMargin
+  }
+
+  /** Fast twin of [[sampledScaledTrainSqlCtes]] — sample drawn from the
+    * pre-cast `embd` CTE (same ids, same doubles). */
+  private val sampledScaledTrainFastSqlCtes: String =
+    s"""kv AS (SELECT GREATEST(4, LEAST(262144, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM embeddings),
+       |smp AS MATERIALIZED (
+       |  SELECT vec_id, emb FROM embd
+       |  WHERE ((vec_id % 1000000007) * 2654435761) % 1000000007 % 4 = 0
+       |),
+       |${kmeansTrainFastSqlCtesOver("smp", "(SELECT k FROM kv)", Dim)}""".stripMargin
+
+  /** Fast twin of [[ivfSearchSqlOver]]'s probe/rerank tail: narrow
+    * ranked window, embeddings joined back, array-kernel sims.
+    *
+    * `shards` splits the PROBE side into `vec_id % shards` UNION ALL
+    * branches — identity-preserving (the rank window partitions by
+    * vec_id, and the shards are vec_id-disjoint), but it bounds each
+    * branch's window-sort input to stream/shards rows. q94's k = 32
+    * cells hold ~6250 members at sf10, so its rerank stream is ~2.5B
+    * rows — one global rank window external-sorts ~60 GB (measured:
+    * 25 min of spill thrash, over the oracle cap); 16 shards sort ~4 GB
+    * each in memory. q118's √N cells keep its stream at ~178M rows, so
+    * it stays at shards = 1 (one branch ≡ the unsharded form). */
+  private def ivfSearchFastSqlOver(trainCtes: String, shards: Int = 1): String = {
+    val branches = (0 until shards).map { s =>
+      val probeSrc =
+        if (shards == 1) "rkw"
+        else s"(SELECT * FROM rkw WHERE vec_id % $shards = $s)"
+      s"""SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+         |FROM (
+         |  SELECT vec_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM (
+         |    SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |      array_inner_product(p.emb, b.emb) / (p.nrm * b.nrm) AS sim
+         |    FROM $probeSrc p JOIN (SELECT * FROM rkw WHERE rn = 1) b
+         |      ON p.cid = b.cid AND p.vec_id <> b.vec_id) sims_$s
+         |) ranked_$s WHERE rank <= 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${embdFastCte(Dim)},
+       |$trainCtes,
+       |rkn AS MATERIALIZED (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM (SELECT e.vec_id, c.cid, array_distance(e.emb, c.centroid) AS d
+       |          FROM embd e CROSS JOIN c2 c) nd
+       |  ) WHERE rn <= 2
+       |),
+       |rkw AS MATERIALIZED (
+       |  SELECT r.vec_id, e.emb, e.nrm, r.cid, r.rn
+       |  FROM rkn r JOIN embd e ON e.vec_id = r.vec_id
+       |)
+       |$branches""".stripMargin
+  }
+
+  /** Fast twin of [[semDedupSqlOver]]'s assignment/prune tail. */
+  private def semDedupFastSqlOver(trainCtes: String): String =
+    s"""WITH ${embdFastCte(Dim)},
+       |$trainCtes,
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM (SELECT e.vec_id, c.cid, array_distance(e.emb, c.centroid) AS d
+       |          FROM embd e CROSS JOIN c2 c) nd
+       |  ) WHERE rn = 1
+       |),
+       |asgw AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cluster, e.emb, e.nrm
+       |  FROM asg a JOIN embd e ON e.vec_id = a.vec_id
+       |),
+       |pruned AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asgw a JOIN asgw b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE array_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) > 0.28
+       |)
+       |SELECT s.vec_id, s.cluster, p.vec_id IS NOT NULL AS is_pruned
+       |FROM asg s LEFT JOIN pruned p ON s.vec_id = p.vec_id""".stripMargin
+
   /** SemDeDup SQL tail over a WITH-body `trainCtes` chain ending in
     * `c2` — the oracle twin of [[semDedupWith]]; shared by q74
     * (full-fit chain) and q119 (sampled corpus-derived chain). */
@@ -573,8 +774,9 @@ object EmbeddingQueries {
   val q74SemDedupSql: String = semDedupSqlOver(kmeansTrainSqlCtes)
 
   /** q119's oracle: the q118 sampled corpus-derived training chain +
-    * q74's identical assignment/prune tail. */
-  val q119SemDedupScaledSql: String = semDedupSqlOver(sampledScaledTrainSqlCtes)
+    * q74's identical assignment/prune tail, in the fast shapes (the
+    * slow twin OOM'd at sf10 — see the fast-builder scaladoc). */
+  val q119SemDedupScaledSql: String = semDedupFastSqlOver(sampledScaledTrainFastSqlCtes)
 
   /** TRAINED-QUANTIZER IVF ANN with an nprobe knob — the scale-path
     * upgrade of q33 (whose per-label centroids make cluster count an
@@ -705,9 +907,11 @@ object EmbeddingQueries {
 
   val q89IvfAnnSql: String = ivfSearchSqlOver(kmeansTrainSqlCtes)
 
-  /** q118's oracle: the [[sampledScaledTrainSqlCtes]] production
-    * training chain + q89's identical full-corpus probe/rerank. */
-  val q118IvfScaledSql: String = ivfSearchSqlOver(sampledScaledTrainSqlCtes)
+  /** q118's oracle: the production training chain + q89's identical
+    * full-corpus probe/rerank, in the fast shapes (the slow twin OOM'd
+    * at sf10 — see the fast-builder scaladoc; full replay = 89 s
+    * there). */
+  val q118IvfScaledSql: String = ivfSearchFastSqlOver(sampledScaledTrainFastSqlCtes)
 
   /** q94: INCREMENTAL IVF-INDEX MAINTENANCE under the oracle gate — the
     * ANN twin of q91's maintained edge store, and the operating mode an
@@ -740,37 +944,15 @@ object EmbeddingQueries {
 
   private val ivfStoreRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  val q94IncrementalIvfSql: String = {
-    val dist = VecFns.ddbL2DistSq("e.embedding", "c.centroid", Dim)
-    val dot = VecFns.ddbDot("p.embedding", "b.embedding", Dim)
-    val np = VecFns.ddbNorm("p.embedding", Dim)
-    val nb = VecFns.ddbNorm("b.embedding", Dim)
-    // q89's probe/rerank tail verbatim, but c2 trains on the SEED subset
-    // only — the rebuild the maintained index must equal
-    s"""WITH emb_seed AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
-       |${kmeansTrainSqlCtesOver("emb_seed")},
-       |rk AS (
-       |  SELECT vec_id, embedding, cid, rn FROM (
-       |    SELECT e.vec_id, e.embedding, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY $dist ASC, c.cid ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c2 c
-       |  ) WHERE rn <= 2
-       |),
-       |sims AS (
-       |  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
-       |    $dot / ($np * $nb) AS sim
-       |  FROM rk p JOIN (SELECT * FROM rk WHERE rn = 1) b
-       |    ON p.cid = b.cid AND p.vec_id <> b.vec_id
-       |)
-       |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
-       |FROM (
-       |  SELECT vec_id, neighbor_id, sim,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM sims
-       |) WHERE rank <= 3""".stripMargin
-  }
+  // q89's probe/rerank tail, but c2 trains on the SEED subset only —
+  // the rebuild the maintained index must equal. Fast shapes (r15): at
+  // sf10 the k = 32 cells hold ~6250 members each, so the rerank is
+  // ~2.5B candidate pairs — the lambda-fold form was ~40 min (over the
+  // 1500 s cap); the array-kernel form is ~620 s.
+  val q94IncrementalIvfSql: String = ivfSearchFastSqlOver(
+    s"""seedf AS MATERIALIZED (SELECT vec_id, emb FROM embd WHERE vec_id % 10 <> 7),
+       |${kmeansTrainFastSqlCtesOver("seedf", SemK.toString, Dim)}""".stripMargin,
+    shards = 16)
 
   /** ANN RECALL EVALUATION — the quality gate every approximate index
     * needs before it replaces the exact baseline in a pipeline: for a
@@ -2123,7 +2305,7 @@ object EmbeddingQueries {
     * 64-bit integer arithmetic, bit-identical in Spark and DuckDB (the
     * probe's original xxhash64 had no cross-engine twin, which is what
     * kept this corpus out of the oracle gate until now). */
-  private def mixtureCorpus(e0: DataFrame, cluster: Column): DataFrame =
+  private[graft] def mixtureCorpus(e0: DataFrame, cluster: Column): DataFrame =
     e0.withColumn("c", cluster)
       .withColumn("embedding", transform(col("embedding"), (x, d) =>
         (lit(0.7) * (pmod((col("c") * Dim + d.cast("long")) * lit(2654435761L),

@@ -29,6 +29,14 @@ import graft.expr.NativeVecFns
   * encoders produce. Same vectors count, same dim, same ladder code. */
 object PqRecallProbe {
 
+  /** Wall-clock a materialization (the pareto table's build/search
+    * columns — r15 verdict #4). */
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   private def recallAt3(approx: DataFrame, exact: DataFrame): Double = {
     val hit = exact.select(col("vec_id"), col("neighbor_id"))
       .join(approx.select(col("vec_id"), col("neighbor_id"), lit(1L).as("h")),
@@ -102,65 +110,95 @@ object PqRecallProbe {
     }
 
     val base = ranked.filter(col("rn") === 1)
-    val fullSide = base.select(col("vec_id").as("b_id"), col("cid"),
-      col("embedding").as("b_rep"), col("nrm").as("b_nrm"))
-
-    val sq8Side = graft.queries.EmbeddingQueries.sq8Recon(e, 64)
-      .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
-      .select(col("vec_id").as("b_id"), col("cid"), col("recon").as("b_rep"),
-        NativeVecFns.norm(spark, col("recon")).as("b_nrm"))
-
     val ks = graft.ml.ProductQuantizer.ksFor(n)
-    val book = graft.ml.ProductQuantizer.train(e, 64, 8, ks, 2, denom = 4)
-    val dec = graft.ml.ProductQuantizer.decodeExpr(spark, book, 8)
-    val pqSide = graft.ml.ProductQuantizer.encode(e, book, 64, 8)
-      .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
-      .withColumn("b_rep", dec(col("codes")))
-      .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
-        NativeVecFns.norm(spark, col("b_rep")).as("b_nrm"))
+
+    // each codec's BUILD (training + encode + side materialization,
+    // persisted so the search timing prices search alone) — the
+    // candidate set (cents/ranked) is shared and excluded: the pareto
+    // table isolates codec cost, not coverage cost
+    val (fullSide, bFull) = timed {
+      val s = base.select(col("vec_id").as("b_id"), col("cid"),
+        col("embedding").as("b_rep"), col("nrm").as("b_nrm")).persist()
+      s.count(); s
+    }
+
+    val (sq8Side, bSq8) = timed {
+      val s = graft.queries.EmbeddingQueries.sq8Recon(e, 64)
+        .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .select(col("vec_id").as("b_id"), col("cid"), col("recon").as("b_rep"),
+          NativeVecFns.norm(spark, col("recon")).as("b_nrm")).persist()
+      s.count(); s
+    }
+
+    val (pqSide, bPq) = timed {
+      val book = graft.ml.ProductQuantizer.train(e, 64, 8, ks, 2, denom = 4)
+      val dec = graft.ml.ProductQuantizer.decodeExpr(spark, book, 8)
+      val s = graft.ml.ProductQuantizer.encode(e, book, 64, 8)
+        .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .withColumn("b_rep", dec(col("codes")))
+        .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
+          NativeVecFns.norm(spark, col("b_rep")).as("b_nrm")).persist()
+      s.count(); s
+    }
 
     // residual PQ (q125): codebooks trained on x − c(cell(x)), same 8 B;
     // reconstruction re-adds the cell centroid
-    val res = e.join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
-      .join(broadcast(cents.select(col("cid"), col("centroid").as("ccent"))), Seq("cid"))
-      .select(col("vec_id"), col("cid"), col("ccent"),
-        zip_with(col("embedding"), col("ccent"),
-          (x, c) => x.cast("double") - c).as("embedding"))
-    val rbook = graft.ml.ProductQuantizer
-      .train(res.select("vec_id", "embedding"), 64, 8, ks, 2, denom = 4)
-    val rdec = graft.ml.ProductQuantizer.decodeExpr(spark, rbook, 8)
-    val pqrSide = graft.ml.ProductQuantizer
-      .encode(res.select("vec_id", "embedding"), rbook, 64, 8)
-      .join(res.select(col("vec_id"), col("cid"), col("ccent")), Seq("vec_id"))
-      .withColumn("b_rep", zip_with(col("ccent"), rdec(col("codes")), (c, r) => c + r))
-      .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
-        NativeVecFns.norm(spark, col("b_rep")).as("b_nrm"))
+    val (pqrSide, bPqr) = timed {
+      val res = e.join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .join(broadcast(cents.select(col("cid"), col("centroid").as("ccent"))), Seq("cid"))
+        .select(col("vec_id"), col("cid"), col("ccent"),
+          zip_with(col("embedding"), col("ccent"),
+            (x, c) => x.cast("double") - c).as("embedding"))
+      val rbook = graft.ml.ProductQuantizer
+        .train(res.select("vec_id", "embedding"), 64, 8, ks, 2, denom = 4)
+      val rdec = graft.ml.ProductQuantizer.decodeExpr(spark, rbook, 8)
+      val s = graft.ml.ProductQuantizer
+        .encode(res.select("vec_id", "embedding"), rbook, 64, 8)
+        .join(res.select(col("vec_id"), col("cid"), col("ccent")), Seq("vec_id"))
+        .withColumn("b_rep", zip_with(col("ccent"), rdec(col("codes")), (c, r) => c + r))
+        .select(col("vec_id").as("b_id"), col("cid"), col("b_rep"),
+          NativeVecFns.norm(spark, col("b_rep")).as("b_nrm")).persist()
+      s.count(); s
+    }
 
     // OPQ (Ge 2013): learned-rotation PQ at the same 8 B/vector —
     // encode in R's space, decode, rotate BACK so the shared ADC/top-3
     // machinery scores in the original space unchanged
-    val (rMat, obook) = graft.ml.Opq.fit(e, 64, 8, ks, 2, sweeps = 3)
-    val odec = graft.ml.ProductQuantizer.decodeExpr(spark, obook, 8)
-    val oBack = graft.ml.Opq.rotateBack(
-      graft.ml.ProductQuantizer.encode(graft.ml.Opq.rotate(e, rMat), obook, 64, 8)
-        .withColumn("embedding", odec(col("codes")))
-        .select("vec_id", "embedding"),
-      rMat)
-    val opqSide = oBack
-      .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
-      .select(col("vec_id").as("b_id"), col("cid"),
-        col("embedding").as("b_rep"),
-        NativeVecFns.norm(spark, col("embedding")).as("b_nrm"))
+    val (opqSide, bOpq) = timed {
+      val (rMat, obook) = graft.ml.Opq.fit(e, 64, 8, ks, 2, sweeps = 3)
+      val odec = graft.ml.ProductQuantizer.decodeExpr(spark, obook, 8)
+      val oBack = graft.ml.Opq.rotateBack(
+        graft.ml.ProductQuantizer.encode(graft.ml.Opq.rotate(e, rMat), obook, 64, 8)
+          .withColumn("embedding", odec(col("codes")))
+          .select("vec_id", "embedding"),
+        rMat)
+      val s = oBack
+        .join(base.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .select(col("vec_id").as("b_id"), col("cid"),
+          col("embedding").as("b_rep"),
+          NativeVecFns.norm(spark, col("embedding")).as("b_nrm")).persist()
+      s.count(); s
+    }
 
-    val rFull = recallAt3(top3(fullSide), exact)
-    val rSq8 = recallAt3(top3(sq8Side), exact)
-    val rPq = recallAt3(top3(pqSide), exact)
-    val rPqr = recallAt3(top3(pqrSide), exact)
-    val rOpq = recallAt3(top3(opqSide), exact)
-    val rPqRef = recallAt3(refineTop3(pqSide), exact)
-    val rPqrRef = recallAt3(refineTop3(pqrSide), exact)
+    // SEARCH wall (candidate join + ADC rank over the cached side),
+    // then recall from the same cached plan
+    def searchAndRecall(side: DataFrame): (Double, Double) = {
+      val (a, sSec) = timed { val d = top3(side); d.count(); d }
+      (recallAt3(a, exact), sSec)
+    }
+    def refineSearchAndRecall(side: DataFrame): (Double, Double) = {
+      val (a, sSec) = timed { val d = refineTop3(side); d.count(); d }
+      (recallAt3(a, exact), sSec)
+    }
+    val (rFull, sFull) = searchAndRecall(fullSide)
+    val (rSq8, sSq8) = searchAndRecall(sq8Side)
+    val (rPq, sPq) = searchAndRecall(pqSide)
+    val (rPqr, sPqr) = searchAndRecall(pqrSide)
+    val (rOpq, sOpq) = searchAndRecall(opqSide)
+    val (rPqRef, sPqRef) = refineSearchAndRecall(pqSide)
+    val (rPqrRef, sPqrRef) = refineSearchAndRecall(pqrSide)
     // bytes per vector: 64 floats / 64 byte-codes / 8 byte-codes
-    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"structured":$structured,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"recall_opq":$rOpq%.4f,"recall_pq_refined":$rPqRef%.4f,"recall_pqr_refined":$rPqrRef%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8}""")
+    println(f"""{"sf":"$sfDir","n":$n,"ks":$ks,"structured":$structured,"recall_full_ivf":$rFull%.4f,"recall_sq8":$rSq8%.4f,"recall_pq":$rPq%.4f,"recall_pq_residual":$rPqr%.4f,"recall_opq":$rOpq%.4f,"recall_pq_refined":$rPqRef%.4f,"recall_pqr_refined":$rPqrRef%.4f,"bytes_full":256,"bytes_sq8":64,"bytes_pq":8,"build_full":$bFull%.1f,"build_sq8":$bSq8%.1f,"build_pq":$bPq%.1f,"build_pq_residual":$bPqr%.1f,"build_opq":$bOpq%.1f,"search_full":$sFull%.1f,"search_sq8":$sSq8%.1f,"search_pq":$sPq%.1f,"search_pq_residual":$sPqr%.1f,"search_opq":$sOpq%.1f,"search_pq_refined":$sPqRef%.1f,"search_pqr_refined":$sPqrRef%.1f}""")
     spark.stop()
   }
 }

@@ -136,11 +136,20 @@ class IncrementalIvfPqRetrainSpec extends SparkSpec {
     assert(fA.map(_._2).intersect(deadIds).isEmpty)
   }
 
-  test("three-way advisor: rotation-MSE win routes the structured corpus to opq; the sq8 gate matches the two-way advisor") {
+  test("three-way advisor: the structured corpus routes to residual (r15 — opq must beat the MENU sibling, not plain PQ); opq branch stays reachable") {
     val e = all
     val structured = graft.queries.EmbeddingQueries.structuredCorpus(e)
-    assert(IncrementalIvfPq.recommendCodec3(structured, dim = 64, k = 8) == "opq",
-      "the correlated ladder corpus is where the learned rotation pays — the advisor must say so")
+    // r15 correction (CodecParetoSpec's measured cross-check): the
+    // ladder has residual-PQ at ~2× OPQ's recall on this corpus — the
+    // coarse centroids remove the between-cluster variance a raw-space
+    // rotation spends its codes on — so the advisor must say residual
+    assert(IncrementalIvfPq.recommendCodec3(structured, dim = 64, k = 8) == "residual",
+      "on the ladder corpus residual-PQ recall-dominates OPQ at equal bytes — the advisor must say so")
+    // the opq branch is reachable exactly when the rotation's MSE win
+    // over residual-PQ clears the (overridable) threshold
+    assert(IncrementalIvfPq.recommendCodec3(structured, dim = 64, k = 8,
+      opqWin = -100.0) == "opq",
+      "a cleared rotation-win threshold must route to opq")
     // first gate unchanged: whenever the two-way advisor says sq8
     // (unclustered corpus), the three-way one must too, WITHOUT fitting
     // any rotation — and when it says residual, the three-way answer is

@@ -75,12 +75,20 @@ object ProductQuantizer {
   def encode(vectors: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame = {
     val spark = vectors.sparkSession
     val sub = dim / m
-    // argmin via min_by over (dist, code) — NOT a rank window: the
-    // N·ks·m candidate rows reduce map-side in a partial hash aggregate
-    // (≤ N·m groups per partition), where a window would SORT all of
-    // them (410M rows at sf10 — measured as a disk-exhausting spill).
-    // min_by's lexicographic struct order is the engine-wide
-    // (dist asc, code asc) tiebreak, so codes are unchanged.
+    // argmin via a k = 1 [[graft.expr.TopKAgg]] — NOT a rank window,
+    // and (r15) NOT `min_by` either: min_by over a struct key is a
+    // DeclarativeAggregate with an immutable buffer, which Spark can
+    // only plan as SORT AGGREGATE — it silently sorted the N·ks·m
+    // candidate stream by (vec_id, s) on every store build (410M rows
+    // ≈ 17.2 GB at sf10, the ONE spilling operator left in the PQ
+    // build — BuildSpillProbe attribution, BASELINE.md r15; the r14
+    // parity gate's 18–51 GiB "min_by hash-agg" spill was this sort).
+    // TopKAgg is a TypedImperativeAggregate → ObjectHashAggregate in
+    // hash mode: the stream map-side-combines to one 16-byte buffer
+    // per (vec_id, s) and nothing sorts. Score = −dist_sq (IEEE
+    // negation is exact), ties by ascending id — exactly min_by's
+    // lexicographic (dist asc, code asc) tiebreak, so codes are
+    // bit-unchanged (the 147-query gate re-proves it).
     // The full embedding is dropped before the join: candidate rows
     // carry only the dim/m-float subvector.
     vectors.select(col("vec_id"), col("embedding"),
@@ -90,7 +98,10 @@ object ProductQuantizer {
       .join(broadcast(codebook), Seq("s"))
       .withColumn("dist_sq", NativeVecFns.l2DistSq(spark, col("subv"), col("centroid")))
       .groupBy("vec_id", "s")
-      .agg(min_by(col("code"), struct(col("dist_sq"), col("code"))).as("code"))
+      .agg(graft.expr.TopKAgg.topKByScore(spark,
+        negate(col("dist_sq")), col("code").cast("long"), 1).as("top"))
+      .select(col("vec_id"), col("s"),
+        element_at(col("top"), 1).getField("id").cast("int").as("code"))
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("sc"))
       .select(col("vec_id"), transform(col("sc"), p => p("code")).as("codes"))

@@ -678,32 +678,66 @@ object EmbeddingQueries {
   /** Fast twin of [[ivfSearchSqlOver]]'s probe/rerank tail: narrow
     * ranked window, embeddings joined back, array-kernel sims.
     *
-    * `shards` splits the PROBE side into `vec_id % shards` UNION ALL
-    * branches — identity-preserving (the rank window partitions by
-    * vec_id, and the shards are vec_id-disjoint), but it bounds each
-    * branch's window-sort input to stream/shards rows. q94's k = 32
-    * cells hold ~6250 members at sf10, so its rerank stream is ~2.5B
-    * rows — one global rank window external-sorts ~60 GB (measured:
-    * 25 min of spill thrash, over the oracle cap); 16 shards sort ~4 GB
-    * each in memory. q118's √N cells keep its stream at ~178M rows, so
-    * it stays at shards = 1 (one branch ≡ the unsharded form). */
-  private def ivfSearchFastSqlOver(trainCtes: String, shards: Int = 1): String = {
-    val branches = (0 until shards).map { s =>
-      val probeSrc =
-        if (shards == 1) "rkw"
-        else s"(SELECT * FROM rkw WHERE vec_id % $shards = $s)"
-      s"""SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
-         |FROM (
-         |  SELECT vec_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM (
-         |    SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    * `histCutoff` replaces the single global rank window with an exact
+    * two-pass top-k: q94's k = 32 cells hold ~6250 members at sf10, so
+    * its rerank stream is ~2.5B rows — one global rank window
+    * external-sorts ~60 GB (measured: 25 min of spill thrash, over the
+    * oracle cap; a 16-way UNION ALL shard variant OOM-killed instead —
+    * DuckDB schedules the branch sorts concurrently). The cutoff form
+    * never sorts the stream: pass 1 aggregates a per-probe 256-bucket
+    * histogram of sims (hash agg, streaming), `cut` derives lb = the
+    * lower edge of the bucket holding the 3rd-largest sim (so the true
+    * top-3 all satisfy sim ≥ lb, whatever the ties — a LOWER bound,
+    * never an over-cut), pass 2 recomputes the same sims (bit-identical
+    * kernel, deterministic) and ranks only the ~1/256-tail survivors.
+    * Both passes are dot-bound (~2 × the stream's dot cost), no sort
+    * ever sees more than the survivor set. q118's √N cells keep its
+    * stream at ~178M rows, so it stays on the plain single-window
+    * form. */
+  private def ivfSearchFastSqlOver(trainCtes: String, histCutoff: Boolean = false): String = {
+    val pairStream =
+      s"""SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
          |      array_inner_product(p.emb, b.emb) / (p.nrm * b.nrm) AS sim
-         |    FROM $probeSrc p JOIN (SELECT * FROM rkw WHERE rn = 1) b
-         |      ON p.cid = b.cid AND p.vec_id <> b.vec_id) sims_$s
-         |) ranked_$s WHERE rank <= 3""".stripMargin
-    }.mkString("\nUNION ALL\n")
+         |    FROM rkw p JOIN (SELECT * FROM rkw WHERE rn = 1) b
+         |      ON p.cid = b.cid AND p.vec_id <> b.vec_id""".stripMargin
+    val tail =
+      if (!histCutoff)
+        s"""sims AS (
+           |  SELECT vec_id, neighbor_id, sim FROM (
+           |    $pairStream) s
+           |)
+           |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+           |FROM (
+           |  SELECT vec_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM sims
+           |) WHERE rank <= 3""".stripMargin
+      else
+        s"""hist AS MATERIALIZED (
+           |  SELECT vec_id, CAST(floor((sim + 1.0) * 128.0) AS INTEGER) AS bkt, count(*) AS cnt
+           |  FROM ($pairStream) h
+           |  GROUP BY 1, 2
+           |),
+           |cut AS MATERIALIZED (
+           |  SELECT vec_id, coalesce(max(lb) FILTER (WHERE cum >= 3), -2.0) AS lb FROM (
+           |    SELECT vec_id, bkt / 128.0 - 1.0 AS lb,
+           |      sum(cnt) OVER (PARTITION BY vec_id ORDER BY bkt DESC) AS cum
+           |    FROM hist) c
+           |  GROUP BY vec_id
+           |),
+           |sims AS (
+           |  SELECT vec_id, neighbor_id, sim
+           |  FROM ($pairStream) s JOIN cut USING (vec_id)
+           |  WHERE sim >= lb
+           |)
+           |SELECT vec_id, neighbor_id, rank, round(sim, 4) AS cosine_sim
+           |FROM (
+           |  SELECT vec_id, neighbor_id, sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM sims
+           |) WHERE rank <= 3""".stripMargin
     s"""WITH ${embdFastCte(Dim)},
        |$trainCtes,
        |rkn AS MATERIALIZED (
@@ -717,8 +751,8 @@ object EmbeddingQueries {
        |rkw AS MATERIALIZED (
        |  SELECT r.vec_id, e.emb, e.nrm, r.cid, r.rn
        |  FROM rkn r JOIN embd e ON e.vec_id = r.vec_id
-       |)
-       |$branches""".stripMargin
+       |),
+       |$tail""".stripMargin
   }
 
   /** Fast twin of [[semDedupSqlOver]]'s assignment/prune tail. */
@@ -952,7 +986,7 @@ object EmbeddingQueries {
   val q94IncrementalIvfSql: String = ivfSearchFastSqlOver(
     s"""seedf AS MATERIALIZED (SELECT vec_id, emb FROM embd WHERE vec_id % 10 <> 7),
        |${kmeansTrainFastSqlCtesOver("seedf", SemK.toString, Dim)}""".stripMargin,
-    shards = 16)
+    histCutoff = true)
 
   /** ANN RECALL EVALUATION — the quality gate every approximate index
     * needs before it replaces the exact baseline in a pipeline: for a

@@ -31,12 +31,19 @@ object SpillProbe {
         val si = sc.stageInfo
         val m = si.taskMetrics
         if (m != null && (m.memoryBytesSpilled > 0 || m.diskBytesSpilled > 0)) {
-          val site = si.details.linesIterator.take(1).mkString
+          // the first graft.* frame names the operator that planned the
+          // stage — the raw callSite head is often an executor-pool
+          // anonfun (broadcast-thread jobs especially)
+          val site = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("SpillProbe"))
+            .orElse(si.details.linesIterator.find(_.nonEmpty))
+            .getOrElse("").trim
           stages.put(si.stageId,
             f"stage=${si.stageId}%5d memSpill=${m.memoryBytesSpilled / 1e9}%9.2fGB " +
               f"diskSpill=${m.diskBytesSpilled / 1e9}%8.2fGB " +
               f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1e9}%8.2fGB " +
-              f"tasks=${si.numTasks}%5d  name=${si.name.take(90)} site=$site")
+              f"shufRead=${m.shuffleReadMetrics.totalBytesRead / 1e9}%8.2fGB " +
+              f"tasks=${si.numTasks}%5d  name=${si.name.take(60)} site=$site")
           ()
         }
       }

@@ -41,7 +41,7 @@ def cells_equal(a, b):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
-def main(sf_dir, out_dir, name_re=None, json_out=None):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -49,6 +49,20 @@ def main(sf_dir, out_dir, name_re=None, json_out=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def oracle_df(sf_dir, sql, q):
+    """Run one oracle in a forked child (fresh process, fresh DuckDB):
+    a native crash in DuckDB then marks ONE query instead of killing the
+    whole gate — observed as an occasional allocator segfault ~60
+    queries into a shared connection under concurrent memory pressure
+    (r15; exit via the queue keeps the parent loop alive)."""
+    con = fresh_con(sf_dir)
+    q.put(con.execute(sql).fetchdf())
+
+def main(sf_dir, out_dir, name_re=None, json_out=None):
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     # driver-format record per query (rows/schema/hash tri-check)
@@ -57,6 +71,9 @@ def main(sf_dir, out_dir, name_re=None, json_out=None):
         results[name] = {"rows_match": rows_m, "schema_match": schema_m,
                          "hash_match": hash_m, "spark_rows": sr,
                          "oracle_rows": orr, "err": err}
+        if json_out:  # incremental: a crash preserves completed rows
+            with open(json_out, "w") as f:
+                json.dump(results, f, indent=2, sort_keys=True)
     import re
     for name in sorted(oracles):
         if name_re and not re.search(name_re, name):
@@ -64,25 +81,37 @@ def main(sf_dir, out_dir, name_re=None, json_out=None):
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output at {spark_dir}")
+            print(f"FAIL {name}: no spark output at {spark_dir}", flush=True)
             record(name, False, False, False, err="no spark output")
             n_fail += 1
             continue
         try:
             got = norm(pd.read_parquet(spark_dir))
-            exp = norm(con.execute(oracles[name]).fetchdf())
+            q = ctx.Queue()
+            child = ctx.Process(target=oracle_df, args=(sf_dir, oracles[name], q))
+            child.start()
+            exp = None
+            while exp is None:
+                try:
+                    exp = q.get(timeout=10)
+                except Exception:
+                    if not child.is_alive():
+                        raise RuntimeError(
+                            f"oracle subprocess died (exitcode={child.exitcode})")
+            child.join()
+            exp = norm(exp)
         except Exception as e:
-            print(f"FAIL {name}: load/exec error: {e}")
+            print(f"FAIL {name}: load/exec error: {e}", flush=True)
             record(name, False, False, False, err=str(e)[:500])
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}", flush=True)
             record(name, len(got) == len(exp), False, False, len(got), len(exp))
             n_fail += 1
             continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}", flush=True)
             record(name, False, True, False, len(got), len(exp))
             n_fail += 1
             continue
@@ -92,7 +121,7 @@ def main(sf_dir, out_dir, name_re=None, json_out=None):
         bad_types = [(c, str(got[c].dtype), str(exp[c].dtype))
                      for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
         if bad_types:
-            print(f"FAIL {name}: dtype mismatch (spark vs oracle):")
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle):", flush=True)
             for c, g, e in bad_types[:5]:
                 print(f"   col={c} spark={g} oracle={e}")
             record(name, True, False, False, len(got), len(exp))
@@ -109,13 +138,13 @@ def main(sf_dir, out_dir, name_re=None, json_out=None):
             if len(mismatches) >= 5:
                 break
         if mismatches:
-            print(f"FAIL {name}: {len(mismatches)}+ cell mismatches, e.g.:")
+            print(f"FAIL {name}: {len(mismatches)}+ cell mismatches, e.g.:", flush=True)
             for c, i, a, b in mismatches[:5]:
                 print(f"   col={c} row={i} spark={a!r} oracle={b!r}")
             record(name, True, True, False, len(got), len(exp))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)", flush=True)
             record(name, True, True, True, len(got), len(exp))
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")

@@ -109,7 +109,17 @@ object ElectricityPipeline {
           |      greatest(0L, least(_start + _rm - 1440, _mhix) - _mlo), 0L)""".stripMargin))
       .withColumn("opmins", expr("_k - pmins"))
       .drop("_k", "_tod0", "_u", "_start", "_rm", "_mlo", "_mhix")
-    val grid = withTotals.select(
+    // The global LEAD window above leaves the whole series in ONE
+    // partition, so without this the ~1400×-fanout explode below (and its
+    // map-side partial aggregation) would run single-threaded. Spread the
+    // interval rows across the cluster BEFORE the fanout: the shuffle
+    // moves only the narrow interval rows (1/1400th of the grid), and the
+    // explicit count keeps AQE from coalescing the tiny exchange back to
+    // one partition. Result-invariant: everything downstream re-shuffles
+    // by (Bucket, interval) and the final fold is sort_array-ordered.
+    val spread = withTotals.repartition(
+      deltaDf.sparkSession.sparkContext.defaultParallelism)
+    val grid = spread.select(
         col("UTC_DateTime"), col("Delta_P"), col("Delta_OP"),
         col("pmins"), col("opmins"),
         explode(sequence(

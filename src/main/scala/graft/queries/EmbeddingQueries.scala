@@ -695,14 +695,31 @@ object EmbeddingQueries {
     * stream at ~178M rows, so it stays on the plain single-window
     * form. */
   private def ivfSearchFastSqlOver(trainCtes: String, histCutoff: Boolean = false): String = {
+    // Parquet-spine pair stream (r15, the q94-at-sf10 thread-starvation
+    // fix): DuckDB 1.0 parallelizes a pipeline by its SOURCE — parquet
+    // scans split by row group, but a materialized-CTE scan feeds ~2
+    // threads no matter the box (measured: the rkw-probed form ran the
+    // 2.5B-pair stream at 198% CPU on 32 cores, 1.6M pairs/s; a chunk-
+    // replication salt didn't help because the salted CTE is still the
+    // source). Driving the probe side from the PARQUET table itself —
+    // `embeddings e` contributes only the vec_id spine; rkw/bw become
+    // build-side hash lookups — runs the identical pair multiset at
+    // 52M pairs/s (33x). Pair-level sims are bit-identical (same operands,
+    // same kernel); only pipeline parallelism changes.
     val pairStream =
-      s"""SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         |      array_inner_product(p.emb, b.emb) / (p.nrm * b.nrm) AS sim
-         |    FROM rkw p JOIN (SELECT * FROM rkw WHERE rn = 1) b
-         |      ON p.cid = b.cid AND p.vec_id <> b.vec_id""".stripMargin
+      s"""SELECT r.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |      array_inner_product(r.emb, b.emb) / (r.nrm * b.nrm) AS sim
+         |    FROM embeddings e
+         |    JOIN rkw r ON r.vec_id = e.vec_id
+         |    JOIN bw b ON b.cid = r.cid AND b.vec_id <> r.vec_id""".stripMargin
+    val bwCte =
+      s"""bw AS MATERIALIZED (
+         |  SELECT vec_id, emb, nrm, cid FROM rkw WHERE rn = 1
+         |),
+         |""".stripMargin
     val tail =
       if (!histCutoff)
-        s"""sims AS (
+        s"""${bwCte}sims AS (
            |  SELECT vec_id, neighbor_id, sim FROM (
            |    $pairStream) s
            |)
@@ -714,7 +731,7 @@ object EmbeddingQueries {
            |  FROM sims
            |) WHERE rank <= 3""".stripMargin
       else
-        s"""hist AS MATERIALIZED (
+        s"""${bwCte}hist AS MATERIALIZED (
            |  SELECT vec_id, CAST(floor((sim + 1.0) * 128.0) AS INTEGER) AS bkt, count(*) AS cnt
            |  FROM ($pairStream) h
            |  GROUP BY 1, 2

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.SessionQueries.all ++ graft.queries.CoverageQueries.all ++
       graft.queries.CorpusPrepQueries.all ++ graft.queries.StorageQueries.all ++
       graft.queries.CurationQueries.all ++ graft.queries.GraphQueries.all ++
-      graft.queries.RetrievalQueries.all ++ graft.queries.FileStreamQueries.all
+      graft.queries.RetrievalQueries.all ++ graft.queries.FileStreamQueries.all ++
+      graft.queries.MiningQueries.all ++ graft.queries.ReductionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.CoverageQueries.sql ++ graft.queries.RefPipelineQueries.sql ++
       graft.queries.CorpusPrepQueries.sql ++ graft.queries.StorageQueries.sql ++
       graft.queries.CurationQueries.sql ++ graft.queries.GraphQueries.sql ++
-      graft.queries.RetrievalQueries.sql ++ graft.queries.FileStreamQueries.sql
+      graft.queries.RetrievalQueries.sql ++ graft.queries.FileStreamQueries.sql ++
+      graft.queries.MiningQueries.sql ++ graft.queries.ReductionQueries.sql
 }

@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.expr.{NativeTextFns, TopKAgg}
+import graft.functions.{TextFns, VecFns}
+
+/** Pair-mining wave: the corpus-vs-corpus operators a training-data
+  * pipeline runs *between* collections — bitext/pair mining over
+  * embeddings (q143), blocked fuzzy (edit-distance) joins for entity
+  * resolution (q144), and asymmetric n-gram containment for
+  * partial-copy / quote detection (q145). All three keep the house
+  * shape: no unlabeled all-pairs; the quadratic term is bounded by a
+  * broadcast-probe kernel, a blocking key, or a document-frequency cap.
+  *
+  * Public-knowledge bases: margin-based mining per Artetxe & Schwenk,
+  * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  * Embeddings" (ACL 2019); blocking for record linkage per Fellegi &
+  * Sunter-era ER literature; containment per Broder, "On the
+  * resemblance and containment of documents" (SEQUENCES 1997).
+  */
+object MiningQueries {
+
+  private val Dim = EmbeddingQueries.Dim
+  private val MarginK = 4
+
+  // ------------------------------------------------- q143 margin mining
+
+  /** Bidirectional margin-based pair mining between two corpora (the
+    * bitext-mining primitive): A = even `vec_id`, B = odd `vec_id`
+    * (standing in for the two languages/sources). For each a∈A take its
+    * exact cosine top-k in B (forward), for each b∈B its top-k in A
+    * (backward); the RATIO margin of a forward pair is
+    * `2·sim(a,b) / (avgTopK_B(a) + avgTopK_A(b))` — a pair is kept only
+    * if its similarity stands out against BOTH endpoints' neighborhood
+    * densities (absolute-threshold mining over-fires in dense regions;
+    * the margin normalizes that out). Output: per source vector its
+    * best pair by margin, filtered to margin ≥ 1.0.
+    *
+    * Scale shape: both directions run the [[graft.ml.BlockTopK]]
+    * broadcast-probe kernel — the streamed side is scanned ONCE against
+    * bounded per-probe heaps, so only |probes|·k candidate rows ever
+    * exist (never the |A|·|B| pair frame). The broadcast side is the
+    * smaller corpus (in mining runs the low-resource language — the
+    * documented eval contract, same as q92's probe side); for two
+    * broadcast-exceeding sides the kernel shards like
+    * `cosineTopKSharded`. Margin ranking is the hash-mode TopKAgg
+    * (k=1), not a window — the r14 aggregate-form discipline. */
+  def q143MarginMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(lit(0).as("shard"), col("vec_id"), col("embedding"))
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 === 1)
+
+    // forward: stream B once, probes = A (broadcast); partition-local
+    // candidates -> exact global top-k per probe via hash-mode TopKAgg
+    def topK(corpus: DataFrame, probes: DataFrame): DataFrame =
+      graft.ml.BlockTopK.probeTopKCandidates(corpus, probes, MarginK)
+        .groupBy("a_id")
+        .agg(TopKAgg.topKByScore(spark, col("sim"), col("b_id"), MarginK).as("top"))
+        .select(col("a_id"), explode(col("top")).as("t"))
+        .select(col("a_id"), col("t.id").as("b_id"), col("t.score").as("sim"))
+
+    val fwd = topK(corpus = b, probes = a)              // (a, b, sim)
+    val bwd = topK(corpus = a, probes = b)              // (b, a, sim)
+    val avgF = fwd.groupBy("a_id").agg(avg("sim").as("avg_f"))
+    val avgB = bwd.groupBy(col("a_id").as("bb_id")).agg(avg("sim").as("avg_b"))
+
+    // |A|- and |B|-row side tables keyed by id — shuffle-joined (AQE
+    // broadcasts them at gate scale; keyed at 100 TB where they are
+    // corpus-sized and a broadcast would not fit)
+    val margins = fwd
+      .join(avgF, Seq("a_id"))
+      .join(avgB, fwd("b_id") === avgB("bb_id"))
+      .withColumn("margin", col("sim") * 2 / (col("avg_f") + col("avg_b")))
+
+    val best = margins
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("margin"), col("b_id"), 1).as("top"))
+      .select(col("a_id"), explode(col("top")).as("t"))
+      .select(col("a_id"), col("t.id").as("b_id"), col("t.score").as("margin"))
+
+    best
+      .join(fwd, Seq("a_id", "b_id"))                   // recover the pair's sim
+      .filter(col("margin") >= 1.0)
+      .select(col("a_id").as("src_id"), col("b_id").as("tgt_id"),
+        round(col("sim"), 4).as("cosine_sim"), round(col("margin"), 4).as("margin"))
+  }
+
+  val q143MarginMiningSql: String = {
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+       |sims AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM a CROSS JOIN b
+       |),
+       |f AS (SELECT * FROM (SELECT a_id, b_id, sim,
+       |  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+       |  FROM sims) WHERE rn <= $MarginK),
+       |bk AS (SELECT * FROM (SELECT a_id, b_id, sim,
+       |  row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id ASC) AS rn
+       |  FROM sims) WHERE rn <= $MarginK),
+       |avgf AS (SELECT a_id, avg(sim) AS avg_f FROM f GROUP BY a_id),
+       |avgb AS (SELECT b_id, avg(sim) AS avg_b FROM bk GROUP BY b_id),
+       |m AS (SELECT f.a_id, f.b_id, f.sim,
+       |        2 * f.sim / (avgf.avg_f + avgb.avg_b) AS margin
+       |      FROM f JOIN avgf ON f.a_id = avgf.a_id
+       |             JOIN avgb ON f.b_id = avgb.b_id),
+       |best AS (SELECT * FROM (SELECT a_id, b_id, sim, margin,
+       |  row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS mr
+       |  FROM m) WHERE mr = 1)
+       |SELECT a_id AS src_id, b_id AS tgt_id,
+       |  round(sim, 4) AS cosine_sim, round(margin, 4) AS margin
+       |FROM best WHERE margin >= 1.0""".stripMargin
+  }
+
+  // ------------------------------------- q147 margin mining, LSH shape
+
+  /** q143's margin arithmetic over the PRODUCTION candidate generator:
+    * one `vec_rhp_bucket` equi-join between the two corpora replaces
+    * both exact top-k passes — forward (per-a) and backward (per-b)
+    * top-k both aggregate the SAME joined pair stream, so the scale
+    * shape is a single bucket-keyed shuffle with N²/2^bits candidates
+    * (nbits pinned 8 for the byte-stable oracle; `VecFns.lshBitsFor`
+    * derives it at scale, the q32→q117 lever). Margins are computed
+    * over bucket-local top-k — the approximation the production system
+    * actually runs; q143 is its exact-correctness anchor. */
+  def q147MarginMiningLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.NativeVecFns
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      NativeVecFns.norm(spark, col("embedding")).as("nrm"),
+      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
+    val a = e.filter(col("vec_id") % 2 === 0).select(col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.filter(col("vec_id") % 2 === 1).select(col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    // persist: the pair stream feeds BOTH direction aggregations (the
+    // q27 lesson); at 100 TB swap for a checkpoint or re-derive — the
+    // join is one bucket-keyed shuffle either way
+    val pairs = a.join(b, Seq("bucket"))
+      .withColumn("sim",
+        NativeVecFns.dot(spark, col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .select("a_id", "b_id", "sim")
+      .persist()
+    def top(key: String, other: String): DataFrame = pairs
+      .groupBy(key)
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col(other), MarginK).as("top"))
+      .select(col(key), explode(col("top")).as("t"))
+      .select(col(key), col("t.id").as(other), col("t.score").as("sim"))
+    val fwd = top("a_id", "b_id")
+    val avgF = fwd.groupBy("a_id").agg(avg("sim").as("avg_f"))
+    val avgB = top("b_id", "a_id").groupBy(col("b_id").as("bb_id"))
+      .agg(avg("sim").as("avg_b"))
+    val margins = fwd
+      .join(avgF, Seq("a_id"))
+      .join(avgB, fwd("b_id") === avgB("bb_id"))
+      .withColumn("margin", col("sim") * 2 / (col("avg_f") + col("avg_b")))
+    val best = margins
+      .groupBy("a_id")
+      .agg(TopKAgg.topKByScore(spark, col("margin"), col("b_id"), 1).as("top"))
+      .select(col("a_id"), explode(col("top")).as("t"))
+      .select(col("a_id"), col("t.id").as("b_id"), col("t.score").as("margin"))
+    best
+      .join(fwd, Seq("a_id", "b_id"))
+      .filter(col("margin") >= 1.0)
+      .select(col("a_id").as("src_id"), col("b_id").as("tgt_id"),
+        round(col("sim"), 4).as("cosine_sim"), round(col("margin"), 4).as("margin"))
+  }
+
+  val q147MarginMiningLshSql: String = {
+    val bucket = VecFns.ddbRhpBucket("embedding", Dim, 8)
+    val dot = VecFns.ddbDot("a.embedding", "b.embedding", Dim)
+    val na = VecFns.ddbNorm("a.embedding", Dim)
+    val nb = VecFns.ddbNorm("b.embedding", Dim)
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    $dot / ($na * $nb) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       |),
+       |f AS (SELECT * FROM (SELECT a_id, b_id, sim,
+       |  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+       |  FROM pairs) WHERE rn <= $MarginK),
+       |bk AS (SELECT * FROM (SELECT a_id, b_id, sim,
+       |  row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id ASC) AS rn
+       |  FROM pairs) WHERE rn <= $MarginK),
+       |avgf AS (SELECT a_id, avg(sim) AS avg_f FROM f GROUP BY a_id),
+       |avgb AS (SELECT b_id, avg(sim) AS avg_b FROM bk GROUP BY b_id),
+       |m AS (SELECT f.a_id, f.b_id, f.sim,
+       |        2 * f.sim / (avgf.avg_f + avgb.avg_b) AS margin
+       |      FROM f JOIN avgf ON f.a_id = avgf.a_id
+       |             JOIN avgb ON f.b_id = avgb.b_id),
+       |best AS (SELECT * FROM (SELECT a_id, b_id, sim, margin,
+       |  row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS mr
+       |  FROM m) WHERE mr = 1)
+       |SELECT a_id AS src_id, b_id AS tgt_id,
+       |  round(sim, 4) AS cosine_sim, round(margin, 4) AS margin
+       |FROM best WHERE margin >= 1.0""".stripMargin
+  }
+
+  // --------------------------------------------------- q144 fuzzy join
+
+  /** Blocked fuzzy self-join (entity-resolution blocking): candidate
+    * pairs share `(lang, first-16-chars)` — an equi-join key, so the
+    * pair space is bounded by block sizes, never N² — then the exact
+    * Levenshtein distance of the 160-char heads gates the match.
+    * `levenshtein` is codegen'd (whole-stage) and runs only on blocked
+    * candidates. At 100 TB the lever is the blocking key (longer prefix
+    * / multiple redundant keys unioned), not the verify step.
+    *
+    * Engine note: Spark's levenshtein counts CODEPOINT edits, DuckDB's
+    * counts BYTE edits; they agree on this corpus (all-ASCII at every
+    * gate SF — asserted in MiningQueriesSpec) and the Spark semantics
+    * is the portable one. */
+  def q144FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      substring(col("text"), 1, 16).as("blk"),
+      substring(col("text"), 1, 160).as("head"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("edit_dist", levenshtein(col("a.head"), col("b.head")))
+      .filter(col("edit_dist") <= 24)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("edit_dist"))
+  }
+
+  val q144FuzzyJoinSql: String =
+    """WITH d AS (SELECT doc_id, lang, substr(text, 1, 16) AS blk,
+      |                  substr(text, 1, 160) AS head FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.head, b.head) AS edit_dist
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+      |                  AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 24""".stripMargin
+
+  // -------------------------------------------------- q145 containment
+
+  /** Asymmetric n-gram CONTAINMENT (Broder 1997): |S(a) ∩ S(b)| / |S(a)|
+    * over word-3-gram shingle sets — the partial-copy detector Jaccard
+    * misses (a short doc quoted inside a long one has high containment
+    * but low Jaccard; q27/q30 would not flag it). Candidate pairs must
+    * share at least one RARE shingle (document frequency in [2, 8]):
+    * the df cap bounds the postings self-join's quadratic term — a
+    * shingle with df ≤ c contributes ≤ c² pairs, so total candidates ≤
+    * c·|postings| regardless of hot shingles — while near-verbatim
+    * overlap always produces rare shingles (pair-unique trigrams), so
+    * the cap costs recall only for pairs overlapping EXCLUSIVELY in
+    * stop-phrase trigrams, which can't reach the 0.5 containment gate
+    * on ≥10-shingle docs. Containment itself is then EXACT, computed on
+    * the pair's full shingle sets via `array_intersect` (each doc's set
+    * rides the candidate join once — bounded by the df cap).
+    *
+    * The df window [2, 8] is pinned for the byte-stable oracle; the
+    * production lever is the upper bound (a fixed constant — candidate
+    * count stays linear in corpus size as df distributions scale). */
+  def q145Containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // persist: `sets` feeds the postings explode AND both sides of the
+    // candidate back-join; without it the interpreted shingle pipeline
+    // re-runs 3x (the q27 lesson).
+    val sets = d
+      .withColumn("th", NativeTextFns.tokenHashes(spark, col("text")))
+      .select(col("doc_id"), NativeTextFns.shingleHashes(spark, col("th"), 3).as("sset"))
+      .filter(size(col("sset")) >= 10)
+      .persist()
+    val posts = sets.select(col("doc_id"), explode(col("sset")).as("s"))
+    val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
+    val rare = posts.join(dfreq.filter(col("df").between(2, 8)), Seq("s"))
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("n_a", size(col("sa.sset")))
+      .withColumn("shared", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+      .withColumn("containment", col("shared").cast("double") / col("n_a"))
+      .filter(col("containment") >= 0.5)
+      .select(col("a_id").as("doc_id"), col("b_id").as("contained_in"),
+        col("n_a").as("n_shingles"), col("shared"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  val q145ContainmentSql: String = {
+    val toks = TextFns.ddbTokens("text")
+    val sh3 = TextFns.ddbShingleHashSet3("h")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |th AS (SELECT doc_id, list_transform(w, t -> ${TextFns.ddbPolyHash("t")}) AS h FROM t),
+       |sets AS (SELECT doc_id, $sh3 AS sset FROM th),
+       |f AS (SELECT * FROM sets WHERE len(sset) >= 10),
+       |posts AS (SELECT doc_id, unnest(sset) AS s FROM f),
+       |dfreq AS (SELECT s, count(*) AS df FROM posts GROUP BY s),
+       |rare AS (SELECT p.doc_id, p.s FROM posts p
+       |         JOIN dfreq d ON p.s = d.s WHERE d.df BETWEEN 2 AND 8),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id <> y.doc_id)
+       |SELECT a_id AS doc_id, b_id AS contained_in,
+       |  len(sa.sset) AS n_shingles,
+       |  len(list_intersect(sa.sset, sb.sset)) AS shared,
+       |  round(len(list_intersect(sa.sset, sb.sset))::DOUBLE / len(sa.sset), 4) AS containment
+       |FROM cand JOIN f sa ON a_id = sa.doc_id JOIN f sb ON b_id = sb.doc_id
+       |WHERE len(list_intersect(sa.sset, sb.sset))::DOUBLE / len(sa.sset) >= 0.5""".stripMargin
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_margin_mining" -> (q143MarginMining _),
+    "q144_fuzzy_join" -> (q144FuzzyJoin _),
+    "q145_containment" -> (q145Containment _),
+    "q147_margin_mining_lsh" -> (q147MarginMiningLsh _)
+  )
+
+  def sql: Map[String, String] = Map(
+    "q143_margin_mining" -> q143MarginMiningSql,
+    "q144_fuzzy_join" -> q144FuzzyJoinSql,
+    "q145_containment" -> q145ContainmentSql,
+    "q147_margin_mining_lsh" -> q147MarginMiningLshSql
+  )
+}

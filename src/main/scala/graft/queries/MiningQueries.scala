@@ -130,12 +130,23 @@ object MiningQueries {
     * derives it at scale, the q32→q117 lever). Margins are computed
     * over bucket-local top-k — the approximation the production system
     * actually runs; q143 is its exact-correctness anchor. */
-  def q147MarginMiningLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q147MarginMiningLsh(spark: SparkSession, dir: String): DataFrame =
+    marginMiningLsh(Tables.embeddings(spark, dir), nbits = 8)
+
+  /** Width policy = annLshBucketed's: unpinned callers get the
+    * corpus-derived `lshBitsFor` width (floored at 8, so at gate SFs
+    * default ≡ q147's pinned plan); the gate query pins 8 for a
+    * byte-stable oracle. At sf10 the pinned width is deliberately the
+    * quadratic-over-fixed-width regime (q32's own measured 87.6 s);
+    * the derived width is the production number (MarginScaleProbe). */
+  def marginMiningLsh(df: DataFrame, nbits: Int = -1, k: Int = MarginK): DataFrame = {
+    val spark = df.sparkSession
     import graft.expr.NativeVecFns
-    val e = Tables.embeddings(spark, dir).select(
+    val bits = if (nbits > 0) nbits else VecFns.lshBitsFor(df.count())
+    val e = df.select(
       col("vec_id"), col("embedding"),
       NativeVecFns.norm(spark, col("embedding")).as("nrm"),
-      NativeVecFns.rhpBucket(spark, col("embedding"), 8).as("bucket"))
+      NativeVecFns.rhpBucket(spark, col("embedding"), bits).as("bucket"))
     val a = e.filter(col("vec_id") % 2 === 0).select(col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.filter(col("vec_id") % 2 === 1).select(col("bucket"),
@@ -150,7 +161,7 @@ object MiningQueries {
       .persist()
     def top(key: String, other: String): DataFrame = pairs
       .groupBy(key)
-      .agg(TopKAgg.topKByScore(spark, col("sim"), col(other), MarginK).as("top"))
+      .agg(TopKAgg.topKByScore(spark, col("sim"), col(other), k).as("top"))
       .select(col(key), explode(col("top")).as("t"))
       .select(col(key), col("t.id").as(other), col("t.score").as("sim"))
     val fwd = top("a_id", "b_id")
@@ -227,8 +238,12 @@ object MiningQueries {
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .withColumn("edit_dist", levenshtein(col("a.head"), col("b.head")))
-      .filter(col("edit_dist") <= 24)
+      // threshold form: banded DP, O(len·24) per pair instead of
+      // O(len²), exact for distances ≤ 24 and -1 beyond — the verify
+      // cost lever (blocked candidates are the quadratic guard, the
+      // band keeps the per-pair constant small)
+      .withColumn("edit_dist", levenshtein(col("a.head"), col("b.head"), 24))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= 24)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("edit_dist"))
   }
 
@@ -258,9 +273,18 @@ object MiningQueries {
     * the pair's full shingle sets via `array_intersect` (each doc's set
     * rides the candidate join once — bounded by the df cap).
     *
-    * The df window [2, 8] is pinned for the byte-stable oracle; the
-    * production lever is the upper bound (a fixed constant — candidate
-    * count stays linear in corpus size as df distributions scale). */
+    * MIN-SUPPORT (the measured r15 lever): a candidate must share ≥ 2
+    * rare shingles. True containment pairs share many (min observed at
+    * the gate SFs: 13–21), while coincidence pairs — two unrelated docs
+    * colliding on ONE df≤8 shingle — share exactly 1 and are 98% of the
+    * candidate stream at sf10 (37.3M of 38.0M, measured in DuckDB).
+    * The support count falls out of the same groupBy that deduped the
+    * pair list anyway (count ≥ 2 instead of distinct — no extra
+    * shuffle), and it is what keeps the ARRAY-carrying verify join
+    * linear-with-a-small-constant at scale.
+    *
+    * The df window [2, 8] and min-support 2 are pinned for the
+    * byte-stable oracle; the production levers are both constants. */
   def q145Containment(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // persist: `sets` feeds the postings explode AND both sides of the
@@ -273,11 +297,16 @@ object MiningQueries {
       .persist()
     val posts = sets.select(col("doc_id"), explode(col("sset")).as("s"))
     val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
+    // persist: `rare` is both sides of the pair self-join; unpersisted,
+    // the posts+dfreq subtree runs twice (StageProbe-measured at sf10)
     val rare = posts.join(dfreq.filter(col("df").between(2, 8)), Seq("s"))
+      .select("doc_id", "s").persist()
     val cand = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= 2)
+      .select("a_id", "b_id")
     cand
       .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
@@ -301,8 +330,10 @@ object MiningQueries {
        |dfreq AS (SELECT s, count(*) AS df FROM posts GROUP BY s),
        |rare AS (SELECT p.doc_id, p.s FROM posts p
        |         JOIN dfreq d ON p.s = d.s WHERE d.df BETWEEN 2 AND 8),
-       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |         FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id <> y.doc_id)
+       |cand AS (SELECT a_id, b_id FROM (
+       |           SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n
+       |           FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id <> y.doc_id
+       |           GROUP BY 1, 2) WHERE n >= 2)
        |SELECT a_id AS doc_id, b_id AS contained_in,
        |  len(sa.sset) AS n_shingles,
        |  len(list_intersect(sa.sset, sb.sset)) AS shared,

@@ -510,4 +510,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(th.toInt == expected.toInt,
       s"fallback threshold must be the engine default (or its env override), got $th")
   }
+
+  test("mining wave: every candidate join is keyed — no cartesian/nested-loop anywhere") {
+    // q143 is kernel-based (no join until the bounded margin frames);
+    // q144/q145/q147 must stay equi-joins on their blocking keys
+    for (name <- Seq("q143_margin_mining", "q144_fuzzy_join",
+        "q145_containment", "q147_margin_mining_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unkeyed join")
+    }
+    // the margin rankings ride the hash-mode TopKAgg (r14 aggregate-form
+    // discipline), not windows
+    for (name <- Seq("q143_margin_mining", "q147_margin_mining_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name must rank via TopKAgg, not a window")
+      assert(p.contains("TopKByScore") || p.contains("top_k_by_score"),
+        s"$name must contain the TopKAgg ranking")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank in exact fixed-point integer arithmetic.
@@ -91,21 +91,28 @@ object PageRank {
     *
     * Unlike [[ranks]] (a single statically-unrolled plan), each round here
     * needs a SCALAR from the previous round's frame (the dangling sum), so
-    * the loop runs one small driver action per round over the persisted
-    * |V|-row rank frame — the standard Pregel/GraphX iteration shape, and
-    * exactly one job per round regardless of graph size. Expressing D as a
-    * broadcast one-row frame instead (the r6 first cut) serialized a chain
-    * of 5 broadcast-exchange builds and 15 crossJoins into the plan and
-    * benched 5.7× slower at sf0.1 for identical integers. n and the
-    * teleport base are scalars of the (fixed) node universe, computed once
-    * up front; all arithmetic is unchanged — non-negative Scala Long `/`
-    * is the same floor division as SQL `div`, so results stay bit-equal to
-    * the unrolled-CTE oracle.
+    * the loop materializes one frame per round — the standard
+    * Pregel/GraphX iteration shape, exactly one job per round regardless
+    * of graph size. Expressing D as a broadcast one-row frame instead
+    * (the r6 first cut) serialized a chain of 5 broadcast-exchange builds
+    * and 15 crossJoins into the plan and benched 5.7× slower at sf0.1 for
+    * identical integers. n and the teleport base are scalars of the
+    * (fixed) node universe, computed once up front; all arithmetic is
+    * unchanged — non-negative Scala Long `/` is the same floor division
+    * as SQL `div`, so results stay bit-equal to the unrolled-CTE oracle.
     *
-    * The dangling action doubles as each round's materialization barrier,
-    * which makes unpersist hygiene exact: once round k's frame is cached,
-    * round k−1's is dropped — at most two |V|-row frames (plus nodes and
-    * the annotated edges) are ever live, vs. `iterations` of them before.
+    * Round materialization is an EAGER `localCheckpoint` with the
+    * dangling sum riding the SAME action as an [[Observation]] metric
+    * (the [[ConnectedComponents]] one-job-per-round pattern, r15): the
+    * r14 persist-chain version left every round's full lineage in the
+    * logical plan, so round k re-analyzed/re-optimized rounds 1..k−1 —
+    * the q86 before-plan carried 611 Exchange nodes and the bench wall
+    * was 2× the sum of its stage walls (driver planning, measured by
+    * StageProbe r15). Checkpointing truncates the plan to O(1) per round
+    * and the observed metric replaces the separate dangling `first()`
+    * action. Superseded round blocks are dropped by the ContextCleaner
+    * once unreferenced (two rounds later); at most two |V|-row frames
+    * (plus nodes and the annotated edges) are reachable at any time.
     *
     * 100 TB shape: per round one src-keyed join + one dst-keyed agg (as
     * [[ranks]]) plus one node-keyed left join and a scalar aggregate —
@@ -124,14 +131,20 @@ object PageRank {
     // node count and teleport base: one action, also warms the nodes cache
     val n = math.max(nodes.count(), 1L)
     val base = (15L * (scale / n)) / 100L
-    var prev = nodes.select(col("node"), lit(scale / n).as("r"), col("outdeg")).persist()
-    var older: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
-      // scalar dangling sum — this action materializes prev's cache, so the
-      // frame from the round before it is now safe to release
-      val dang = prev.filter(col("outdeg") === 0)
-        .agg(coalesce(sum("r"), lit(0L))).first().getLong(0)
-      older.foreach(_.unpersist())
+    // eager checkpoint + observed dangling sum: ONE action materializes
+    // the round frame, truncates its lineage, and yields the scalar the
+    // NEXT round's expression needs
+    def materialize(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val obs = Observation(tag)
+      val out = df.observe(obs,
+        coalesce(sum(when(col("outdeg") === 0, col("r"))), lit(0L)).as("dang"))
+        .localCheckpoint(true)
+      (out, obs.get("dang").asInstanceOf[Long])
+    }
+    var (prev, dang) = materialize(
+      nodes.select(col("node"), lit(scale / n).as("r"), col("outdeg")),
+      "pr_dang_0")
+    for (i <- 1 to iterations) {
       // drop prev's outdeg before the join: ed carries the src's outdeg
       // (same value) and keeping both would make `r div outdeg` ambiguous
       val contrib = prev.filter(col("outdeg") > 0)
@@ -143,9 +156,9 @@ object PageRank {
         .select(col("node"),
           expr(s"$base + (85 * (coalesce(s, CAST(0 AS BIGINT)) + ${dang / n})) div 100").as("r"),
           col("outdeg"))
-        .persist()
-      older = Some(prev)
-      prev = next
+      val (m, d) = materialize(next, s"pr_dang_$i")
+      prev = m
+      dang = d
     }
     prev.select(col("node"), col("outdeg").as("degree"), col("r").as("rank_fp"))
   }

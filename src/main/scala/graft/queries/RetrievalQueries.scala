@@ -202,11 +202,18 @@ object RetrievalQueries {
     val scored = bm25Contribs(spark, dir, Bm25Probes.map(_._2).distinct)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    // persist: `ranked` is |queries|×8 rows but its subtree (tokenize →
+    // explode → postings shuffle → window) feeds FOUR branches below
+    // (gold, cands twice, the final anti-join); unpersisted, Catalyst
+    // re-evaluates the whole BM25 pipeline per branch (guide §2.4 —
+    // measured 5 duplicate scoring subtrees / 106 Exchanges in the
+    // r15 before-plan, bench 2.75 s → one evaluation after)
     val ranked = scored.join(broadcast(probes), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score"))
       .withColumn("bm25_rank", row_number().over(w))
       .filter(col("bm25_rank") <= 8)
+      .persist()
     val gold = ranked.filter(col("bm25_rank") === 1)
       .select(col("query_id"), col("doc_id").as("gold_doc"))
     val cands = ranked.filter(col("bm25_rank") > 1)

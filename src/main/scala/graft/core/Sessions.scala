@@ -61,6 +61,15 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", ObjectAggFallbackKeys.toString))
+      // AQE coalescing floor left at its 1 MB default: an r15 A/B with a
+      // 64 KB session-wide floor sped the single-task-rerank queries up
+      // (q141 −59%) but taxed every many-tiny-stage query with extra
+      // task overhead (q74/q119/q137 +19–39%) — the compute-dense
+      // stages are instead widened LOCALLY with an explicit keyed
+      // repartition (see IncrementalIvfPq.adcTopK). Env override kept
+      // for A/B (SPARK_GRAFT_MIN_COALESCE, bytes).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1048576"))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

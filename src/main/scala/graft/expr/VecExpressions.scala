@@ -207,10 +207,72 @@ case class RhpBucket(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** mat_vec(rFlat, x) — dense GEMV y = R·x with R a d×d matrix flattened
+  * row-major as an `array<double>` plan literal and x an
+  * `array<float|double>` of length d: y[i] = Σⱼ R[i·d+j]·x[j], summed
+  * in ascending-j order with an explicit 0.0 init — bit-identical to
+  * [[graft.ml.Opq.rotateColumn]]'s former `transform`+`aggregate`
+  * higher-order-function formulation (and to the DuckDB oracle's
+  * `list_reduce` fold), but a tight primitive loop instead of d²
+  * interpreted lambda invocations per row (the r15 q141 StageProbe
+  * finding: the probe-rotation projection dominated the search wall). */
+case class MatVecMul(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "vec_matvec"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def rightFloat: Option[Boolean] = right.dataType match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[ArrayType] ||
+        left.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> matrix, got ${left.dataType.simpleString}")
+    else if (rightFloat.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> vector, got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.matVec(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], rightFloat.get)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, x) =>
+      s"${ev.value} = graft.expr.VecKernels.matVec($m, $x, ${rightFloat.get});")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Static vector kernels shared by interpreted eval and generated code
   * (codegen emits one call; the loop runs as plain JIT-compiled JVM
   * code — same pattern as [[TextHashKernels]]). */
 object VecKernels {
+  def matVec(m: ArrayData, x: ArrayData, xIsFloat: Boolean): ArrayData = {
+    val d = x.numElements()
+    val xs = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      xs(j) = if (xIsFloat) x.getFloat(j).toDouble else x.getDouble(j)
+      j += 1
+    }
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val base = i * d
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += m.getDouble(base + k) * xs(k); k += 1 }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def rhpBucket(v: ArrayData, isFloat: Boolean, nPlanes: Int): Long = {
     val dim = v.numElements()
     var sig = 0L
@@ -253,6 +315,7 @@ object NativeVecFns {
     reg(spark, "vec_l2_sq", { case Seq(a, b) => FloatVecL2Sq(a, b) })
     reg(spark, "vec_l1", { case Seq(a, b) => FloatVecL1(a, b) })
     reg(spark, "vec_rhp_bucket", { case Seq(v, n) => RhpBucket(v, n) })
+    reg(spark, "vec_matvec", { case Seq(m, x) => MatVecMul(m, x) })
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -275,5 +338,9 @@ object NativeVecFns {
   def rhpBucket(spark: SparkSession, v: Column, nPlanes: Int): Column = {
     register(spark)
     call_function("vec_rhp_bucket", v, org.apache.spark.sql.functions.lit(nPlanes))
+  }
+
+  def matVec(spark: SparkSession, m: Column, x: Column): Column = {
+    register(spark); call_function("vec_matvec", m, x)
   }
 }

@@ -126,8 +126,17 @@ object Opq {
     * accumulation). Used on the SEARCH probe side, where a plan literal
     * beats shuffling probes through a kernel + re-join; the bulk encode
     * path keeps the kernel. */
-  def rotateColumn(rFlat: org.apache.spark.sql.Column, dim: Int,
+  def rotateColumn(spark: org.apache.spark.sql.SparkSession,
+                   rFlat: org.apache.spark.sql.Column, dim: Int,
                    x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.expr.NativeVecFns.matVec(spark, rFlat, x)
+
+  /** The pre-r15 `transform`+`aggregate` HOF formulation of
+    * [[rotateColumn]], kept as the equality spec reference for the
+    * native kernel (d² interpreted lambda calls per row made it the
+    * dominant term of the q141 search wall — StageProbe r15). */
+  private[graft] def rotateColumnHof(rFlat: org.apache.spark.sql.Column, dim: Int,
+                                     x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d), (acc, j) =>
         acc + element_at(rFlat, i * lit(dim) + j + lit(1))

@@ -759,7 +759,17 @@ object IncrementalIvfPq {
                       nprobe: Int, topK: Int,
                       allowed: Option[DataFrame] = None): DataFrame = {
     val cents = spark.read.parquet(s"$root/centroids")
+    // pin the probe side's width to the derived shuffle width BEFORE the
+    // per-probe projection work (OPQ rotation GEMV, norm) and the
+    // candidate join: the rerank's per-row work is orders of magnitude
+    // above its bytes, so AQE's byte-based coalescing collapsed the
+    // whole assign→rotate→join→rerank chain to ONE task at gate SFs
+    // (q141: a 2.9 s single-task stage, 74% of the query — StageProbe
+    // r15). Scale-neutral: the cid equi-join shuffles probes anyway once
+    // the candidate side outgrows a broadcast, and the pinned width is
+    // exactly what Sessions.deriveShuffle provides.
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("cid"))
     val live = allowed.foldLeft(liveCodes(spark, root))((c, a) =>
       c.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
     val enc = encoding(spark, root)
@@ -772,7 +782,7 @@ object IncrementalIvfPq {
         val r = rotationOf(spark, root)
         val rl = typedLit(r.flatten.toIndexedSeq)
         ranked
-          .withColumn("a_rot", graft.ml.Opq.rotateColumn(rl, r.length, col("embedding")))
+          .withColumn("a_rot", graft.ml.Opq.rotateColumn(spark, rl, r.length, col("embedding")))
           .select(col("cid"), col("vec_id").as("a_id"),
             col("a_rot").as("a_emb"),
             NativeVecFns.norm(spark, col("a_rot")).as("a_nrm"))

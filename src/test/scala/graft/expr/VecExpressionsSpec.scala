@@ -70,6 +70,21 @@ class VecExpressionsSpec extends SparkSpec {
     assert(tNative < tHof, "native codegen dot should not be slower than the interpreted HOF")
     df.unpersist()
   }
+
+  test("native vec_matvec is bit-identical to the HOF rotateColumn fold") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val rFlat = IndexedSeq.fill(dim * dim)(rnd.nextDouble() * 2 - 1)
+    val rl = typedLit(rFlat)
+    val df = randVecs(150, dim).toDF("id", "v")
+    val out = df.select(
+      NativeVecFns.matVec(spark, rl, col("v")).as("native"),
+      graft.ml.Opq.rotateColumnHof(rl, dim, col("v")).as("hof")).collect()
+    out.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.length == dim && a == b, s"native=$a hof=$b")
+    }
+  }
 }
 
 class TopKAggSpec extends graft.SparkSpec {

@@ -51,24 +51,31 @@ object PageRank {
     // join — persisting it stops four re-derivations of the (possibly
     // expensive) upstream edge plan
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    val n1 = deg.agg(count(lit(1)).as("n"))
     // degree-annotated edges power every iteration — computed once, kept hot
     val ed = edges.join(deg, "src").persist()
-    // teleport base 0.15·(scale/n) and init rank scale/n are global
-    // constants; broadcast one-row frames keep everything a single plan
-    // (no driver-side count action). greatest(n,1) guards the empty-graph
-    // case, where the output is empty anyway.
-    val base = broadcast(n1.select(
-      expr(s"(15 * ($scale div greatest(n, 1))) div 100").as("base")))
-    val init = deg.crossJoin(broadcast(n1))
-      .select(col("src").as("node"), expr(s"$scale div greatest(n, 1)").as("r"))
-    val last = (1 to iterations).foldLeft(init) { (prev, _) =>
-      prev.withColumnRenamed("node", "p_node")
+    // The pre-r15 shape statically unrolled all rounds into ONE plan with
+    // broadcast one-row frames for n and the teleport base (no driver
+    // action) — but at 5 rounds that plan carried 66 Exchange nodes and
+    // its wall was dominated by per-stage codegen + AQE re-planning of
+    // the growing tree (~38 ms/stage at sf0.1, StageProbe r15), and at
+    // high iteration counts optimizer time grows superlinearly. Now each
+    // round is an eagerly-checkpointed O(1) plan (the ranksDirected /
+    // ConnectedComponents discipline); since rounds pay an action anyway,
+    // n and the teleport base become plain scalars — same floor-division
+    // arithmetic (non-negative Scala Long `/` ≡ SQL `div`), bit-equal to
+    // the unrolled-CTE oracle. Superseded round blocks are dropped by the
+    // ContextCleaner once unreferenced.
+    val n = math.max(deg.count(), 1L)
+    val base = (15L * (scale / n)) / 100L
+    var last = deg.select(col("src").as("node"), lit(scale / n).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      last = last.withColumnRenamed("node", "p_node")
         .join(ed, col("p_node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div outdeg")).as("s"))
-        .crossJoin(base)
-        .select(col("dst").as("node"), expr("base + (85 * s) div 100").as("r"))
+        .select(col("dst").as("node"), expr(s"$base + (85 * s) div 100").as("r"))
+        .localCheckpoint(true)
     }
     last.join(deg, last("node") === deg("src"))
       .select(col("node"), col("outdeg").as("degree"), col("r").as("rank_fp"))

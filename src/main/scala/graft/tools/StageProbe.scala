@@ -36,6 +36,18 @@ object StageProbe {
       }
     })
     val fn = graft.SparkEntry.queries(name)
+    // SPARK_GRAFT_PROBE_WARMUPS untimed warm-up executions first (JIT,
+    // codegen cache, store builds) so the attributed run matches the
+    // bench's warm-median regime; stages of the warm-ups still print but
+    // the [total] line times only the final run.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_PROBE_WARMUPS", "0").toInt
+    (1 to warmups).foreach { w =>
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      graft.ml.BlockTopK.releaseBroadcasts(spark)
+      System.gc()
+      System.err.println(s"[warmup] $w done")
+    }
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     println(f"[total] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")

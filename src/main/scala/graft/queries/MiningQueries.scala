@@ -62,7 +62,12 @@ object MiningQueries {
         .select(col("a_id"), explode(col("top")).as("t"))
         .select(col("a_id"), col("t.id").as("b_id"), col("t.score").as("sim"))
 
-    val fwd = topK(corpus = b, probes = a)              // (a, b, sim)
+    // persist: fwd is |A|·k rows but feeds THREE consumers (avgF, the
+    // margin join, the final pair-recovery join) — unpersisted, each
+    // re-runs the full BlockTopK broadcast-probe kernel over corpus B
+    // (guide §2.4; the q98 duplicated-subtree class, measured in the
+    // r15 before-plan)
+    val fwd = topK(corpus = b, probes = a).persist()    // (a, b, sim)
     val bwd = topK(corpus = a, probes = b)              // (b, a, sim)
     val avgF = fwd.groupBy("a_id").agg(avg("sim").as("avg_f"))
     val avgB = bwd.groupBy(col("a_id").as("bb_id")).agg(avg("sim").as("avg_b"))
@@ -164,7 +169,9 @@ object MiningQueries {
       .agg(TopKAgg.topKByScore(spark, col("sim"), col(other), k).as("top"))
       .select(col(key), explode(col("top")).as("t"))
       .select(col(key), col("t.id").as(other), col("t.score").as("sim"))
-    val fwd = top("a_id", "b_id")
+    // persist: fwd feeds three consumers (avgF, margins, the final
+    // best-join); unpersisted, each re-aggregates the full pair stream
+    val fwd = top("a_id", "b_id").persist()
     val avgF = fwd.groupBy("a_id").agg(avg("sim").as("avg_f"))
     val avgB = top("b_id", "a_id").groupBy(col("b_id").as("bb_id"))
       .agg(avg("sim").as("avg_b"))

@@ -708,9 +708,15 @@ object TextQueries {
     * implicit: a just-merged last symbol is left||right, which can never
     * equal left again (right is non-empty). */
   private[graft] def bpeMergeRound(in: DataFrame): DataFrame = {
+    // persist: `in` feeds BOTH the pair-count branch and the merge-apply
+    // branch; unpersisted, each round re-evaluates its whole input plan
+    // twice, so round 2 re-ran the corpus tokenize 4× (guide §2.4 — the
+    // q98 duplicated-subtree class). The frame is the vocab table —
+    // corpus-bounded and tiny relative to the token stream it summarizes.
+    val inP = in.persist()
     // single-symbol rows MUST be filtered before the transform: Spark's
     // sequence(1, 0) is the DESCENDING [1, 0], and element_at(_, 0) throws
-    val pairs = in.filter(size(split(col("seq"), " ")) >= 2)
+    val pairs = inP.filter(size(split(col("seq"), " ")) >= 2)
       .select(col("freq"), explode(expr(
         "transform(sequence(1, size(split(seq, ' ')) - 1), " +
           "i -> concat(element_at(split(seq, ' '), i), ' ', element_at(split(seq, ' '), i + 1)))"))
@@ -721,7 +727,7 @@ object TextQueries {
         col("pair").as("best_pair"),
         expr("element_at(split(pair, ' '), 1)").as("bp_l"),
         expr("element_at(split(pair, ' '), 2)").as("bp_r"))
-    in.crossJoin(broadcast(best))
+    inP.crossJoin(broadcast(best))
       .withColumn("seq", expr(
         """aggregate(split(seq, ' '), '', (acc, t) ->
           |  CASE WHEN acc = '' THEN t

@@ -759,17 +759,14 @@ object IncrementalIvfPq {
                       nprobe: Int, topK: Int,
                       allowed: Option[DataFrame] = None): DataFrame = {
     val cents = spark.read.parquet(s"$root/centroids")
-    // pin the probe side's width to the derived shuffle width BEFORE the
-    // per-probe projection work (OPQ rotation GEMV, norm) and the
-    // candidate join: the rerank's per-row work is orders of magnitude
-    // above its bytes, so AQE's byte-based coalescing collapsed the
-    // whole assign→rotate→join→rerank chain to ONE task at gate SFs
-    // (q141: a 2.9 s single-task stage, 74% of the query — StageProbe
-    // r15). Scale-neutral: the cid equi-join shuffles probes anyway once
-    // the candidate side outgrows a broadcast, and the pinned width is
-    // exactly what Sessions.deriveShuffle provides.
+    // (r15 note: a cid-keyed width-pinning repartition was tried here to
+    // spread the single-task rerank stage AQE's byte-based coalescing
+    // produces at gate SFs; after the probe rotation moved to the native
+    // vec_matvec kernel the remaining single-task work is ~10 MFLOP and
+    // the extra exchange cost more than it bought on every search query
+    // (q132/q133/q134/q137 +0.3 s adjusted) — removed. At scale the cid
+    // equi-join re-shuffles the probe side to the derived width anyway.)
     val ranked = graft.queries.EmbeddingQueries.ivfRanked(probes, cents, nprobe)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("cid"))
     val live = allowed.foldLeft(liveCodes(spark, root))((c, a) =>
       c.join(a.select("vec_id").distinct(), Seq("vec_id"), "left_semi"))
     val enc = encoding(spark, root)

@@ -250,6 +250,11 @@ object CoverageQueries {
     * regexp_extract_all, printf-style formatting. */
   def q46ArrayMap(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      // (r15: an explicit width-pinning repartition on the group keys
+      // was tried and REVERTED — it dropped the map-side combine and
+      // widened the second aggregation's partial-row count, netting
+      // slower; AQE's 4-wide choice here is fine because the work IS
+      // proportional to bytes, unlike the q16/q144 compute-dense cases)
       // synthetic lineitem repeats line numbers per order → pre-aggregate
       // so the map key is unique (map_from_entries rejects duplicates)
       .groupBy("l_orderkey", "l_linenumber")

@@ -242,7 +242,16 @@ object MiningQueries {
       col("doc_id"), col("lang"),
       substring(col("text"), 1, 16).as("blk"),
       substring(col("text"), 1, 160).as("head"))
-    d.as("a").join(d.as("b"),
+    // spread the probe side across the derived width before the verify
+    // join: the tiny gate-SF parquet scans as ONE partition and a
+    // broadcast join keeps it that way, so the whole banded-DP verify
+    // ran single-task (1.4 s, 100% of the warm wall — StageProbe r15).
+    // Keyed on the blocking key, so at scale this IS the join's own
+    // shuffle (no extra exchange once the build side outgrows a
+    // broadcast) — the p3 grid-spread pattern.
+    d.repartition(spark.sessionState.conf.numShufflePartitions,
+        col("lang"), col("blk"))
+      .as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
       // threshold form: banded DP, O(len·24) per pair instead of

@@ -84,6 +84,14 @@ object TimeQueries {
       .filter(col("next_ts") >= col("ts") + expr("INTERVAL 1 MINUTE"))
       .filter(col("next_ts") <= col("ts") + expr("INTERVAL 6 HOURS"))
     pairs
+      // spread the narrow interval rows BEFORE the up-to-360× fanout
+      // explode: AQE coalesces the window's tiny-bytes exchange to one
+      // partition, which serialized the whole grid expansion + map-side
+      // partial agg in a single task (1.3 s, ~100% of the warm wall —
+      // StageProbe r15). Same pattern (and rationale comment) as p3's
+      // grid-spread; result-invariant — the groupBy below re-shuffles
+      // by user_id.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("user_id"),
         explode(sequence(col("ts") + expr("INTERVAL 1 MINUTE"), col("next_ts"), expr("INTERVAL 1 MINUTE"))).as("m"))
       .groupBy("user_id")

@@ -39,6 +39,14 @@ object PipelineQueries {
       .withColumn("utc", TimeFns.localToUtc(col("ts2"), col("bst_start"), col("bst_end")))
     val w = Window.partitionBy("user_id").orderBy("utc", "event_id")
     val deltas = utc
+      // pin the window/explode chain's width: AQE's byte-based coalescing
+      // ran the LEAD window + grid explode 2-wide at gate SFs (0.6 s, the
+      // dominant warm stage — StageProbe r15). hash(user_id) is exactly
+      // the window's required distribution, so this replaces (not adds)
+      // the window's exchange, and the per-interval window + explode
+      // downstream cluster by (user_id, utc) ⊇ user_id — no new shuffle.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("user_id"))
       .withColumn("vc", round(col("value") * 100).cast("long"))
       .withColumn("next_utc", lead("utc", 1).over(w))
       .withColumn("delta_c", lead("vc", 1).over(w) - col("vc"))

@@ -181,8 +181,19 @@ object TextQueries {
       .select(col("doc_id"), explode(NativeTextFns.shingleHashes(spark, col("th"), 3)).as("s"))
       .persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // Width-pin the self-join ON THE JOIN KEY above the cache read: the
+    // join's exchange is tiny in bytes, so AQE coalesced it to one
+    // partition and the entire quadratic pair expansion ran single-task
+    // (1.1 s, half the warm wall — StageProbe r15). Hash(s) at the pinned
+    // width is the join's own required distribution; both aliases share
+    // the identical subtree so the exchange plans once (ReusedExchange)
+    // and the join adds no further shuffle at any scale — the q144
+    // spread pattern. (Pinning BEFORE the persist was tried and reverted:
+    // both join sides raced to fill the exchange-bearing cache and the
+    // shingle pipeline ran twice per rep.)
+    val shp = sh.repartition(spark.sessionState.conf.numShufflePartitions, col("s"))
+    val pairs = shp.as("a")
+      .join(shp.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
